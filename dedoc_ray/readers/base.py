@@ -1,0 +1,28 @@
+"""Reader output container — the per-document intermediate representation.
+
+Mirrors the reference's ``UnstructuredDocument``
+(dedoc/data_structures/unstructured_document.py:8-45): flat lines + tables +
+warnings. Attachments are out of scope for the web corpus (rows carry their
+own bytes; reference default ``with_attachments=false`` — api_args.py:17).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from dedoc_ray.core.line import LineWithMeta
+from dedoc_ray.core.table import Table
+
+
+class UnstructuredDoc:
+    __slots__ = ("lines", "tables", "warnings")
+
+    def __init__(
+        self,
+        lines: Optional[List[LineWithMeta]] = None,
+        tables: Optional[List[Table]] = None,
+        warnings: Optional[List[str]] = None,
+    ) -> None:
+        self.lines = lines if lines is not None else []
+        self.tables = tables if tables is not None else []
+        self.warnings = warnings if warnings is not None else []
