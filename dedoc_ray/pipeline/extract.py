@@ -1,0 +1,159 @@
+"""Pipeline assembly: pages Dataset → extracted Dataset, with resumable
+per-shard checkpointed runs.
+
+Scale design (SURVEY.md §4, north rule):
+
+- The extraction stage is an ACTOR POOL (``map_batches(ExtractKernel,
+  concurrency=...)``) so pattern compositions/regexes compile once per
+  worker, not per batch.
+- ``batch_size`` is bounded (default 64 rows) because rows carry multi-KB..MB
+  binary payloads; blocks stream through the object store with backpressure,
+  nothing materializes the corpus.
+- No shuffle anywhere in extraction: every row is self-contained, so the
+  pipeline is embarrassingly parallel at any cluster size; the only
+  all-to-all operations in this repo live in the corpus-level ops
+  (dedup/groupby — see dedoc_ray.ops).
+- Resumability: one output directory + manifest per input shard, written
+  atomically (tmp dir + rename). A restarted run skips shards whose manifest
+  is committed with a matching parser version. Manifest carries lineage
+  (input path, shard id, parser version) and counters (docs, bytes, parse
+  failures) — the checkpoint contract of the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any, Dict, List, Optional
+
+import pyarrow.compute as pc
+
+import dedoc_ray
+from dedoc_ray.pipeline.kernel import ExtractKernel
+
+PARSER_VERSION = f"dedoc_ray-{dedoc_ray.__version__}"
+
+DEFAULT_BATCH_SIZE = 64
+
+
+def extract_pages(
+    pages_ds,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[int] = None,
+    handle_invisible_table: bool = False,
+):
+    """pages Dataset → extracted Dataset (lazy, streaming).
+
+    ``concurrency=None`` lets Ray autoscale the actor pool to available CPUs;
+    pass an explicit (min, max) tuple or int to pin pool size per stage.
+    """
+    kwargs: Dict[str, Any] = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    else:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        # leave headroom for read/write tasks so the pool doesn't starve them
+        kwargs["concurrency"] = max(2, ncpu - 2)
+    return pages_ds.map_batches(
+        ExtractKernel,
+        fn_constructor_kwargs={"handle_invisible_table": handle_invisible_table},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        **kwargs,
+    )
+
+
+# ------------------------------------------------------------ resumable runs
+
+
+def _manifest_path(out_dir: str, shard_name: str) -> str:
+    return os.path.join(out_dir, "_manifests", f"{shard_name}.json")
+
+
+def is_committed(out_dir: str, shard_name: str) -> bool:
+    path = _manifest_path(out_dir, shard_name)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            manifest = json.load(f)
+        return manifest.get("parser_version") == PARSER_VERSION
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def run_extract_resumable(
+    shard_paths: List[str],
+    out_dir: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Process input parquet shards with per-shard checkpointing.
+
+    Each shard: read → extract → write to ``out_dir/<shard>.tmp`` → fsync
+    rename to ``out_dir/<shard>`` → commit manifest. A killed run leaves at
+    most one .tmp directory which the next run overwrites; committed shards
+    are skipped (reference has no such mechanism — dedoc is request-scoped;
+    this is the explicit design the north rule demands).
+    """
+    import ray.data as rd
+
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    totals = {"shards_done": 0, "shards_skipped": 0, "docs": 0, "bytes": 0, "parse_failures": 0}
+    for path in shard_paths:
+        shard_name = os.path.splitext(os.path.basename(path.rstrip("/")))[0]
+        if is_committed(out_dir, shard_name):
+            totals["shards_skipped"] += 1
+            continue
+        t0 = time.time()
+        final_dir = os.path.join(out_dir, shard_name)
+        tmp_dir = final_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+
+        ds = rd.read_parquet(path)
+        extracted = extract_pages(ds, batch_size=batch_size, concurrency=concurrency)
+        extracted.write_parquet(tmp_dir)
+
+        # counters from the written shard: per-batch partials → tiny driver sum
+        import pyarrow as pa
+
+        out = rd.read_parquet(tmp_dir, columns=["status", "n_bytes"])
+        partials = out.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "docs": [b.num_rows],
+                    "bytes": [pc.sum(b["n_bytes"]).as_py() or 0],
+                    "fails": [pc.sum(pc.cast(pc.equal(b["status"], "parse_error"), "int64")).as_py() or 0],
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        n_docs = int(partials["docs"].sum())
+        n_bytes = int(partials["bytes"].sum())
+        n_fail = int(partials["fails"].sum())
+
+        os.replace(tmp_dir, final_dir)
+        manifest = {
+            "input_path": path,
+            "shard": shard_name,
+            "parser_version": PARSER_VERSION,
+            "docs": n_docs,
+            "bytes": n_bytes,
+            "parse_failures": n_fail,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        tmp_manifest = _manifest_path(out_dir, shard_name) + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, _manifest_path(out_dir, shard_name))
+        totals["shards_done"] += 1
+        totals["docs"] += n_docs
+        totals["bytes"] += n_bytes
+        totals["parse_failures"] += n_fail
+    return totals

@@ -1,0 +1,133 @@
+"""The extraction kernel — the callable class passed to ``map_batches``.
+
+One actor instance holds the compiled pattern composition and regexes
+(built once in ``__init__``); ``__call__`` processes one Arrow batch of
+corpus rows. The document loop is inherently row-at-a-time (a document's
+DOM/tree is order-sensitive and row-scoped — SURVEY.md §7 risk 6); the
+vectorization axis is the corpus: thousands of concurrent batch tasks,
+not SIMD inside one document.
+
+Errors never kill a block: every row gets status ok | bad_file |
+parse_error with ``error_msg`` (reference raises DedocError per file —
+dedoc_manager.py:73-81; we convert to error columns per SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from dedoc_ray.pipeline.schemas import EXTRACTED_SCHEMA
+from dedoc_ray.readers.base import UnstructuredDoc
+from dedoc_ray.readers.csv_reader import read_csv
+from dedoc_ray.readers.html import read_html
+from dedoc_ray.readers.json_reader import read_json
+from dedoc_ray.readers.sniff import sniff_format
+from dedoc_ray.readers.txt import read_txt
+from dedoc_ray.structure.patterns import PatternComposition, default_patterns
+from dedoc_ray.structure.tree import construct_tree, extract_structure, flatten_tree
+
+_EMPTY_FLAT = {"extracted_text": "", "nodes": [], "annotations": []}
+
+
+class ExtractKernel:
+    """sniff → per-format read → structure → tree → flatten, per row."""
+
+    def __init__(self, handle_invisible_table: bool = False, patterns: Optional[PatternComposition] = None) -> None:
+        self.patterns = patterns if patterns is not None else PatternComposition(default_patterns())
+        self.handle_invisible_table = handle_invisible_table
+
+    # --- per-document ------------------------------------------------------
+
+    def read_document(self, fmt: str, data: bytes) -> UnstructuredDoc:
+        if fmt == "html":
+            return read_html(data, handle_invisible_table=self.handle_invisible_table)
+        if fmt == "txt":
+            return read_txt(data)
+        if fmt == "csv":
+            return read_csv(data)
+        if fmt == "json":
+            return read_json(data)
+        if fmt == "pdf":
+            from dedoc_ray.readers.pdf import read_pdf_textlayer
+
+            return read_pdf_textlayer(data)
+        raise ValueError(f"unsupported format: {fmt}")
+
+    def extract_row(self, url: str, data: bytes) -> Dict[str, object]:
+        fmt = sniff_format(url, data)
+        out: Dict[str, object] = {
+            "status": "ok",
+            "format": fmt,
+            "extracted_text": "",
+            "nodes": [],
+            "annotations": [],
+            "tables": [],
+            "warnings": [],
+            "error_msg": "",
+        }
+        if fmt == "bad_file":
+            out["status"] = "bad_file"
+            out["error_msg"] = "unrecognized format"
+            return out
+        try:
+            doc = self.read_document(fmt, data)
+            lines = extract_structure(doc.lines, self.patterns)
+            root = construct_tree(lines)
+            flat = flatten_tree(root)
+            out.update(flat)
+            out["warnings"] = doc.warnings
+            out["tables"] = [
+                {
+                    "page_id": t.page_id,
+                    "uid": t.uid,
+                    "cells": [
+                        [
+                            {
+                                "text": c.get_text(),
+                                "colspan": c.colspan,
+                                "rowspan": c.rowspan,
+                                "invisible": c.invisible,
+                            }
+                            for c in row
+                        ]
+                        for row in t.cells
+                    ],
+                }
+                for t in doc.tables
+            ]
+        except Exception as e:  # deterministic parse failure → error columns, no retry
+            out["status"] = "parse_error"
+            out["error_msg"] = f"{type(e).__name__}: {e}"[:500]
+            out.update(_EMPTY_FLAT)
+            out["tables"] = []
+        return out
+
+    # --- per-batch ---------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+        shards = batch["shard"].to_pylist() if "shard" in batch.column_names else [0] * len(urls)
+
+        cols: Dict[str, List] = {name: [] for name in EXTRACTED_SCHEMA.names}
+        for url, data, lang, shard in zip(urls, payloads, langs, shards):
+            data = data if data is not None else b""
+            row = self.extract_row(url, data)
+            cols["url"].append(url)
+            cols["lang"].append(lang)
+            cols["shard"].append(shard)
+            cols["status"].append(row["status"])
+            cols["format"].append(row["format"])
+            cols["extracted_text"].append(row["extracted_text"])
+            cols["nodes"].append(row["nodes"])
+            cols["annotations"].append(row["annotations"])
+            cols["tables"].append(row["tables"])
+            cols["warnings"].append(row["warnings"])
+            cols["error_msg"].append(row["error_msg"])
+            cols["n_nodes"].append(len(row["nodes"]))
+            cols["n_tables"].append(len(row["tables"]))
+            cols["n_bytes"].append(len(data))
+        return pa.Table.from_pydict(cols, schema=EXTRACTED_SCHEMA)

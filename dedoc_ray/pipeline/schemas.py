@@ -1,0 +1,74 @@
+"""Arrow schemas — the wire format of the engine (SURVEY.md §1.3, FIXTURES §4)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# input corpus row (BASELINE.json input_hint)
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("shard", pa.int32()),  # partition / checkpoint unit
+    ]
+)
+
+NODE_TYPE = pa.struct(
+    [
+        ("node_id", pa.string()),
+        ("line_type", pa.string()),
+        ("level_1", pa.int32()),
+        ("level_2", pa.float32()),
+        ("text_start", pa.int64()),
+        ("text_end", pa.int64()),
+    ]
+)
+
+ANNOTATION_TYPE = pa.struct(
+    [
+        ("node_id", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("name", pa.string()),
+        ("value", pa.string()),
+    ]
+)
+
+CELL_TYPE = pa.struct(
+    [
+        ("text", pa.string()),
+        ("colspan", pa.int8()),
+        ("rowspan", pa.int8()),
+        ("invisible", pa.bool_()),
+    ]
+)
+
+TABLE_TYPE = pa.struct(
+    [
+        ("page_id", pa.int32()),
+        ("uid", pa.string()),
+        ("cells", pa.list_(pa.list_(CELL_TYPE))),
+    ]
+)
+
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("lang", pa.string()),
+        ("shard", pa.int32()),
+        ("status", pa.string()),  # ok | bad_file | parse_error
+        ("format", pa.string()),  # html | txt | csv | json | pdf | bad_file
+        ("extracted_text", pa.string()),
+        ("nodes", pa.list_(NODE_TYPE)),
+        ("annotations", pa.list_(ANNOTATION_TYPE)),
+        ("tables", pa.list_(TABLE_TYPE)),
+        ("warnings", pa.list_(pa.string())),
+        ("error_msg", pa.string()),
+        ("n_nodes", pa.int32()),
+        ("n_tables", pa.int32()),
+        ("n_bytes", pa.int64()),
+    ]
+)

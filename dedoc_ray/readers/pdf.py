@@ -1,0 +1,143 @@
+"""PDF text-layer kernel (documented subset).
+
+The reference's PDF text-layer path wraps pdfminer.six with tuned LAParams
+(dedoc/readers/pdf_reader/pdf_txtlayer_reader/pdfminer_reader/
+pdfminer_extractor.py:40-318): per-page layout parse, text lines sorted by
+y-coordinate, font size/style annotations from character runs. pdfminer is
+not available in this environment, so this module implements the same
+*semantics* for the well-formed text-layer subset our corpus generator emits
+and that covers the common "born-digital" case:
+
+- object/stream scan with FlateDecode (zlib) support;
+- BT…ET text blocks; Td/TD/Tm positioning; Tj/TJ/'/" show-text operators
+  with PDF string escapes;
+- one content stream per page (generator invariant), lines sorted by
+  descending y then ascending x — the same ordering pdfminer yields for
+  simple single-column pages;
+- ``size`` annotation from the active Tf font size; ``bold`` when the font
+  resource name contains "Bold".
+
+Scanned/image PDFs (no text layer) are out of scope — they require OCR
+(Tesseract is absent); such rows get status=parse_error downstream, the
+explicit analogue of the reference's OCR-needed route (pdf_auto_reader.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import List, Tuple
+
+from dedoc_ray.core.annotation import Annotation, AnnotationNames as AN
+from dedoc_ray.core.hierarchy import HierarchyLevel
+from dedoc_ray.core.line import LineMetadata, LineWithMeta
+from dedoc_ray.readers.base import UnstructuredDoc
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# ops we interpret inside a BT block
+_TOKEN_RE = re.compile(
+    rb"(?P<str>\((?:\\.|[^\\()])*\))|(?P<arr>\[(?:\\.|[^\]])*\])|(?P<num>[-+]?\d*\.?\d+)|(?P<name>/[A-Za-z0-9+._-]+)|(?P<op>[A-Za-z'\"*]+)"
+)
+
+_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f", b"(": "(", b")": ")", b"\\": "\\"}
+
+
+def _unescape(raw: bytes) -> str:
+    out: List[str] = []
+    i = 0
+    while i < len(raw):
+        ch = raw[i:i + 1]
+        if ch == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(raw[i + 1:j], 8)))
+                i = j
+                continue
+            i += 1
+            continue
+        out.append(ch.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _iter_text_ops(block: bytes):
+    """Yield (x, y, font, size, text) for each show-text op in a BT block."""
+    x = y = 0.0
+    font, size = "", 0.0
+    stack_nums: List[float] = []
+    pending_str: bytes = b""
+    pending_arr: bytes = b""
+    pending_name = ""
+    for m in _TOKEN_RE.finditer(block):
+        if m.group("num") is not None:
+            stack_nums.append(float(m.group("num")))
+        elif m.group("str") is not None:
+            pending_str = m.group("str")[1:-1]
+        elif m.group("arr") is not None:
+            pending_arr = m.group("arr")
+        elif m.group("name") is not None:
+            pending_name = m.group("name")[1:].decode("latin-1", "replace")
+        else:
+            op = m.group("op")
+            if op in (b"Td", b"TD") and len(stack_nums) >= 2:
+                x += stack_nums[-2]
+                y += stack_nums[-1]
+            elif op == b"Tm" and len(stack_nums) >= 6:
+                x, y = stack_nums[-2], stack_nums[-1]
+            elif op == b"Tf" and stack_nums:
+                font, size = pending_name, stack_nums[-1]
+            elif op in (b"Tj", b"'", b'"'):
+                yield (x, y, font, size, _unescape(pending_str))
+            elif op == b"TJ":
+                strs = re.findall(rb"\((?:\\.|[^\\()])*\)", pending_arr)
+                text = "".join(_unescape(s[1:-1]) for s in strs)
+                yield (x, y, font, size, text)
+            stack_nums = []
+
+
+def read_pdf_textlayer(data: bytes) -> UnstructuredDoc:
+    if data[:5] != b"%PDF-":
+        raise ValueError("not a PDF")
+    file_hash = hashlib.md5(data).hexdigest()
+    lines: List[LineWithMeta] = []
+    line_id = 0
+    page_id = 0
+    saw_text = False
+    for stream_m in _STREAM_RE.finditer(data):
+        payload = stream_m.group(1)
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            pass
+        blocks = _BT_RE.findall(payload)
+        if not blocks:
+            continue
+        page_lines: List[Tuple[float, float, str, float, str]] = []
+        for block in blocks:
+            page_lines.extend(_iter_text_ops(block))
+        page_lines.sort(key=lambda t: (-t[1], t[0]))  # y desc, x asc (pdfminer order)
+        for x, y, font, size, text in page_lines:
+            if not text:
+                continue
+            saw_text = True
+            annotations = [Annotation(0, len(text), AN.size, str(size))]
+            if "bold" in font.lower():
+                annotations.append(Annotation(0, len(text), AN.bold, "True"))
+            metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
+            lines.append(
+                LineWithMeta(line=text + "\n", metadata=metadata, annotations=annotations, uid=f"pdf_{file_hash}_{line_id}")
+            )
+            line_id += 1
+        page_id += 1
+    if not saw_text:
+        raise ValueError("PDF has no text layer (OCR path not available)")
+    return UnstructuredDoc(lines=lines, warnings=[f"pdf pages: {page_id}"])
