@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data dedoc engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes each implemented operator/pipeline (SURVEY.md §2 +
+training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL over the
+pre-registered views for every SQL-expressible query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The synthetic page corpus is a pure function of the ``documents`` view
+(dedoc_ray/sources/synth.py), which is what makes the extraction pipeline
+itself SQL-checkable: the oracle recomputes the expected extracted text per
+template class from ``documents.text``.
+
+Ray is initialised by the driver — nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +18,256 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _pages(sf_dir: str, cls_filter=None):
+    """Synthetic pages dataset, optionally filtered by template class."""
+    import ray.data as rd
+
+    from dedoc_ray.sources.synth import pages_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"])
+    if cls_filter is not None:
+        import numpy as np
+
+        def _filt(b: pa.Table, f=cls_filter) -> pa.Table:
+            cls = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False)) % 10
+            return b.filter(pa.array(f(cls)))
+
+        docs = docs.map_batches(_filt, batch_format="pyarrow")
+    return docs.map_batches(pages_batch, batch_format="pyarrow")
+
+
+def _extracted(sf_dir: str, cls_filter=None):
+    from dedoc_ray.pipeline.extract import extract_pages
+
+    return extract_pages(_pages(sf_dir, cls_filter), concurrency=4)
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_extract_roundtrip(sf_dir: str):
+    """Flagship: synth pages → sniff/parse/structure/flatten; SQL-checkable
+    template classes only (rich class 6 is covered by pytest goldens)."""
+    ds = _extracted(sf_dir, cls_filter=lambda cls: cls != 6)
+    return ds.select_columns(["url", "lang", "status", "extracted_text"])
+
+
+def q_extract_counts(sf_dir: str):
+    """Corpus health counters over ALL rows (incl. rich class)."""
+    from ray.data.aggregate import Sum
+
+    ds = _extracted(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["format", "status"]).to_pandas()
+        df["n"] = 1
+        g = df.groupby(["format", "status"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(["format", "status"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def q_extract_tables(sf_dir: str):
+    """Table extraction check on the rich class: cell grid shape per url."""
+    ds = _extracted(sf_dir, cls_filter=lambda cls: cls == 6)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        tables = batch["tables"].to_pylist()
+        n_tables, n_cells, n_invisible = [], [], []
+        for t in tables:
+            n_tables.append(len(t))
+            n_cells.append(sum(len(row) for tab in t for row in tab["cells"]))
+            n_invisible.append(sum(1 for tab in t for row in tab["cells"] for c in row if c["invisible"]))
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(urls, "string"),
+                "n_tables": pa.array(n_tables, "int64"),
+                "n_cells": pa.array(n_cells, "int64"),
+                "n_invisible": pa.array(n_invisible, "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_full(sf_dir: str):
+    """All rows incl. rich class — rows-only driver check; full output schema."""
+    return _extracted(sf_dir).select_columns(["url", "status", "format", "n_nodes", "n_tables", "n_bytes"])
+
+
+def q_doc_stats(sf_dir: str):
+    from dedoc_ray.ops.textstats import doc_stats
+
+    return doc_stats(sf_dir)
+
+
+def q_doc_quality(sf_dir: str):
+    from dedoc_ray.ops.textstats import doc_quality
+
+    return doc_quality(sf_dir)
+
+
+def q_exact_dedup(sf_dir: str):
+    from dedoc_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+def q_jaccard_pairs(sf_dir: str):
+    from dedoc_ray.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(sf_dir)
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    from dedoc_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(sf_dir)
+
+
+def q_simhash(sf_dir: str):
+    from dedoc_ray.ops.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(sf_dir)
+
+
+def q_knn(sf_dir: str):
+    from dedoc_ray.ops.knn import knn_bruteforce
+
+    return knn_bruteforce(sf_dir)
+
+
+def q_embedding_neardup(sf_dir: str):
+    from dedoc_ray.ops.knn import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(sf_dir)
+
+
+def q_lineitem_pricing(sf_dir: str):
+    from dedoc_ray.ops.relational import lineitem_pricing
+
+    return lineitem_pricing(sf_dir)
+
+
+def q_events_hourly(sf_dir: str):
+    from dedoc_ray.ops.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def q_segment_revenue(sf_dir: str):
+    from dedoc_ray.ops.relational import segment_revenue
+
+    return segment_revenue(sf_dir)
+
+
+# --------------------------------------------------------------- contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: synth pages → extract → full output."""
+    return q_extract_full("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_counts": q_extract_counts,
+        "extract_tables": q_extract_tables,
+        "extract_full": q_extract_full,
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "knn": q_knn,
+        "embedding_neardup": q_embedding_neardup,
+        "lineitem_pricing": q_lineitem_pricing,
+        "events_hourly": q_events_hourly,
+        "segment_revenue": q_segment_revenue,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_URL_SQL = """'https://synth.test/' || source || '/' || doc_id ||
+    CASE WHEN doc_id % 10 <= 6 THEN '.html'
+         WHEN doc_id % 10 = 7 AND doc_id % 20 = 17 THEN '.pdf'
+         WHEN doc_id % 10 = 7 THEN '.txt'
+         WHEN doc_id % 10 = 8 THEN '.json'
+         ELSE '.bin' END"""
+
+_ROUNDTRIP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, doc_id % 10 AS cls,
+         CASE WHEN doc_id % 997 = 0 THEN repeat(text || ' the ', 200) || text ELSE text END AS t
+  FROM documents
+)
+SELECT {_URL_SQL} AS url,
+       lang,
+       CASE WHEN cls = 9 THEN 'bad_file' ELSE 'ok' END AS status,
+       CASE WHEN cls <= 3 THEN replace(t, ' the ', chr(10)) || chr(10)
+            WHEN cls = 4 THEN replace(t, ' the ', chr(10))
+            WHEN cls = 5 THEN 'Document ' || doc_id || chr(10) || t || chr(10)
+            WHEN cls = 7 AND doc_id % 20 = 17 THEN replace(t, ' the ', chr(10)) || chr(10)
+            WHEN cls = 7 THEN replace(t, ' the ', chr(10) || '  ')
+            WHEN cls = 8 THEN 'body' || t || 'titleDoc ' || doc_id
+            ELSE '' END AS extracted_text
+FROM base
+WHERE cls <> 6
+"""
+
+_COUNTS_SQL = """
+SELECT CASE WHEN doc_id % 10 <= 6 THEN 'html'
+            WHEN doc_id % 10 = 7 AND doc_id % 20 = 17 THEN 'pdf'
+            WHEN doc_id % 10 = 7 THEN 'txt'
+            WHEN doc_id % 10 = 8 THEN 'json'
+            ELSE 'bad_file' END AS format,
+       CASE WHEN doc_id % 10 = 9 THEN 'bad_file' ELSE 'ok' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+_TABLES_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CAST(1 AS BIGINT) AS n_tables,
+       CAST(6 AS BIGINT) AS n_cells,
+       CAST(1 AS BIGINT) AS n_invisible
+FROM documents
+WHERE doc_id % 10 = 6
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql
+    from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
+    from dedoc_ray.ops.relational import EVENTS_HOURLY_SQL, LINEITEM_PRICING_SQL, SEGMENT_REVENUE_SQL
+    from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL
+
+    return {
+        "extract_roundtrip": _ROUNDTRIP_SQL,
+        "extract_counts": _COUNTS_SQL,
+        "extract_tables": _TABLES_SQL,
+        # extract_full / minhash_lsh_pairs / simhash: rows-only (not SQL-expressible)
+        "doc_stats": DOC_STATS_SQL,
+        "doc_quality": DOC_QUALITY_SQL,
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "jaccard_pairs": jaccard_pairs_sql(),
+        "knn": knn_sql(),
+        "embedding_neardup": embedding_neardup_sql(),
+        "lineitem_pricing": LINEITEM_PRICING_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "segment_revenue": SEGMENT_REVENUE_SQL,
+    }

@@ -1,0 +1,142 @@
+"""Corpus-level relational operators — the shuffle-bearing patterns.
+
+These demonstrate (and test) the three wide-operation disciplines the
+engine uses everywhere (ray_guide: Aggregation at scale / Joins):
+
+- partial aggregation inside ``map_batches`` before the groupby shuffle
+  (``lineitem_pricing``: the shuffle sees one row per key per batch);
+- windowed aggregation by (key, time bucket) computed the same way
+  (``events_hourly``);
+- broadcast hash join for a small dimension side (``segment_revenue``:
+  customer is ``ray.put`` once, looked up per batch — no shuffle join).
+
+Money/measure sums are carried as integer cents (``floor(x*100 + 0.5)`` on
+the identical per-row double) so results are bit-exact across engines —
+float summation order would otherwise make the DuckDB oracle hash-mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _cents(series, scale: int = 100) -> np.ndarray:
+    return np.floor(series.to_numpy(dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary with per-batch partial aggregation."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sum_qty"] = df["l_quantity"].astype("int64")
+        df["base_price_cents"] = _cents(df["l_extendedprice"])
+        df["revenue_cents"] = _cents(df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        df["count_order"] = np.int64(1)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["sum_qty", "base_price_cents", "revenue_cents", "count_order"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("base_price_cents", alias_name="base_price_cents"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS base_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type (epoch-hour buckets)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = (df["ts"].astype("datetime64[s]").astype("int64") // 3600).astype("int64")
+        df["value_milli"] = _cents(df["value"], scale=1000)
+        df["n"] = np.int64(1)
+        g = df.groupby(["event_type", "hour"], as_index=False)[["n", "value_milli"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_milli", alias_name="value_milli")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def segment_revenue(sf_dir: str):
+    """orders ⋈ customer via broadcast of the small dimension side."""
+    import ray
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    class JoinSegment:
+        def __init__(self, ref) -> None:
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup).fillna("UNKNOWN")
+            df["revenue_cents"] = _cents(df["o_totalprice"])
+            df["n_orders"] = np.int64(1)
+            g = df.groupby("c_mktsegment", as_index=False)[["revenue_cents", "n_orders"]].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(
+        JoinSegment, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders")
+    )
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def top_urls_by_size(extracted_ds, k: int = 20):
+    """sort + limit demo on the extracted corpus (SURVEY.md §2.7)."""
+    return extracted_ds.select_columns(["url", "n_bytes"]).sort("n_bytes", descending=True).limit(k)

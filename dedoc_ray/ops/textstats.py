@@ -1,0 +1,125 @@
+"""Text analysis operators over a document corpus.
+
+Each operator is a vectorized ``map_batches`` stage (compiled regex held in
+an actor, one pass per batch) — the building blocks a large-scale
+training-data pipeline needs: token counting, quality ratios, language-ID
+heuristic, content fingerprinting. All are SQL-expressible so the DuckDB
+oracle can verify them exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+WS_RE = re.compile(r"\s+")
+CYRILLIC_RE = re.compile(r"[Ѐ-ӿ]")
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+class DocStatsKernel:
+    """doc_id → token/stopword/char counts + md5 fingerprint.
+
+    Fingerprint = md5 of lowercased, whitespace-collapsed text — the exact
+    dedup key (reference has no corpus dedup; SURVEY.md §2.7 defines ours).
+    """
+
+    def __init__(self) -> None:
+        self.token_re = TOKEN_RE
+        self.ws_re = WS_RE
+        self.stop = frozenset(STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tokens, n_stop, tok_chars, fps = [], [], [], []
+        for text in texts:
+            toks = self.token_re.findall(text.lower())
+            n_tokens.append(len(toks))
+            n_stop.append(sum(1 for t in toks if t in self.stop))
+            tok_chars.append(sum(len(t) for t in toks))
+            normalized = self.ws_re.sub(" ", text.lower()).strip()
+            fps.append(hashlib.md5(normalized.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, "int64"),
+                "n_stopwords": pa.array(n_stop, "int64"),
+                "n_token_chars": pa.array(tok_chars, "int64"),
+                "fingerprint": pa.array(fps, "string"),
+            }
+        )
+
+
+class QualityKernel:
+    """Quality/lang heuristics with deterministic integer-valued outputs.
+
+    quality_class: 0 = too short (<32 tokens), 1 = ok, 2 = long (>=64).
+    lang_guess: "cyr" if any cyrillic char, "en" if stopword present,
+    else "other" — an n-gram-free heuristic that stays SQL-checkable.
+    """
+
+    def __init__(self) -> None:
+        self.token_re = TOKEN_RE
+        self.stop = frozenset(STOPWORDS)
+        self.cyr = CYRILLIC_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        quality, lang = [], []
+        for text in texts:
+            toks = self.token_re.findall(text.lower())
+            n = len(toks)
+            quality.append(0 if n < 32 else (2 if n >= 64 else 1))
+            if self.cyr.search(text):
+                lang.append("cyr")
+            elif any(t in self.stop for t in toks):
+                lang.append("en")
+            else:
+                lang.append("other")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "quality_class": pa.array(quality, "int64"),
+                "lang_guess": pa.array(lang, "string"),
+            }
+        )
+
+
+def doc_stats(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=4)
+
+
+def doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(QualityKernel, batch_format="pyarrow", batch_size=1024, concurrency=4)
+
+
+DOC_STATS_SQL = """
+SELECT doc_id,
+       length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                          t -> t IN ('the','a','and','of','to','in','is'))) AS n_stopwords,
+       length(list_aggregate(regexp_extract_all(lower(text), '[a-z0-9]+'), 'string_agg', '')) AS n_token_chars,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+DOC_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(t) < 32 THEN 0 WHEN length(t) >= 64 THEN 2 ELSE 1 END AS quality_class,
+       CASE WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'cyr'
+            WHEN length(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) > 0 THEN 'en'
+            ELSE 'other' END AS lang_guess
+FROM toks
+"""
