@@ -1,0 +1,94 @@
+"""Pattern matching, tree construction, and flatten invariants."""
+
+from dedoc_ray.core import HierarchyLevel, LineMetadata, LineWithMeta
+from dedoc_ray.structure import construct_tree, extract_structure, flatten_tree
+from dedoc_ray.structure.patterns import (
+    BracketListPattern,
+    BulletListPattern,
+    DottedListPattern,
+    LetterListPattern,
+    PatternComposition,
+    RegexpPattern,
+    RomanListPattern,
+    dotted_item_depth,
+)
+
+
+def raw_line(text, tag_hl=None):
+    return LineWithMeta(text, metadata=LineMetadata(tag_hierarchy_level=tag_hl))
+
+
+class TestPatterns:
+    def test_dotted_depth(self):
+        assert dotted_item_depth("1. x") == 1
+        assert dotted_item_depth("1.2. x") == 2
+        assert dotted_item_depth("1.2.3.4 x") == 4
+        assert dotted_item_depth("no prefix") == -1
+
+    def test_dotted_pattern_level2_is_depth(self):
+        p = DottedListPattern(line_type="list_item", level_1=2, can_be_multiline=False)
+        line = raw_line("2.3. something")
+        assert p.match(line)
+        hl = p.get_hierarchy_level(line)
+        assert (hl.level_1, hl.level_2) == (2, 2)
+
+    def test_roman_bracket_letter_bullet(self):
+        assert RomanListPattern("list_item", 3, 1).match(raw_line("IV. item")) is False  # only single roman char
+        assert RomanListPattern("list_item", 3, 1).match(raw_line("i. item"))
+        assert BracketListPattern("list_item", 4, 1).match(raw_line("1) item"))
+        assert LetterListPattern("list_item", 5, 1).match(raw_line("b) item"))
+        assert BulletListPattern("list_item", 6, 1).match(raw_line("- item"))
+        assert BulletListPattern("list_item", 6, 1).match(raw_line("• item"))
+
+    def test_first_match_wins(self):
+        lines = [raw_line("1. dotted"), raw_line("1) bracket"), raw_line("plain")]
+        extract_structure(lines)
+        assert [ln.metadata.hierarchy_level.line_type for ln in lines] == ["list_item", "list_item", "raw_text"]
+        assert [ln.metadata.hierarchy_level.level_1 for ln in lines] == [2, 4, None]
+
+    def test_custom_pattern_composition(self):
+        comp = PatternComposition([RegexpPattern(r"^chapter \d+", "chapter", 1, 0, False)])
+        lines = [raw_line("Chapter 3: The End"), raw_line("other")]
+        extract_structure(lines, comp)
+        assert lines[0].metadata.hierarchy_level.line_type == "chapter"
+        assert lines[1].metadata.hierarchy_level.line_type == "raw_text"
+
+
+class TestTree:
+    def test_multiline_raw_text_merged(self):
+        lines = [raw_line("a\n"), raw_line("b\n"), raw_line("c")]
+        extract_structure(lines)
+        flat = flatten_tree(construct_tree(lines))
+        raw_nodes = [n for n in flat["nodes"] if n["line_type"] == "raw_text"]
+        assert len(raw_nodes) == 1
+        assert flat["extracted_text"] == "a\nb\nc"
+
+    def test_header_not_merged_when_not_multiline(self):
+        h = HierarchyLevel(1, 1, False, "header")
+        lines = [raw_line("H1", HierarchyLevel(1, 1, False, "header")), raw_line("H1b", h)]
+        extract_structure(lines)
+        flat = flatten_tree(construct_tree(lines))
+        headers = [n for n in flat["nodes"] if n["line_type"] == "header"]
+        assert len(headers) == 2
+
+    def test_list_grouping_resets_on_header(self):
+        lines = [
+            raw_line("1. one"),
+            raw_line("2. two"),
+            raw_line("Header", HierarchyLevel(1, 1, False, "header")),
+            raw_line("1. restart"),
+        ]
+        extract_structure(lines)
+        flat = flatten_tree(construct_tree(lines))
+        list_nodes = [n for n in flat["nodes"] if n["line_type"] == "list"]
+        assert len(list_nodes) == 2
+
+    def test_spans_cover_text_exactly(self):
+        lines = [raw_line("aaa\n"), raw_line("1. item\n"), raw_line("bbb")]
+        extract_structure(lines)
+        flat = flatten_tree(construct_tree(lines))
+        text = flat["extracted_text"]
+        for n in flat["nodes"]:
+            seg = text[n["text_start"]:n["text_end"]]
+            assert len(seg) == n["text_end"] - n["text_start"]
+        assert sum(n["text_end"] - n["text_start"] for n in flat["nodes"]) == len(text)
