@@ -45,7 +45,10 @@ def _pages(sf_dir: str, cls_filter=None):
 def _extracted(sf_dir: str, cls_filter=None):
     from dedoc_ray.pipeline.extract import extract_pages
 
-    return extract_pages(_pages(sf_dir, cls_filter), concurrency=4)
+    # concurrency=None → pool autosized to cluster CPUs minus headroom for
+    # read/write tasks; a hardcoded pool can deadlock a small cluster (all
+    # CPUs held by actors, none left for the upstream read task)
+    return extract_pages(_pages(sf_dir, cls_filter), concurrency=None)
 
 
 # --------------------------------------------------------------- queries
@@ -59,9 +62,12 @@ def q_extract_roundtrip(sf_dir: str):
 
 
 def q_extract_counts(sf_dir: str):
-    """Corpus health counters over ALL rows (incl. rich class)."""
-    from ray.data.aggregate import Sum
+    """Corpus health counters over ALL rows (incl. rich class).
 
+    Partial counts per batch (vectorized), final combine on the driver: the
+    partials are ≤ |formats|×|statuses| rows per block, so at any corpus size
+    the driver sees a few thousand tiny rows — no shuffle needed (the
+    combiner-before-groupby pattern)."""
     ds = _extracted(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -73,9 +79,10 @@ def q_extract_counts(sf_dir: str):
         g["n"] = g["n"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(["format", "status"]).aggregate(
-        Sum("n", alias_name="n")
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby(["format", "status"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out
 
 
 def q_extract_tables(sf_dir: str):

@@ -58,18 +58,28 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 
 def exact_dedup(sf_dir: str):
-    """Keep the smallest doc_id per identical normalized text."""
+    """Keep the smallest doc_id per identical normalized text.
+
+    One hash-partitioned shuffle of (fingerprint, doc_id) pairs — the text
+    never moves — then a vectorized min-per-fingerprint inside each
+    partition (dedoc has no corpus ops; this is SURVEY.md §2.7's design).
+    """
     import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
     from dedoc_ray.ops.textstats import DocStatsKernel
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     hashed = docs.map_batches(DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=4)
     hashed = hashed.select_columns(["doc_id", "fingerprint"])
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("doc_id").head(1)
+    def first_per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "fingerprint": pd.Series([], dtype="object")})
+        g = df.groupby("fingerprint", as_index=False)["doc_id"].min()
+        return g[["doc_id", "fingerprint"]]
 
-    return hashed.groupby("fingerprint").map_groups(keep_first, batch_format="pandas")
+    return hash_partition_apply(hashed, ["fingerprint"], first_per_fp, num_parts=32)
 
 
 EXACT_DEDUP_SQL = """
@@ -115,32 +125,45 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3, max_posting: 
     """
     import ray.data as rd
 
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     posting = docs.map_batches(ShingleKernel(n), batch_format="pyarrow", batch_size=512, concurrency=4)
 
-    def pairs_of_posting(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2 or len(group) > max_posting:
+    def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """All co-occurrence pairs of the partition's posting lists, vectorized:
+        stop-shingle filter, then a self-merge per shingle (cost bounded by
+        max_posting² per list)."""
+        if df.empty:
             return _empty_frame("doc_a", "doc_b", "size_a", "size_b")
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sizes = g["set_size"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib], "size_a": sizes[ia], "size_b": sizes[ib]})
-
-    pair_rows = posting.groupby("shingle").map_groups(pairs_of_posting, batch_format="pandas")
-
-    def count_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        first = group.iloc[0]
-        inter = len(group)
-        size_a, size_b = int(first["size_a"]), int(first["size_b"])
-        union = size_a + size_b - inter
-        if union <= 0 or inter / union < threshold:
-            return _empty_frame("doc_a", "doc_b", "inter", "size_a", "size_b")
+        sz = df.groupby("shingle")["doc_id"].transform("size")
+        df = df[(sz >= 2) & (sz <= max_posting)]
+        if df.empty:
+            return _empty_frame("doc_a", "doc_b", "size_a", "size_b")
+        m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
         return pd.DataFrame(
-            {"doc_a": [int(first["doc_a"])], "doc_b": [int(first["doc_b"])], "inter": [inter], "size_a": [size_a], "size_b": [size_b]}
+            {
+                "doc_a": m["doc_id_a"].to_numpy("int64"),
+                "doc_b": m["doc_id_b"].to_numpy("int64"),
+                "size_a": m["set_size_a"].to_numpy("int64"),
+                "size_b": m["set_size_b"].to_numpy("int64"),
+            }
         )
 
-    return pair_rows.groupby(["doc_a", "doc_b"]).map_groups(count_pairs, batch_format="pandas")
+    pair_rows = hash_partition_apply(posting, ["shingle"], pairs_of_partition, num_parts=32)
+
+    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _empty_frame("doc_a", "doc_b", "inter", "size_a", "size_b")
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("size_a", "size"), size_a=("size_a", "first"), size_b=("size_b", "first")
+        )
+        union = g["size_a"] + g["size_b"] - g["inter"]
+        g = g[(union > 0) & (g["inter"] / union >= threshold)]
+        return g.astype("int64")
+
+    return hash_partition_apply(pair_rows, ["doc_a", "doc_b"], score_pairs, num_parts=16)
 
 
 def jaccard_pairs_sql(threshold: float = 0.5, max_posting: int = 64) -> str:
@@ -227,35 +250,50 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128, 
     """
     import ray.data as rd
 
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = docs.map_batches(
         MinHashKernel, fn_constructor_kwargs={"num_perm": num_perm, "band_size": band_size, "n": n},
         batch_format="pyarrow", batch_size=512, concurrency=4,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2 or len(group) > 64:
+    def bucket_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs of every LSH bucket in the partition: skew-guarded
+        (buckets >64 docs dropped) self-merge, deduped within the partition."""
+        if df.empty:
             return _empty_frame("doc_a", "doc_b")
-        ids = np.sort(group["doc_id"].unique())
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        keys = ["band_id", "band_hash"]
+        df = df.drop_duplicates(keys + ["doc_id"])
+        sz = df.groupby(keys)["doc_id"].transform("size")
+        df = df[(sz >= 2) & (sz <= 64)]
+        if df.empty:
+            return _empty_frame("doc_a", "doc_b")
+        m = df.merge(df, on=keys, suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return pd.DataFrame(
+            {"doc_a": out["doc_id_a"].to_numpy("int64"), "doc_b": out["doc_id_b"].to_numpy("int64")}
+        )
 
-    candidates = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    if candidates.count() == 0:
-        return candidates
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    candidates = candidates.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    # the candidate set is tiny relative to the corpus by LSH design, so the
+    # ONE pipeline execution lands it on the driver for global dedup + the
+    # pushdown read of just the candidate texts (broadcast via ray.put)
+    cand_df = (
+        hash_partition_apply(bands, ["band_id", "band_hash"], bucket_pairs_part, num_parts=32)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    if cand_df.empty:
+        return pa.Table.from_pydict({"doc_a": pa.array([], "int64"), "doc_b": pa.array([], "int64")})
+    candidates = rd.from_pandas(cand_df.reset_index(drop=True))
 
     # exact-Jaccard verify: broadcast the candidate texts once (ray.put),
-    # verify inside map_batches — candidate set is tiny relative to corpus
+    # verify inside map_batches
     import ray
     import pyarrow.dataset as pads
 
-    cand_ids = candidates.unique("doc_a") + candidates.unique("doc_b")
-    need_ids = sorted(set(int(i) for i in cand_ids))
+    need_ids = sorted(set(cand_df["doc_a"].tolist()) | set(cand_df["doc_b"].tolist()))
     tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"], filter=pads.field("doc_id").isin(need_ids)
     )

@@ -56,8 +56,12 @@ def extract_pages(
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        # leave headroom for read/write tasks so the pool doesn't starve them
-        kwargs["concurrency"] = max(2, ncpu - 2)
+        # leave ~half the cpus for read/decode tasks: parquet read+decode of
+        # the page corpus costs ~1 cpu per 3-4 parse cpus, and a pool holding
+        # nearly every cpu starves the reads (measured: conc=30/32 cpus →
+        # 15k docs/s read-bound vs conc=16/32 cpus → 35k docs/s). A pool
+        # holding EVERY cpu deadlocks the upstream read outright.
+        kwargs["concurrency"] = max(1, ncpu // 2)
     return pages_ds.map_batches(
         ExtractKernel,
         fn_constructor_kwargs={"handle_invisible_table": handle_invisible_table},

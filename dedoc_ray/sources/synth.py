@@ -138,10 +138,16 @@ def page_bytes(doc_id: int, text: str, lang: str) -> bytes:
     return _garbage_bytes(doc_id)
 
 
-def pages_batch(batch: pa.Table, n_shards: int = N_SHARDS_DEFAULT) -> pa.Table:
-    """documents rows → pages rows; pure, vector-friendly per batch."""
+def pages_batch(batch: pa.Table, n_shards: int = N_SHARDS_DEFAULT, size_mult: int = 1) -> pa.Table:
+    """documents rows → pages rows; pure, vector-friendly per batch.
+
+    ``size_mult`` > 1 repeats each body deterministically BEFORE templating —
+    bench-only lever producing realistically-sized (tens-of-KB) pages like
+    real Common-Crawl HTML; correctness oracles always use size_mult=1."""
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
+    if size_mult > 1:
+        texts = [(t + " the ") * (size_mult - 1) + t for t in texts]
     langs = batch["lang"].to_pylist()
     sources = batch["source"].to_pylist()
     cols: Dict[str, list] = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": [], "shard": []}
