@@ -114,6 +114,67 @@ def q_extract_full(sf_dir: str):
     return _extracted(sf_dir).select_columns(["url", "status", "format", "n_nodes", "n_tables", "n_bytes"])
 
 
+def _office_extract(sf_dir: str, fmt: str):
+    """Synthetic one-format corpus (docx/xlsx/pptx/eml/mhtml/zip derived
+    from documents.text) → full extraction pipeline."""
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    return extract_pages(office_corpus(sf_dir, fmt), concurrency=None)
+
+
+def q_extract_docx(sf_dir: str):
+    return _office_extract(sf_dir, "docx").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_pptx(sf_dir: str):
+    return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_eml(sf_dir: str):
+    return _office_extract(sf_dir, "eml").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_mhtml(sf_dir: str):
+    return _office_extract(sf_dir, "mhtml").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_xlsx(sf_dir: str):
+    """Sheet grid shape per url (2x3 numeric grid → 6 cells)."""
+    ds = _office_extract(sf_dir, "xlsx")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n_cells = [
+            sum(len(row) for tab in t for row in tab["cells"]) for t in batch["tables"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_tables": pa.compute.cast(batch["n_tables"], "int64"),
+                "n_cells": pa.array(n_cells, "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_archive(sf_dir: str):
+    """Archive member manifest per url: count + total member bytes."""
+    ds = _office_extract(sf_dir, "zip")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        atts = batch["attachments"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_attachments": pa.array([len(a) for a in atts], "int64"),
+                "total_size": pa.array([sum(x["size"] for x in a) for a in atts], "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_doc_stats(sf_dir: str):
     from dedoc_ray.ops.textstats import doc_stats
 
@@ -194,6 +255,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_counts": q_extract_counts,
         "extract_tables": q_extract_tables,
         "extract_full": q_extract_full,
+        "extract_docx": q_extract_docx,
+        "extract_xlsx": q_extract_xlsx,
+        "extract_pptx": q_extract_pptx,
+        "extract_eml": q_extract_eml,
+        "extract_mhtml": q_extract_mhtml,
+        "extract_archive": q_extract_archive,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "exact_dedup": q_exact_dedup,
@@ -263,10 +330,27 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.relational import EVENTS_HOURLY_SQL, LINEITEM_PRICING_SQL, SEGMENT_REVENUE_SQL
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL
 
+    office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
+    body = "replace(text, ' the ', chr(10)) || chr(10)"
+    office_sql = {
+        "extract_docx": f"SELECT {office_url.format(ext='docx')} AS url, 'ok' AS status, "
+                        f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_pptx": f"SELECT {office_url.format(ext='pptx')} AS url, 'ok' AS status, "
+                        f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_eml": f"SELECT {office_url.format(ext='eml')} AS url, 'ok' AS status, "
+                       f"'Doc ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_mhtml": f"SELECT {office_url.format(ext='mhtml')} AS url, 'ok' AS status, "
+                         f"{body} AS extracted_text FROM documents",
+        "extract_xlsx": f"SELECT {office_url.format(ext='xlsx')} AS url, CAST(1 AS BIGINT) AS n_tables, "
+                        f"CAST(6 AS BIGINT) AS n_cells FROM documents",
+        "extract_archive": f"SELECT {office_url.format(ext='zip')} AS url, CAST(2 AS BIGINT) AS n_attachments, "
+                           f"CAST(octet_length(encode(text)) + 8 AS BIGINT) AS total_size FROM documents",
+    }
     return {
         "extract_roundtrip": _ROUNDTRIP_SQL,
         "extract_counts": _COUNTS_SQL,
         "extract_tables": _TABLES_SQL,
+        **office_sql,
         # extract_full / minhash_lsh_pairs / simhash: rows-only (not SQL-expressible)
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

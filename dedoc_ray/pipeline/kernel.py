@@ -53,6 +53,30 @@ class ExtractKernel:
             from dedoc_ray.readers.pdf import read_pdf_textlayer
 
             return read_pdf_textlayer(data)
+        if fmt == "docx":
+            from dedoc_ray.readers.office import read_docx
+
+            return read_docx(data)
+        if fmt == "xlsx":
+            from dedoc_ray.readers.office import read_xlsx
+
+            return read_xlsx(data)
+        if fmt == "pptx":
+            from dedoc_ray.readers.office import read_pptx
+
+            return read_pptx(data)
+        if fmt == "eml":
+            from dedoc_ray.readers.email_reader import read_eml
+
+            return read_eml(data)
+        if fmt == "mhtml":
+            from dedoc_ray.readers.email_reader import read_mhtml
+
+            return read_mhtml(data)
+        if fmt == "archive":
+            from dedoc_ray.readers.archive import read_archive
+
+            return read_archive(data)
         raise ValueError(f"unsupported format: {fmt}")
 
     def extract_row(self, url: str, data: bytes) -> Dict[str, object]:
@@ -64,6 +88,7 @@ class ExtractKernel:
             "nodes": [],
             "annotations": [],
             "tables": [],
+            "attachments": [],
             "warnings": [],
             "error_msg": "",
         }
@@ -78,6 +103,7 @@ class ExtractKernel:
             flat = flatten_tree(root)
             out.update(flat)
             out["warnings"] = doc.warnings
+            out["attachments"] = [{"name": n, "size": s} for n, s in doc.attachments]
             out["tables"] = [
                 {
                     "page_id": t.page_id,
@@ -102,6 +128,7 @@ class ExtractKernel:
             out["error_msg"] = f"{type(e).__name__}: {e}"[:500]
             out.update(_EMPTY_FLAT)
             out["tables"] = []
+            out["attachments"] = []
         return out
 
     # --- per-batch ---------------------------------------------------------
@@ -125,6 +152,7 @@ class ExtractKernel:
             cols["nodes"].append(row["nodes"])
             cols["annotations"].append(row["annotations"])
             cols["tables"].append(row["tables"])
+            cols["attachments"].append(row["attachments"])
             cols["warnings"].append(row["warnings"])
             cols["error_msg"].append(row["error_msg"])
             cols["n_nodes"].append(len(row["nodes"]))

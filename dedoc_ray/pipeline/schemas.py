@@ -54,17 +54,25 @@ TABLE_TYPE = pa.struct(
     ]
 )
 
+ATTACHMENT_TYPE = pa.struct(
+    [
+        ("name", pa.string()),
+        ("size", pa.int64()),
+    ]
+)
+
 EXTRACTED_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("lang", pa.string()),
         ("shard", pa.int32()),
         ("status", pa.string()),  # ok | bad_file | parse_error
-        ("format", pa.string()),  # html | txt | csv | json | pdf | bad_file
+        ("format", pa.string()),  # html | txt | csv | json | pdf | docx | xlsx | pptx | eml | mhtml | archive | bad_file
         ("extracted_text", pa.string()),
         ("nodes", pa.list_(NODE_TYPE)),
         ("annotations", pa.list_(ANNOTATION_TYPE)),
         ("tables", pa.list_(TABLE_TYPE)),
+        ("attachments", pa.list_(ATTACHMENT_TYPE)),
         ("warnings", pa.list_(pa.string())),
         ("error_msg", pa.string()),
         ("n_nodes", pa.int32()),

@@ -15,14 +15,18 @@ from dedoc_ray.core.table import Table
 
 
 class UnstructuredDoc:
-    __slots__ = ("lines", "tables", "warnings")
+    __slots__ = ("lines", "tables", "warnings", "attachments")
 
     def __init__(
         self,
         lines: Optional[List[LineWithMeta]] = None,
         tables: Optional[List[Table]] = None,
         warnings: Optional[List[str]] = None,
+        attachments: Optional[List[tuple]] = None,
     ) -> None:
         self.lines = lines if lines is not None else []
         self.tables = tables if tables is not None else []
         self.warnings = warnings if warnings is not None else []
+        # (name, size) pairs — the row-carried analogue of the reference's
+        # AttachedFile temp files (attached_file.py)
+        self.attachments = attachments if attachments is not None else []

@@ -1,0 +1,261 @@
+"""Office Open XML kernels: docx / xlsx / pptx — stdlib zipfile + ElementTree.
+
+Reference semantics (NOT ports — the reference uses BeautifulSoup/xlrd):
+
+- docx: dedoc/readers/docx_reader/docx_reader.py:8-53 +
+  data_structures/docx_document.py:23-175 — paragraphs become lines with a
+  tag hierarchy level from the paragraph style ("heading N" → header), runs
+  carry bold/italic/underlined annotations, w:tbl becomes a Table with
+  gridSpan/vMerge merged-cell duplication (invisible copies, like
+  cell_with_meta.py:9-33).
+- xlsx: dedoc/readers/excel_reader/excel_reader.py:10-61 — one Table per
+  sheet, page_id = sheet index, no lines.
+- pptx: dedoc/readers/pptx_reader/pptx_reader.py:12-118 — per slide: first
+  text shape is the title (header line), other shapes raw text, a:tbl
+  becomes a Table; page_id = slide index.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Dict, List, Optional, Tuple
+from xml.etree import ElementTree
+
+from dedoc_ray.core.annotation import Annotation
+from dedoc_ray.core.hierarchy import HierarchyLevel
+from dedoc_ray.core.line import LineMetadata, LineWithMeta
+from dedoc_ray.core.table import CellWithMeta, Table
+from dedoc_ray.readers.base import UnstructuredDoc
+
+W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+SHEET_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+_HEADING_RE = re.compile(r"heading\s*(\d+)", re.IGNORECASE)
+_CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+class BadOfficeFile(ValueError):
+    pass
+
+
+def _open_zip(data: bytes) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(data))
+    except zipfile.BadZipFile as e:
+        raise BadOfficeFile(f"not a zip container: {e}") from e
+
+
+def _xml(zf: zipfile.ZipFile, name: str) -> Optional[ElementTree.Element]:
+    try:
+        with zf.open(name) as f:
+            return ElementTree.parse(f).getroot()
+    except KeyError:
+        return None
+    except ElementTree.ParseError as e:
+        raise BadOfficeFile(f"bad xml in {name}: {e}") from e
+
+
+def _cell_lines(text: str) -> List[LineWithMeta]:
+    return [LineWithMeta(text)] if text else []
+
+
+# --------------------------------------------------------------------- docx
+
+
+def _docx_paragraph(p: ElementTree.Element, page_id: int, line_id: int) -> LineWithMeta:
+    """One w:p → LineWithMeta with run-level style annotations."""
+    texts: List[str] = []
+    annotations: List[Annotation] = []
+    pos = 0
+    for run in p.iter(f"{W}r"):
+        run_text = "".join(t.text or "" for t in run.iter(f"{W}t"))
+        if not run_text:
+            continue
+        rpr = run.find(f"{W}rPr")
+        start, end = pos, pos + len(run_text)
+        if rpr is not None:
+            if rpr.find(f"{W}b") is not None:
+                annotations.append(Annotation(start, end, "bold", "True"))
+            if rpr.find(f"{W}i") is not None:
+                annotations.append(Annotation(start, end, "italic", "True"))
+            if rpr.find(f"{W}u") is not None:
+                annotations.append(Annotation(start, end, "underlined", "True"))
+        texts.append(run_text)
+        pos = end
+
+    # paragraph-level unit → trailing newline, like the HTML kernel's
+    # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
+    text = "".join(texts) + "\n"
+    ppr = p.find(f"{W}pPr")
+    tag_hl: Optional[HierarchyLevel] = None
+    if ppr is not None:
+        style = ppr.find(f"{W}pStyle")
+        val = style.get(f"{W}val", "") if style is not None else ""
+        m = _HEADING_RE.match(val)
+        if m:
+            tag_hl = HierarchyLevel(1, int(m.group(1)), False, HierarchyLevel.header)
+        elif ppr.find(f"{W}numPr") is not None:
+            tag_hl = HierarchyLevel(2, 1, False, HierarchyLevel.list_item)
+    metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=tag_hl)
+    return LineWithMeta(text, metadata=metadata, annotations=annotations)
+
+
+def _docx_table(tbl: ElementTree.Element, page_id: int, uid: str) -> Table:
+    """w:tbl → rectangular grid; gridSpan/vMerge → duplicated invisible
+    copies (reference cell duplication — docx_document.py + table.py:9-32)."""
+    grid: List[List[CellWithMeta]] = []
+    vmerge_starts: Dict[int, CellWithMeta] = {}  # col index → cell started above
+    for tr in tbl.findall(f"{W}tr"):
+        row: List[CellWithMeta] = []
+        col = 0
+        for tc in tr.findall(f"{W}tc"):
+            tcpr = tc.find(f"{W}tcPr")
+            colspan = 1
+            vmerge_cont = False
+            if tcpr is not None:
+                gs = tcpr.find(f"{W}gridSpan")
+                if gs is not None:
+                    colspan = int(gs.get(f"{W}val", "1"))
+                vm = tcpr.find(f"{W}vMerge")
+                if vm is not None and vm.get(f"{W}val", "continue") != "restart":
+                    vmerge_cont = True
+            text = "\n".join(
+                "".join(t.text or "" for t in p.iter(f"{W}t")) for p in tc.findall(f"{W}p")
+            ).strip("\n")
+            if vmerge_cont and col in vmerge_starts:
+                origin = vmerge_starts[col]
+                origin.rowspan += 1
+                for _ in range(colspan):
+                    row.append(CellWithMeta(list(origin.lines), origin.colspan, origin.rowspan, invisible=True))
+                    col += 1
+                continue
+            cell = CellWithMeta(_cell_lines(text), colspan=colspan, rowspan=1)
+            vmerge_starts[col] = cell
+            row.append(cell)
+            col += 1
+            for _ in range(colspan - 1):
+                row.append(CellWithMeta(list(cell.lines), colspan, 1, invisible=True))
+                col += 1
+        grid.append(row)
+    return Table(grid, page_id=page_id, uid=uid)
+
+
+def read_docx(data: bytes) -> UnstructuredDoc:
+    zf = _open_zip(data)
+    root = _xml(zf, "word/document.xml")
+    if root is None:
+        raise BadOfficeFile("no word/document.xml")
+    body = root.find(f"{W}body")
+    if body is None:
+        raise BadOfficeFile("no w:body")
+    lines: List[LineWithMeta] = []
+    tables: List[Table] = []
+    line_id = 0
+    for child in body:
+        if child.tag == f"{W}p":
+            lines.append(_docx_paragraph(child, page_id=0, line_id=line_id))
+            line_id += 1
+        elif child.tag == f"{W}tbl":
+            tables.append(_docx_table(child, page_id=0, uid=f"table_{len(tables)}"))
+    return UnstructuredDoc(lines=lines, tables=tables)
+
+
+# --------------------------------------------------------------------- xlsx
+
+
+def _col_index(ref: str) -> int:
+    """'B7' → 1 (zero-based column)."""
+    m = _CELL_REF_RE.match(ref)
+    if not m:
+        return 0
+    col = 0
+    for ch in m.group(1):
+        col = col * 26 + (ord(ch) - ord("A") + 1)
+    return col - 1
+
+
+def read_xlsx(data: bytes) -> UnstructuredDoc:
+    zf = _open_zip(data)
+    shared: List[str] = []
+    ss = _xml(zf, "xl/sharedStrings.xml")
+    if ss is not None:
+        for si in ss.findall(f"{SHEET_NS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{SHEET_NS}t")))
+
+    sheet_names = sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+    )
+    if not sheet_names:
+        raise BadOfficeFile("no worksheets")
+    tables: List[Table] = []
+    for page_id, name in enumerate(sheet_names):
+        root = _xml(zf, name)
+        rows: List[List[CellWithMeta]] = []
+        max_cols = 0
+        for row_el in root.iter(f"{SHEET_NS}row"):
+            cells: List[Tuple[int, str]] = []
+            for c in row_el.findall(f"{SHEET_NS}c"):
+                v = c.find(f"{SHEET_NS}v")
+                raw = v.text if v is not None and v.text is not None else ""
+                if c.get("t") == "s" and raw != "":
+                    raw = shared[int(raw)]
+                cells.append((_col_index(c.get("r", "")), raw))
+            width = (max(i for i, _ in cells) + 1) if cells else 0
+            row = [""] * width
+            for i, val in cells:
+                row[i] = val
+            max_cols = max(max_cols, width)
+            rows.append([CellWithMeta(_cell_lines(v)) for v in row])
+        for row in rows:  # rectangularize (reference pads via pandas/xlrd grid)
+            row.extend(CellWithMeta([]) for _ in range(max_cols - len(row)))
+        tables.append(Table(rows, page_id=page_id, uid=f"sheet_{page_id}"))
+    return UnstructuredDoc(lines=[], tables=tables)
+
+
+# --------------------------------------------------------------------- pptx
+
+
+def read_pptx(data: bytes) -> UnstructuredDoc:
+    zf = _open_zip(data)
+    slide_names = sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+    )
+    if not slide_names:
+        raise BadOfficeFile("no slides")
+    lines: List[LineWithMeta] = []
+    tables: List[Table] = []
+    for page_id, name in enumerate(slide_names):
+        root = _xml(zf, name)
+        first_shape = True
+        line_id = 0
+        for sp in root.iter():
+            if sp.tag.endswith("}sp"):
+                paras = [
+                    "".join(t.text or "" for t in p.iter(f"{A}t"))
+                    for p in sp.iter(f"{A}p")
+                ]
+                text = "\n".join(p for p in paras if p)
+                if not text:
+                    continue
+                # first text shape of the slide = title (pptx_reader.py:30-44)
+                hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if first_shape else None
+                lines.append(
+                    LineWithMeta(text + "\n", metadata=LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=hl))
+                )
+                first_shape = False
+                line_id += 1
+            elif sp.tag == f"{A}tbl":
+                grid = []
+                for tr in sp.findall(f"{A}tr"):
+                    row = []
+                    for tc in tr.findall(f"{A}tc"):
+                        text = "\n".join("".join(t.text or "" for t in p.iter(f"{A}t")) for p in tc.iter(f"{A}txBody"))
+                        row.append(CellWithMeta(_cell_lines(text)))
+                    grid.append(row)
+                tables.append(Table(grid, page_id=page_id, uid=f"table_{len(tables)}"))
+    return UnstructuredDoc(lines=lines, tables=tables)

@@ -8,8 +8,10 @@ row's ``url`` and the "file bytes" are the ``html`` column payload.
 
 from __future__ import annotations
 
+import io
 import json
 import re
+import zipfile
 from urllib.parse import urlparse
 
 HTML_EXT = (".html", ".htm", ".shtml")
@@ -17,24 +19,74 @@ TXT_EXT = (".txt", ".txt.gz", ".text", ".log")
 CSV_EXT = (".csv", ".tsv")
 JSON_EXT = (".json",)
 PDF_EXT = (".pdf",)
+DOCX_EXT = (".docx",)
+XLSX_EXT = (".xlsx",)
+PPTX_EXT = (".pptx",)
+EML_EXT = (".eml",)
+MHTML_EXT = (".mhtml", ".mht")
+ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz")
+
+_EXT_TABLE = (
+    (HTML_EXT, "html"),
+    (CSV_EXT, "csv"),
+    (JSON_EXT, "json"),
+    (PDF_EXT, "pdf"),
+    (DOCX_EXT, "docx"),
+    (XLSX_EXT, "xlsx"),
+    (PPTX_EXT, "pptx"),
+    (EML_EXT, "eml"),
+    (MHTML_EXT, "mhtml"),
+    (ARCHIVE_EXT, "archive"),
+    (TXT_EXT, "txt"),
+)
 
 _TAG_RE = re.compile(rb"<(!doctype|html|head|body|div|p|h[1-6]|table|span|a|ul|ol|br|meta)[\s>/]", re.IGNORECASE)
+_MAIL_HEADER_RE = re.compile(rb"^(From|To|Subject|Received|Return-Path|Date|Message-ID):", re.IGNORECASE | re.MULTILINE)
+
+
+def _sniff_zip(data: bytes) -> str:
+    """PK container → docx / xlsx / pptx by member prefix, else archive
+    (the content analogue of the reference's mime table, extensions.py)."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = zf.namelist()
+    except zipfile.BadZipFile:
+        return "bad_file"
+    for name in names:
+        if name.startswith("word/"):
+            return "docx"
+        if name.startswith("xl/"):
+            return "xlsx"
+        if name.startswith("ppt/"):
+            return "pptx"
+    return "archive"
 
 
 def sniff_format(url: str, data: bytes) -> str:
-    """Return one of: html, txt, csv, json, pdf, bad_file."""
+    """Return one of: html, txt, csv, json, pdf, docx, xlsx, pptx, eml,
+    mhtml, archive, bad_file."""
     path = urlparse(url).path.lower() if url else ""
-    for exts, fmt in ((HTML_EXT, "html"), (CSV_EXT, "csv"), (JSON_EXT, "json"), (PDF_EXT, "pdf"), (TXT_EXT, "txt")):
+    for exts, fmt in _EXT_TABLE:
         if path.endswith(exts):
             return fmt
 
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:4] == b"PK\x03\x04":
+        return _sniff_zip(data)
+    if len(data) > 262 and data[257:262] == b"ustar":
+        return "archive"
     if data[:2] == b"\x1f\x8b":
         return "txt"  # .txt.gz analogue
     head = data[:4096]
+    if b"MIME-Version:" in head and b"multipart/related" in head:
+        return "mhtml"
     if _TAG_RE.search(head):
         return "html"
+    if _MAIL_HEADER_RE.search(head[:1024]) and b"\n\n" in data[:8192] + b"\n\n":
+        # rfc822-looking header block (reference sniffs mime via libmagic)
+        if head.count(b":") >= 2 and _MAIL_HEADER_RE.match(head):
+            return "eml"
     stripped = head.lstrip()
     if stripped[:1] in (b"{", b"["):
         try:
