@@ -223,6 +223,36 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(sf_dir)
 
 
+def q_knn_ivf(sf_dir: str):
+    from dedoc_ray.ops.knn import knn_ivf
+
+    return knn_ivf(sf_dir)
+
+
+def q_image_features(sf_dir: str):
+    from dedoc_ray.ops.multimodal import image_features
+
+    return image_features(sf_dir)
+
+
+def q_image_thumbnails(sf_dir: str):
+    from dedoc_ray.ops.multimodal import image_thumbnails
+
+    return image_thumbnails(sf_dir).select_columns(["doc_id", "thumb_dim"])
+
+
+def q_audio_frames(sf_dir: str):
+    from dedoc_ray.ops.multimodal import audio_frames
+
+    return audio_frames(sf_dir)
+
+
+def q_language_id(sf_dir: str):
+    from dedoc_ray.ops.langid import language_id
+
+    return language_id(sf_dir).select_columns(["doc_id", "lang_id"])
+
+
 def q_lineitem_pricing(sf_dir: str):
     from dedoc_ray.ops.relational import lineitem_pricing
 
@@ -269,6 +299,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "knn": q_knn,
         "embedding_neardup": q_embedding_neardup,
+        "knn_ivf": q_knn_ivf,
+        "image_features": q_image_features,
+        "image_thumbnails": q_image_thumbnails,
+        "audio_frames": q_audio_frames,
+        "language_id": q_language_id,
         "lineitem_pricing": q_lineitem_pricing,
         "events_hourly": q_events_hourly,
         "segment_revenue": q_segment_revenue,
@@ -327,6 +362,7 @@ WHERE doc_id % 10 = 6
 def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
+    from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL
     from dedoc_ray.ops.relational import EVENTS_HOURLY_SQL, LINEITEM_PRICING_SQL, SEGMENT_REVENUE_SQL
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL
 
@@ -358,6 +394,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": jaccard_pairs_sql(),
         "knn": knn_sql(),
         "embedding_neardup": embedding_neardup_sql(),
+        # knn_ivf / image_thumbnails / language_id: rows-only (ANN probing,
+        # binary payloads, rank-profile distance are not SQL-expressible)
+        "image_features": IMAGE_FEATURES_SQL,
+        "audio_frames": AUDIO_FRAMES_SQL,
         "lineitem_pricing": LINEITEM_PRICING_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "segment_revenue": SEGMENT_REVENUE_SQL,

@@ -70,7 +70,7 @@ def exact_dedup(sf_dir: str):
     from dedoc_ray.ops.textstats import DocStatsKernel
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    hashed = docs.map_batches(DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=4)
+    hashed = docs.map_batches(DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
     hashed = hashed.select_columns(["doc_id", "fingerprint"])
 
     def first_per_fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -128,7 +128,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3, max_posting: 
     from dedoc_ray.ops.shuffle import hash_partition_apply
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    posting = docs.map_batches(ShingleKernel(n), batch_format="pyarrow", batch_size=512, concurrency=4)
+    posting = docs.map_batches(ShingleKernel(n), batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
 
     def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
         """All co-occurrence pairs of the partition's posting lists, vectorized:
@@ -255,7 +255,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128, 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = docs.map_batches(
         MinHashKernel, fn_constructor_kwargs={"num_perm": num_perm, "band_size": band_size, "n": n},
-        batch_format="pyarrow", batch_size=512, concurrency=4,
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
     )
 
     def bucket_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -319,7 +319,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128, 
 
     return candidates.map_batches(
         VerifyPairs, fn_constructor_kwargs={"ref": id2text_ref, "n_gram": n, "thr": threshold},
-        batch_format="pyarrow", batch_size=4096, concurrency=2,
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 2),
     )
 
 
@@ -356,4 +356,4 @@ def simhash_fingerprints(sf_dir: str):
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(SimHashKernel, batch_format="pyarrow", batch_size=512, concurrency=4)
+    return docs.map_batches(SimHashKernel, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))

@@ -1,0 +1,199 @@
+"""Multimodal column stages — image/audio payloads as opaque binary columns.
+
+The Ray-side plumbing is real and tested: typed binary columns with metadata,
+actor-pool ``map_batches`` stages with SMALL batch sizes (binary payloads ×
+concurrency must fit the worker heap — SURVEY.md §4 memory row), deterministic
+output schemas. The codecs are STUBS: the container has no PIL/cv2/ffmpeg, so
+decode parses a deterministic synthetic container and real-codec branches are
+gated behind import-try (clearly marked below). Swapping in a real decoder
+changes ONLY ``_decode_payload`` — the distributed shape stays.
+
+Synthetic containers (pure functions of doc_id, so DuckDB can oracle them):
+
+- image: b"FIMG" + width:u16 + height:u16 + pixels (w*h bytes, all
+  ``doc_id % 256``); width = 16 + doc_id % 32, height = 16 + doc_id % 24.
+- audio: b"FAUD" + n_samples:u32 + samples (n bytes, all ``doc_id % 256``);
+  n_samples = 1000 + (doc_id % 100) * 40, rate 16 kHz.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+IMG_MAGIC = b"FIMG"
+AUD_MAGIC = b"FAUD"
+
+try:  # real-codec path — absent in this container, kept for deployment
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+# ------------------------------------------------------------- synth corpus
+
+
+def image_payload(doc_id: int) -> bytes:
+    w = 16 + doc_id % 32
+    h = 16 + doc_id % 24
+    return IMG_MAGIC + struct.pack("<HH", w, h) + bytes([doc_id % 256]) * (w * h)
+
+
+def audio_payload(doc_id: int) -> bytes:
+    n = 1000 + (doc_id % 100) * 40
+    return AUD_MAGIC + struct.pack("<I", n) + bytes([doc_id % 256]) * n
+
+
+def media_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → media rows (doc_id, image binary, audio binary)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch["doc_id"],
+            "image": pa.array([image_payload(d) for d in doc_ids], "binary"),
+            "audio": pa.array([audio_payload(d) for d in doc_ids], "binary"),
+        }
+    )
+
+
+def media_corpus(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(media_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- decode stage
+
+
+def _decode_payload(data: bytes):
+    """→ (width, height, pixel ndarray). STUB: synthetic container only;
+    a real deployment would branch to PIL here (``_HAVE_PIL``)."""
+    if data[:4] != IMG_MAGIC:
+        if _HAVE_PIL:
+            raise NotImplementedError("real-codec decode not wired in this container")
+        raise ValueError("unknown image container")
+    w, h = struct.unpack("<HH", data[4:8])
+    px = np.frombuffer(data[8:8 + w * h], dtype=np.uint8)
+    return w, h, px
+
+
+class ImageFeatureKernel:
+    """Actor: decode + per-image features. One instance per worker; batch
+    size must stay small (payload bytes × batch_size bounded)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: Dict[str, list] = {"doc_id": batch["doc_id"].to_pylist(), "width": [], "height": [], "n_pixels": [], "mean_pixel": []}
+        for data in batch["image"].to_pylist():
+            w, h, px = _decode_payload(data)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_pixels"].append(w * h)
+            cols["mean_pixel"].append(int(px.mean()) if len(px) else 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(cols["doc_id"], "int64"),
+                "width": pa.array(cols["width"], "int64"),
+                "height": pa.array(cols["height"], "int64"),
+                "n_pixels": pa.array(cols["n_pixels"], "int64"),
+                "mean_pixel": pa.array(cols["mean_pixel"], "int64"),
+            }
+        )
+
+
+class ThumbnailKernel:
+    """Actor: subsample to target×target (stride crop — the stub resize;
+    a real deployment swaps in PIL's resize)."""
+
+    def __init__(self, target: int = 8) -> None:
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs, dims = [], []
+        for data in batch["image"].to_pylist():
+            w, h, px = _decode_payload(data)
+            t = self.target
+            grid = px[: w * h].reshape(h, w)
+            ys = np.linspace(0, h - 1, t).astype(int)
+            xs = np.linspace(0, w - 1, t).astype(int)
+            thumb = grid[np.ix_(ys, xs)]
+            thumbs.append(IMG_MAGIC + struct.pack("<HH", t, t) + thumb.tobytes())
+            dims.append(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "thumb": pa.array(thumbs, "binary"),
+                "thumb_dim": pa.array(dims, "int64"),
+            }
+        )
+
+
+class AudioFrameKernel:
+    """Actor: frame-sample stats (frame_len-sized windows, hop = frame_len)."""
+
+    def __init__(self, frame_len: int = 400) -> None:
+        self.frame_len = frame_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_samples, n_frames, dur_ms = [], [], []
+        for data in batch["audio"].to_pylist():
+            if data[:4] != AUD_MAGIC:
+                raise ValueError("unknown audio container")
+            (n,) = struct.unpack("<I", data[4:8])
+            n_samples.append(n)
+            n_frames.append(n // self.frame_len)
+            dur_ms.append(n * 1000 // 16000)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_samples": pa.array(n_samples, "int64"),
+                "n_frames": pa.array(n_frames, "int64"),
+                "duration_ms": pa.array(dur_ms, "int64"),
+            }
+        )
+
+
+# ------------------------------------------------------------- pipelines
+
+
+def image_features(sf_dir: str):
+    return media_corpus(sf_dir).drop_columns(["audio"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def image_thumbnails(sf_dir: str, target: int = 8):
+    return media_corpus(sf_dir).drop_columns(["audio"]).map_batches(
+        ThumbnailKernel, fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def audio_frames(sf_dir: str, frame_len: int = 400):
+    return media_corpus(sf_dir).drop_columns(["image"]).map_batches(
+        AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+IMAGE_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(16 + doc_id % 32 AS BIGINT) AS width,
+       CAST(16 + doc_id % 24 AS BIGINT) AS height,
+       CAST((16 + doc_id % 32) * (16 + doc_id % 24) AS BIGINT) AS n_pixels,
+       CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+FROM documents
+"""
+
+AUDIO_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(1000 + (doc_id % 100) * 40 AS BIGINT) AS n_samples,
+       CAST((1000 + (doc_id % 100) * 40) // 400 AS BIGINT) AS n_frames,
+       CAST((1000 + (doc_id % 100) * 40) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+"""

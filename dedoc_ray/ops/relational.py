@@ -121,7 +121,7 @@ def segment_revenue(sf_dir: str):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     partials = orders.map_batches(
-        JoinSegment, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pyarrow", batch_size=65536, concurrency=2
+        JoinSegment, fn_constructor_kwargs={"ref": lookup_ref}, batch_format="pyarrow", batch_size=65536, concurrency=(1, 2)
     )
     return partials.groupby("c_mktsegment").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders")

@@ -92,14 +92,14 @@ def doc_stats(sf_dir: str):
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=4)
+    return docs.map_batches(DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
 
 
 def doc_quality(sf_dir: str):
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(QualityKernel, batch_format="pyarrow", batch_size=1024, concurrency=4)
+    return docs.map_batches(QualityKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
 
 
 DOC_STATS_SQL = """

@@ -1,0 +1,159 @@
+"""Tests: multimodal stages, IVF ANN recall, language ID, shuffle helper."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_image_decode_features_deterministic():
+    from dedoc_ray.ops.multimodal import ImageFeatureKernel, media_batch
+
+    batch = pa.Table.from_pydict({"doc_id": pa.array([0, 7, 123], "int64")})
+    media = media_batch(batch)
+    out = ImageFeatureKernel()(media)
+    for i, d in enumerate([0, 7, 123]):
+        assert out["width"][i].as_py() == 16 + d % 32
+        assert out["height"][i].as_py() == 16 + d % 24
+        assert out["n_pixels"][i].as_py() == (16 + d % 32) * (16 + d % 24)
+        assert out["mean_pixel"][i].as_py() == d % 256
+
+
+def test_thumbnail_shape_and_container():
+    from dedoc_ray.ops.multimodal import IMG_MAGIC, ThumbnailKernel, media_batch
+
+    media = media_batch(pa.Table.from_pydict({"doc_id": pa.array([42], "int64")}))
+    out = ThumbnailKernel(target=8)(media)
+    thumb = out["thumb"][0].as_py()
+    assert thumb[:4] == IMG_MAGIC
+    assert len(thumb) == 8 + 64  # header + 8x8 pixels
+    assert out["thumb_dim"][0].as_py() == 8
+
+
+def test_audio_frames():
+    from dedoc_ray.ops.multimodal import AudioFrameKernel, media_batch
+
+    media = media_batch(pa.Table.from_pydict({"doc_id": pa.array([5], "int64")}))
+    out = AudioFrameKernel(frame_len=400)(media)
+    n = 1000 + (5 % 100) * 40
+    assert out["n_samples"][0].as_py() == n
+    assert out["n_frames"][0].as_py() == n // 400
+    assert out["duration_ms"][0].as_py() == n * 1000 // 16000
+
+
+def test_image_features_pipeline(ray_session):
+    from dedoc_ray.ops.multimodal import image_features
+
+    df = image_features(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["n_pixels"] == df["width"] * df["height"]).all()
+
+
+# ------------------------------------------------------------- IVF ANN
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from dedoc_ray.ops.knn import knn_bruteforce, knn_ivf
+
+    exact = knn_bruteforce(SF, k=10, n_queries=8).to_pandas()
+    approx = knn_ivf(SF, k=10, n_queries=8, n_lists=8, n_probe=4).to_pandas()
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = []
+    for qid, ex in exact_sets.items():
+        ap = approx_sets.get(qid, set())
+        recalls.append(len(ex & ap) / len(ex))
+    assert np.mean(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+    # probing fewer lists than n_lists must not return MORE than k per query
+    assert (approx.groupby("qid").size() <= 10).all()
+
+
+def test_ivf_full_probe_equals_bruteforce(ray_session):
+    from dedoc_ray.ops.knn import knn_bruteforce, knn_ivf
+
+    exact = knn_bruteforce(SF, k=5, n_queries=4).to_pandas()
+    full = knn_ivf(SF, k=5, n_queries=4, n_lists=8, n_probe=8).to_pandas()
+    ex = exact.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    fu = full.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ex, fu)
+
+
+# ------------------------------------------------------------- language ID
+
+
+def test_langid_obvious_languages():
+    from dedoc_ray.ops.langid import LangIdKernel
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], "int64"),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat and the dog barked at the moon over the hills",
+                    "der hund lief durch den wald und über die wiese zu dem alten haus",
+                    "быстрая лиса прыгнула через реку и побежала в тёмный лес за добычей",
+                    "x",  # too short → unknown
+                ],
+                "string",
+            ),
+        }
+    )
+    out = LangIdKernel()(batch)
+    assert out["lang_id"].to_pylist() == ["en", "de", "ru", "unknown"]
+
+
+def test_langid_deterministic_across_instances():
+    from dedoc_ray.ops.langid import LangIdKernel
+
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array([1], "int64"), "text": pa.array(["some neutral words flow here quietly"], "string")}
+    )
+    a = LangIdKernel()(batch)["lang_id"].to_pylist()
+    b = LangIdKernel()(batch)["lang_id"].to_pylist()
+    assert a == b
+
+
+# ------------------------------------------------------------- shuffle helper
+
+
+def test_hash_partition_apply_groups_colocated(ray_session):
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    n = 1000
+    tbl = pa.Table.from_pydict(
+        {"k": pa.array([i % 37 for i in range(n)], "int64"), "v": pa.array(list(range(n)), "int64")}
+    )
+    ds = rd.from_arrow(tbl)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["v"].sum()
+
+    out = hash_partition_apply(ds, ["k"], agg, num_parts=8).to_pandas()
+    expect = tbl.to_pandas().groupby("k", as_index=False)["v"].sum()
+    got = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect.sort_values("k").reset_index(drop=True))
+
+
+def test_hash_partition_apply_string_keys(ray_session):
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    tbl = pa.Table.from_pydict(
+        {"k": pa.array(["a", "b", "a", "c", "b", "a"], "string"), "v": pa.array([1, 2, 3, 4, 5, 6], "int64")}
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False)["v"].count()
+
+    out = hash_partition_apply(rd.from_arrow(tbl), ["k"], agg, num_parts=4).to_pandas()
+    assert dict(zip(out["k"], out["v"])) == {"a": 3, "b": 2, "c": 1}
