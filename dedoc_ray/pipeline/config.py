@@ -1,0 +1,54 @@
+"""PipelineConfig — the engine's knob surface, mirroring the reference's
+``QueryParameters`` (dedoc/api/api_args.py:8-54).
+
+Reference knobs that don't apply to the web-corpus engine are documented
+rather than silently dropped:
+
+- ``with_attachments`` / ``need_content_analysis``: rows carry their own
+  bytes; archive/email members surface in the ``attachments`` column instead
+  of recursive re-parsing (attachments_handler is request-scoped in the
+  reference).
+- ``pdf_with_text_layer``: our "auto" routes text-layer PDFs through the
+  textlayer kernel and flags OCR-needing pages with a warning (the OCR stack
+  — Tesseract/torch — is stubbed in this container; see readers/pdf.py).
+- ``language`` / OCR params: OCR path stubbed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # structure (api_args.py: document_type / structure_type)
+    document_type: str = "other"
+    structure_type: str = "tree"          # "tree" | "linear"
+    patterns: Optional[List[dict]] = None  # user patterns, see structure/patterns.py
+
+    # readers (api_args.py: delimiter / encoding / handle_invisible_table / pages)
+    handle_invisible_table: bool = False
+    delimiter: Optional[str] = None        # csv
+    encoding: Optional[str] = None         # txt/csv override
+    pages: Optional[str] = None            # "first:last" per-document page slice (pdf)
+
+    # execution (ours: map_batches sizing — the reference has no corpus axis)
+    batch_size: int = 64
+    concurrency: Optional[object] = None   # int | (min, max) | None=autosize
+
+    def validate(self) -> "PipelineConfig":
+        if self.structure_type not in ("tree", "linear"):
+            raise ValueError(f"structure_type must be tree|linear, got {self.structure_type!r}")
+        return self
+
+
+def parse_pages(pages: Optional[str]):
+    """'first:last' (1-based, inclusive, open ends allowed) → (start, stop)
+    0-based slice — reference parameter_utils.py:111-129 semantics."""
+    if not pages:
+        return (0, None)
+    first, _, last = pages.partition(":")
+    start = int(first) - 1 if first.strip() else 0
+    stop = int(last) if last.strip() else None
+    return (max(0, start), stop)

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional
 
 import pyarrow as pa
 
+from dedoc_ray.pipeline.config import PipelineConfig, parse_pages
 from dedoc_ray.pipeline.schemas import EXTRACTED_SCHEMA
 from dedoc_ray.readers.base import UnstructuredDoc
 from dedoc_ray.readers.csv_reader import read_csv
@@ -34,9 +35,28 @@ _EMPTY_FLAT = {"extracted_text": "", "nodes": [], "annotations": []}
 class ExtractKernel:
     """sniff → per-format read → structure → tree → flatten, per row."""
 
-    def __init__(self, handle_invisible_table: bool = False, patterns: Optional[PatternComposition] = None) -> None:
-        self.patterns = patterns if patterns is not None else PatternComposition(default_patterns())
-        self.handle_invisible_table = handle_invisible_table
+    def __init__(
+        self,
+        handle_invisible_table: bool = False,
+        patterns: Optional[PatternComposition] = None,
+        config: Optional[PipelineConfig] = None,
+    ) -> None:
+        if config is None:
+            config = PipelineConfig(handle_invisible_table=handle_invisible_table)
+        self.config = config.validate()
+        if patterns is not None:
+            self.patterns = patterns
+        elif config.patterns:
+            from dedoc_ray.structure.patterns import patterns_from_dicts
+
+            self.patterns = patterns_from_dicts(config.patterns)
+        else:
+            self.patterns = PatternComposition(default_patterns())
+        self.handle_invisible_table = config.handle_invisible_table
+        from dedoc_ray.structure.tree import construct_linear
+
+        self.constructor = construct_tree if config.structure_type == "tree" else construct_linear
+        self.pages = parse_pages(config.pages)
 
     # --- per-document ------------------------------------------------------
 
@@ -44,15 +64,15 @@ class ExtractKernel:
         if fmt == "html":
             return read_html(data, handle_invisible_table=self.handle_invisible_table)
         if fmt == "txt":
-            return read_txt(data)
+            return read_txt(data, encoding=self.config.encoding)
         if fmt == "csv":
-            return read_csv(data)
+            return read_csv(data, delimiter=self.config.delimiter, encoding=self.config.encoding)
         if fmt == "json":
             return read_json(data)
         if fmt == "pdf":
-            from dedoc_ray.readers.pdf import read_pdf_textlayer
+            from dedoc_ray.readers.pdf import read_pdf_auto
 
-            return read_pdf_textlayer(data)
+            return read_pdf_auto(data, pages=self.pages)
         if fmt == "docx":
             from dedoc_ray.readers.office import read_docx
 
@@ -99,7 +119,7 @@ class ExtractKernel:
         try:
             doc = self.read_document(fmt, data)
             lines = extract_structure(doc.lines, self.patterns)
-            root = construct_tree(lines)
+            root = self.constructor(lines)
             flat = flatten_tree(root)
             out.update(flat)
             out["warnings"] = doc.warnings

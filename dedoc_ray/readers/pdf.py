@@ -104,9 +104,13 @@ def _iter_text_ops(block: bytes):
             stack_nums = []
 
 
-def read_pdf_textlayer(data: bytes) -> UnstructuredDoc:
+def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
+    """``pages``: (start, stop) 0-based page slice — the reference's
+    ``pages="first:last"`` knob (parameter_utils.py:111-129, applied
+    pdf_base_reader.py:108-124)."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF")
+    page_start, page_stop = pages
     file_hash = hashlib.md5(data).hexdigest()
     lines: List[LineWithMeta] = []
     line_id = 0
@@ -120,6 +124,10 @@ def read_pdf_textlayer(data: bytes) -> UnstructuredDoc:
             pass
         blocks = _BT_RE.findall(payload)
         if not blocks:
+            continue
+        if page_id < page_start or (page_stop is not None and page_id >= page_stop):
+            page_id += 1
+            saw_text = True  # text exists, just outside the requested slice
             continue
         page_lines: List[Tuple[float, float, str, float, str]] = []
         for block in blocks:
@@ -141,3 +149,20 @@ def read_pdf_textlayer(data: bytes) -> UnstructuredDoc:
     if not saw_text:
         raise ValueError("PDF has no text layer (OCR path not available)")
     return UnstructuredDoc(lines=lines, warnings=[f"pdf pages: {page_id}"])
+
+
+def read_pdf_auto(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
+    """Auto-routing analogue of the reference's PdfAutoReader
+    (pdf_auto_reader.py:7-153): try the text layer; a PDF without one routes
+    to the OCR path, which is STUBBED in this container (no Tesseract /
+    torch) — the row comes back empty with an explicit warning instead of
+    failing, so a corpus with scanned PDFs still streams through."""
+    try:
+        return read_pdf_textlayer(data, pages=pages)
+    except ValueError as e:
+        if "no text layer" not in str(e):
+            raise
+        return UnstructuredDoc(
+            lines=[],
+            warnings=["pdf without text layer: OCR stage stubbed (no tesseract in container)"],
+        )

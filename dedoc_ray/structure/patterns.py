@@ -242,3 +242,30 @@ def default_patterns() -> List[Pattern]:
         BulletListPattern(line_type=HierarchyLevel.list_item, level_1=6, level_2=1, can_be_multiline=False),
         TagPattern(default_line_type=HierarchyLevel.raw_text),
     ]
+
+
+# ------------------------------------------------------- user patterns API
+
+_PATTERN_REGISTRY = {
+    cls.name: cls
+    for cls in (RegexpPattern, DottedListPattern, BracketListPattern,
+                BulletListPattern, LetterListPattern, RomanListPattern,
+                TagPattern, TagHeaderPattern, TagListPattern)
+}
+
+
+def pattern_from_dict(spec: dict) -> Pattern:
+    """Instantiate a pattern from a user parameter dict, e.g.
+    ``{"name": "dotted_list", "line_type": "list_item", "level_1": 2}`` —
+    the reference's ``patterns=[...]`` knob
+    (default_structure_extractor.py:60-81, patterns/utils.py)."""
+    spec = dict(spec)
+    name = spec.pop("name", None)
+    cls = _PATTERN_REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(f"unknown pattern name {name!r}; known: {sorted(_PATTERN_REGISTRY)}")
+    return cls(**spec)
+
+
+def patterns_from_dicts(specs) -> "PatternComposition":
+    return PatternComposition([pattern_from_dict(s) for s in specs])

@@ -150,3 +150,13 @@ def flatten_tree(root: TreeNode) -> Dict[str, object]:
         stack.extend(reversed(node.children))
 
     return {"extracted_text": "".join(parts), "nodes": nodes, "annotations": annotations}
+
+
+def construct_linear(lines: List[LineWithMeta]) -> TreeNode:
+    """Linear constructor: every line is a direct child of the root, in
+    document order (reference linear_constructor.py:8-30) — the
+    ``structure_type="linear"`` alternative to the tree."""
+    root = _create_root([])
+    for line in lines:
+        root.add_child(line)
+    return root

@@ -1,0 +1,111 @@
+"""Tests: PipelineConfig knobs, linear constructor, user patterns API,
+PDF auto-routing/pages, renderers."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from dedoc_ray.pipeline.config import PipelineConfig, parse_pages
+from dedoc_ray.pipeline.kernel import ExtractKernel
+from dedoc_ray.pipeline.render import render_batch, render_html, render_tree, render_txt
+
+HTML = b"<html><body><h1>Title</h1><p>first para</p><p>second para</p></body></html>"
+
+
+def _extract(config: PipelineConfig, url: str = "https://x/a.html", data: bytes = HTML):
+    kern = ExtractKernel(config=config)
+    out = kern(pa.Table.from_pydict({"url": [url], "html": [data]}))
+    return out.to_pylist()[0]
+
+
+def test_linear_vs_tree_structure():
+    tree_row = _extract(PipelineConfig(structure_type="tree"))
+    linear_row = _extract(PipelineConfig(structure_type="linear"))
+    # identical text, different shape: linear puts every line at depth 1
+    assert tree_row["extracted_text"] == linear_row["extracted_text"]
+    linear_depths = {n["node_id"].count(".") for n in linear_row["nodes"] if n["node_id"] != "0"}
+    assert linear_depths == {1}
+    tree_depths = {n["node_id"].count(".") for n in tree_row["nodes"] if n["node_id"] != "0"}
+    assert len(tree_depths) >= 1
+
+
+def test_invalid_structure_type_rejected():
+    with pytest.raises(ValueError, match="structure_type"):
+        ExtractKernel(config=PipelineConfig(structure_type="graph"))
+
+
+def test_user_patterns_override():
+    cfg = PipelineConfig(patterns=[
+        {"name": "regexp", "regexp": r"^first", "line_type": "header", "level_1": 1, "level_2": 1},
+        {"name": "tag", "line_type": "raw_text", "level_1": None, "level_2": None},
+    ])
+    row = _extract(cfg)
+    headers = [n for n in row["nodes"] if n["line_type"] == "header"]
+    assert any("first" in row["extracted_text"][n["text_start"]:n["text_end"]] for n in headers)
+
+
+def test_unknown_pattern_name_rejected():
+    from dedoc_ray.structure.patterns import pattern_from_dict
+
+    with pytest.raises(ValueError, match="unknown pattern"):
+        pattern_from_dict({"name": "nope"})
+
+
+def test_parse_pages():
+    assert parse_pages(None) == (0, None)
+    assert parse_pages("2:3") == (1, 3)
+    assert parse_pages(":2") == (0, 2)
+    assert parse_pages("3:") == (2, None)
+
+
+def test_pdf_pages_slice_and_ocr_stub():
+    from dedoc_ray.sources.synth import _pdf_bytes
+
+    pdf = _pdf_bytes(17, "alpha the beta the gamma")
+    full = _extract(PipelineConfig(), url="https://x/a.pdf", data=pdf)
+    assert full["status"] == "ok" and full["extracted_text"]
+
+    # a PDF with no BT/ET text ops → OCR stub warning, not a failure
+    textless = b"%PDF-1.4\nstream\nnothing here\nendstream\ntrailer\n%%EOF"
+    row = _extract(PipelineConfig(), url="https://x/b.pdf", data=textless)
+    assert row["status"] == "ok"
+    assert row["extracted_text"] == ""
+    assert any("OCR" in w for w in row["warnings"])
+
+
+def test_renderers_roundtrip():
+    row = _extract(PipelineConfig())
+    assert render_txt(row) == row["extracted_text"]
+
+    html_out = render_html(row)
+    assert html_out.startswith("<html><body>") and "first para" in html_out
+
+    tree = render_tree(row)
+    assert tree["content"]["structure"]["node_id"] == "0"
+    texts = []
+
+    def walk(n):
+        texts.append(n["text"])
+        for s in n["subparagraphs"]:
+            walk(s)
+
+    walk(tree["content"]["structure"])
+    assert "".join(texts) == row["extracted_text"]
+
+
+def test_render_batch_stage():
+    kern = ExtractKernel()
+    out = kern(pa.Table.from_pydict({"url": ["https://x/a.html"], "html": [HTML]}))
+    rendered = render_batch(out, fmt="tree")
+    parsed = json.loads(rendered["rendered"][0].as_py())
+    assert parsed["content"]["structure"]["subparagraphs"]
+
+
+def test_render_html_annotations_wrapped():
+    data = b"<html><body><p><b>bold bit</b> rest</p></body></html>"
+    row = _extract(PipelineConfig(), data=data)
+    out = render_html(row)
+    assert "<b>bold bit</b>" in out
