@@ -97,11 +97,15 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 
     qs = e.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.time()
-        _consume(fn(sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-    flag = run_flagship(sf_dir)
+        try:
+            _consume(fn(sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    flag = run_flagship(sf_dir, repeat=16)
     return {
         "metric": "total_pipeline_sec",
         "value": round(sum(timings.values()), 3),
@@ -112,6 +116,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         "extract_sec": flag["sec"],
         "extract_docs_per_sec": flag["docs_per_sec"],
         "extract_mb_per_sec": flag["mb_per_sec"],
+        **({"errors": errors} if errors else {}),
     }
 
 

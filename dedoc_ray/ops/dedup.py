@@ -128,7 +128,10 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 3, max_posting: 
     from dedoc_ray.ops.shuffle import hash_partition_apply
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    posting = docs.map_batches(ShingleKernel(n), batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
+    posting = docs.map_batches(
+        ShingleKernel, fn_constructor_kwargs={"n": n},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    )
 
     def pairs_of_partition(df: pd.DataFrame) -> pd.DataFrame:
         """All co-occurrence pairs of the partition's posting lists, vectorized:
