@@ -38,38 +38,71 @@ PARSER_VERSION = f"dedoc_ray-{dedoc_ray.__version__}"
 DEFAULT_BATCH_SIZE = 64
 
 
+def _autosize_pool() -> int:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    # leave ~half the cpus for read/decode tasks: parquet read+decode of
+    # the page corpus costs ~1 cpu per 3-4 parse cpus, and a pool holding
+    # nearly every cpu starves the reads (measured: conc=30/32 cpus →
+    # 15k docs/s read-bound vs conc=16/32 cpus → 35k docs/s). A pool
+    # holding EVERY cpu deadlocks the upstream read outright.
+    return max(1, ncpu // 2)
+
+
 def extract_pages(
     pages_ds,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[int] = None,
     handle_invisible_table: bool = False,
+    giant_row_bytes: Optional[int] = None,
 ):
     """pages Dataset → extracted Dataset (lazy, streaming).
 
     ``concurrency=None`` lets Ray autoscale the actor pool to available CPUs;
     pass an explicit (min, max) tuple or int to pin pool size per stage.
+
+    ``giant_row_bytes``: straggler isolation for the heavy tail (SURVEY.md §4
+    skew row). Rows whose ``html`` payload exceeds the threshold are routed
+    to a dedicated low-concurrency pool with tiny batches, so one multi-MB
+    page cannot stall a 64-row batch of small ones; the two branches are
+    unioned (row order is not guaranteed — it never is for this pipeline).
     """
     kwargs: Dict[str, Any] = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    else:
-        import ray
+    kwargs["concurrency"] = concurrency if concurrency is not None else _autosize_pool()
+    fn_kwargs = {"handle_invisible_table": handle_invisible_table}
 
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        # leave ~half the cpus for read/decode tasks: parquet read+decode of
-        # the page corpus costs ~1 cpu per 3-4 parse cpus, and a pool holding
-        # nearly every cpu starves the reads (measured: conc=30/32 cpus →
-        # 15k docs/s read-bound vs conc=16/32 cpus → 35k docs/s). A pool
-        # holding EVERY cpu deadlocks the upstream read outright.
-        kwargs["concurrency"] = max(1, ncpu // 2)
-    return pages_ds.map_batches(
-        ExtractKernel,
-        fn_constructor_kwargs={"handle_invisible_table": handle_invisible_table},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        num_cpus=1,
-        **kwargs,
+    if giant_row_bytes is None:
+        return pages_ds.map_batches(
+            ExtractKernel,
+            fn_constructor_kwargs=fn_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+            **kwargs,
+        )
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _split(keep_giant: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            sizes = pc.binary_length(pc.coalesce(batch["html"], pa.scalar(b"", type=batch["html"].type)))
+            mask = pc.greater(sizes, giant_row_bytes)
+            return batch.filter(mask if keep_giant else pc.invert(mask))
+
+        return f
+
+    small = pages_ds.map_batches(_split(False), batch_format="pyarrow").map_batches(
+        ExtractKernel, fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow", batch_size=batch_size, num_cpus=1, **kwargs,
     )
+    giant_pool = max(1, (kwargs["concurrency"] if isinstance(kwargs["concurrency"], int) else 4) // 4)
+    giant = pages_ds.map_batches(_split(True), batch_format="pyarrow").map_batches(
+        ExtractKernel, fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow", batch_size=4, num_cpus=1, concurrency=(1, giant_pool),
+    )
+    return small.union(giant)
 
 
 # ------------------------------------------------------------ resumable runs

@@ -115,3 +115,27 @@ class TestResumableRun:
         # output readable and complete
         out = rd.read_parquet(out_dir + "/s0") .union(rd.read_parquet(out_dir + "/s1"))
         assert out.count() == 500
+
+
+def test_giant_row_isolation_same_results(ray_session):
+    """Straggler isolation (giant_row_bytes) must partition, not drop or
+    duplicate: union of the two pools equals the unsplit output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth import pages_batch
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    pages = docs.map_batches(pages_batch, batch_format="pyarrow")
+
+    plain = extract_pages(pages, concurrency=2).select_columns(
+        ["url", "status", "extracted_text"]).to_pandas()
+    split = extract_pages(pages, concurrency=2, giant_row_bytes=500).select_columns(
+        ["url", "status", "extracted_text"]).to_pandas()
+
+    a = plain.sort_values("url").reset_index(drop=True)
+    b = split.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) == len(b["url"].unique())  # no dup, no drop
