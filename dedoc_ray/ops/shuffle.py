@@ -62,3 +62,40 @@ def hash_partition_apply(
         .groupby("_part")
         .map_groups(apply_part, batch_format="pandas")
     )
+
+
+def salted_group_sum(
+    ds,
+    keys: List[str],
+    value_col: str,
+    num_salts: int = 16,
+    num_parts: int = 32,
+):
+    """Sum ``value_col`` per ``keys`` with HOT-KEY SALTING: a two-level
+    aggregation for skewed keys (one key holding a large fraction of all
+    rows would otherwise send that fraction to a single partition).
+
+    Level 1 shuffles on (keys, salt) — a hot key's rows spread over
+    ``num_salts`` partitions, each emitting one partial row per key.
+    Level 2 shuffles only those tiny partials on (keys) for the final sum.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept local for worker import)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = (np.arange(batch.num_rows, dtype=np.int64) % num_salts).astype(np.int64)
+        return batch.append_column("_salt", pa.array(salt))
+
+    def partial_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({**{k: pd.Series([], dtype="object") for k in keys},
+                                 value_col: pd.Series([], dtype="int64")})
+        return df.drop(columns=["_salt"]).groupby(keys, as_index=False)[value_col].sum()
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby(keys, as_index=False)[value_col].sum()
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = hash_partition_apply(salted, keys + ["_salt"], partial_sum, num_parts=num_parts)
+    return hash_partition_apply(partials, keys, final_sum, num_parts=max(4, num_parts // 4))

@@ -129,6 +129,7 @@ def run_extract_resumable(
     out_dir: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[int] = None,
+    giant_row_bytes: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Process input parquet shards with per-shard checkpointing.
 
@@ -154,7 +155,8 @@ def run_extract_resumable(
         shutil.rmtree(final_dir, ignore_errors=True)
 
         ds = rd.read_parquet(path)
-        extracted = extract_pages(ds, batch_size=batch_size, concurrency=concurrency)
+        extracted = extract_pages(ds, batch_size=batch_size, concurrency=concurrency,
+                                  giant_row_bytes=giant_row_bytes)
         extracted.write_parquet(tmp_dir)
 
         # counters from the written shard: per-batch partials → tiny driver sum

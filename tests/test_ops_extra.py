@@ -157,3 +157,18 @@ def test_hash_partition_apply_string_keys(ray_session):
 
     out = hash_partition_apply(rd.from_arrow(tbl), ["k"], agg, num_parts=4).to_pandas()
     assert dict(zip(out["k"], out["v"])) == {"a": 3, "b": 2, "c": 1}
+
+
+def test_salted_group_sum_skewed(ray_session):
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import salted_group_sum
+
+    # one hot key with 90% of the rows
+    ks = ["hot"] * 9000 + [f"k{i % 50}" for i in range(1000)]
+    vs = list(range(len(ks)))
+    tbl = pa.Table.from_pydict({"k": pa.array(ks, "string"), "v": pa.array(vs, "int64")})
+    out = salted_group_sum(rd.from_arrow(tbl), ["k"], "v", num_salts=8).to_pandas()
+    expect = tbl.to_pandas().groupby("k", as_index=False)["v"].sum()
+    got = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect.sort_values("k").reset_index(drop=True))
