@@ -29,6 +29,7 @@ class PipelineConfig:
 
     # readers (api_args.py: delimiter / encoding / handle_invisible_table / pages)
     handle_invisible_table: bool = False
+    need_header_footer_analysis: bool = False  # cross-page running header/footer drop (pdf)
     delimiter: Optional[str] = None        # csv
     encoding: Optional[str] = None         # txt/csv override
     pages: Optional[str] = None            # "first:last" per-document page slice (pdf)

@@ -118,6 +118,11 @@ class ExtractKernel:
             return out
         try:
             doc = self.read_document(fmt, data)
+            if self.config.need_header_footer_analysis and fmt == "pdf":
+                from dedoc_ray.readers.header_footer import remove_headers_footers
+
+                doc.lines, hf_warnings = remove_headers_footers(doc.lines)
+                doc.warnings.extend(hf_warnings)
             lines = extract_structure(doc.lines, self.patterns)
             root = self.constructor(lines)
             flat = flatten_tree(root)

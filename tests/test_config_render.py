@@ -109,3 +109,32 @@ def test_render_html_annotations_wrapped():
     row = _extract(PipelineConfig(), data=data)
     out = render_html(row)
     assert "<b>bold bit</b>" in out
+
+
+def test_header_footer_removal():
+    from dedoc_ray.core.line import LineMetadata, LineWithMeta
+    from dedoc_ray.readers.header_footer import remove_headers_footers
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota"]
+    lines = []
+    for page in range(3):
+        lines.append(LineWithMeta("ACME Corp Annual Report\n", metadata=LineMetadata(page_id=page)))
+        for j in range(3):  # body lines genuinely differ between pages
+            w = words[page * 3 + j]
+            lines.append(LineWithMeta(f"body {w} content {w}\n", metadata=LineMetadata(page_id=page)))
+        lines.append(LineWithMeta(f"Page {page + 1}\n", metadata=LineMetadata(page_id=page)))
+    kept, warnings = remove_headers_footers(lines)
+    texts = [l.line for l in kept]
+    assert all("ACME" not in t for t in texts)          # running header gone
+    assert all(not t.startswith("Page ") for t in texts)  # page number gone (digits masked)
+    assert sum("body" in t for t in texts) == 9          # body intact
+    assert warnings and "dropped 6 lines" in warnings[0]
+
+
+def test_header_footer_single_page_noop():
+    from dedoc_ray.core.line import LineMetadata, LineWithMeta
+    from dedoc_ray.readers.header_footer import remove_headers_footers
+
+    lines = [LineWithMeta("only page\n", metadata=LineMetadata(page_id=0))]
+    kept, warnings = remove_headers_footers(lines)
+    assert kept == lines and warnings == []
