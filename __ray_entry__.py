@@ -158,6 +158,54 @@ def q_extract_xlsx(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_extract_csv(sf_dir: str):
+    """CSV corpus → one Table per doc; row/cell counts per url."""
+    ds = _office_extract(sf_dir, "csv")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        tables = batch["tables"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_tables": pa.compute.cast(batch["n_tables"], "int64"),
+                "n_rows": pa.array([sum(len(t["cells"]) for t in ts) for ts in tables], "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_law(sf_dir: str):
+    """document_type="law" over a synthetic legal-text corpus: article count
+    per url (domain pattern composition, SURVEY.md §2.10)."""
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(office_corpus(sf_dir, "law"), config=PipelineConfig(document_type="law"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nodes = batch["nodes"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_articles": pa.array(
+                    [sum(1 for n in ns if n["line_type"] == "article") for ns in nodes], "int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_top_urls(sf_dir: str):
+    """Corpus sort+limit (§2.7): top-20 pages by payload size, deterministic
+    tiebreak on url. ``Dataset.sort`` is the all-to-all demonstration; the
+    input is pruned to two tiny columns before the shuffle."""
+    ds = _extracted(sf_dir).select_columns(["url", "n_bytes"])
+    return ds.sort(["n_bytes", "url"], descending=[True, False]).limit(20)
+
+
 def q_extract_archive(sf_dir: str):
     """Archive member manifest per url: count + total member bytes."""
     ds = _office_extract(sf_dir, "zip")
@@ -291,6 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_eml": q_extract_eml,
         "extract_mhtml": q_extract_mhtml,
         "extract_archive": q_extract_archive,
+        "extract_csv": q_extract_csv,
+        "extract_law": q_extract_law,
+        "top_urls": q_top_urls,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "exact_dedup": q_exact_dedup,
@@ -381,6 +432,10 @@ def oracle_sql() -> dict[str, str]:
                         f"CAST(6 AS BIGINT) AS n_cells FROM documents",
         "extract_archive": f"SELECT {office_url.format(ext='zip')} AS url, CAST(2 AS BIGINT) AS n_attachments, "
                            f"CAST(octet_length(encode(text)) + 8 AS BIGINT) AS total_size FROM documents",
+        "extract_csv": f"SELECT {office_url.format(ext='csv')} AS url, CAST(1 AS BIGINT) AS n_tables, "
+                       f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_rows FROM documents",
+        "extract_law": f"SELECT {office_url.format(ext='txt')} AS url, "
+                       f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
     }
     return {
         "extract_roundtrip": _ROUNDTRIP_SQL,

@@ -56,6 +56,7 @@ def extract_pages(
     concurrency: Optional[int] = None,
     handle_invisible_table: bool = False,
     giant_row_bytes: Optional[int] = None,
+    config=None,
 ):
     """pages Dataset → extracted Dataset (lazy, streaming).
 
@@ -70,7 +71,7 @@ def extract_pages(
     """
     kwargs: Dict[str, Any] = {}
     kwargs["concurrency"] = concurrency if concurrency is not None else _autosize_pool()
-    fn_kwargs = {"handle_invisible_table": handle_invisible_table}
+    fn_kwargs = {"config": config} if config is not None else {"handle_invisible_table": handle_invisible_table}
 
     if giant_row_bytes is None:
         return pages_ds.map_batches(

@@ -50,6 +50,10 @@ class ExtractKernel:
             from dedoc_ray.structure.patterns import patterns_from_dicts
 
             self.patterns = patterns_from_dicts(config.patterns)
+        elif config.document_type != "other":
+            from dedoc_ray.structure.domain import patterns_for_document_type
+
+            self.patterns = PatternComposition(patterns_for_document_type(config.document_type))
         else:
             self.patterns = PatternComposition(default_patterns())
         self.handle_invisible_table = config.handle_invisible_table

@@ -91,9 +91,27 @@ def mhtml_bytes(doc_id: int, text: str) -> bytes:
     return part
 
 
+def csv_bytes(doc_id: int, text: str) -> bytes:
+    """Single-column CSV: one sanitized row per chunk (commas/quotes blanked
+    so the DuckDB oracle stays a pure string expression)."""
+    rows = [c.replace(",", " ").replace('"', " ") for c in chunks_of(text)]
+    return ("\n".join(rows) + "\n").encode("utf-8")
+
+
 def archive_bytes(doc_id: int, text: str) -> bytes:
     """Zip with two members: body.txt (the utf-8 text) + meta.txt (8 bytes)."""
     return _zip_bytes([("body.txt", text.encode("utf-8")), ("meta.txt", "12345678")])
+
+
+def law_bytes(doc_id: int, text: str) -> bytes:
+    """Plain-text legal doc: one Chapter header, one 'Article i' per chunk
+    (content lines prefixed 'text:' so they can never match a structure
+    pattern — keeps the article count SQL-expressible)."""
+    lines = [f"Chapter {doc_id % 3 + 1}"]
+    for i, c in enumerate(chunks_of(text), 1):
+        lines.append(f"Article {i}")
+        lines.append(f"text: {c}")
+    return ("\n".join(lines) + "\n").encode("utf-8")
 
 
 _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
@@ -103,6 +121,8 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "eml": eml_bytes,
     "mhtml": mhtml_bytes,
     "zip": archive_bytes,
+    "csv": csv_bytes,
+    "law": law_bytes,
 }
 
 
@@ -111,7 +131,8 @@ def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:
     gen = _GENERATORS[fmt]
     urls, payloads = [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        urls.append(f"https://synth.test/office/{doc_id}.{fmt}")
+        ext = "txt" if fmt == "law" else fmt
+        urls.append(f"https://synth.test/office/{doc_id}.{ext}")
         payloads.append(gen(doc_id, text))
     return pa.Table.from_pydict(
         {"url": pa.array(urls, "string"), "html": pa.array(payloads, "binary")}

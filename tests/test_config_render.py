@@ -138,3 +138,34 @@ def test_header_footer_single_page_noop():
     lines = [LineWithMeta("only page\n", metadata=LineMetadata(page_id=0))]
     kept, warnings = remove_headers_footers(lines)
     assert kept == lines and warnings == []
+
+
+def test_document_type_law_structure():
+    law_txt = (b"Chapter 1\n"
+               b"Article 1\n"
+               b"1. First clause text here\n"
+               b"2. Second clause text here\n"
+               b"Article 2\n"
+               b"1. Another clause follows\n")
+    row = _extract(PipelineConfig(document_type="law"), url="https://x/law.txt", data=law_txt)
+    types = {n["line_type"] for n in row["nodes"]}
+    assert "chapter" in types and "article" in types and "item" in types
+    # articles nest under the chapter, items under articles
+    by_type = {t: [n for n in row["nodes"] if n["line_type"] == t] for t in types}
+    assert all(n["node_id"].count(".") > by_type["chapter"][0]["node_id"].count(".")
+               for n in by_type["article"])
+
+
+def test_document_type_unknown_rejected():
+    with pytest.raises(ValueError, match="document_type"):
+        ExtractKernel(config=PipelineConfig(document_type="poetry"))
+
+
+def test_document_type_diploma_named_items():
+    txt = (b"Introduction\n"
+           b"Chapter 1\n"
+           b"some body text follows here\n"
+           b"Conclusion\n")
+    row = _extract(PipelineConfig(document_type="diploma"), url="https://x/d.txt", data=txt)
+    types = [n["line_type"] for n in row["nodes"]]
+    assert "named_item" in types and "chapter" in types
