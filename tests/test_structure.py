@@ -92,3 +92,41 @@ class TestTree:
             seg = text[n["text_start"]:n["text_end"]]
             assert len(seg) == n["text_end"] - n["text_start"]
         assert sum(n["text_end"] - n["text_start"] for n in flat["nodes"]) == len(text)
+
+
+def test_toc_detection_marks_runs():
+    from dedoc_ray.core.line import LineMetadata, LineWithMeta
+    from dedoc_ray.structure.toc import mark_toc
+
+    lines = [
+        LineWithMeta("Contents\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("Introduction ........ 1\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("Methods ............. 5\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("Results ............ 12\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("regular body text follows\n", metadata=LineMetadata(page_id=1)),
+    ]
+    mark_toc(lines)
+    types = [l.metadata.tag_hierarchy_level.line_type for l in lines]
+    assert types == ["toc", "toc_item", "toc_item", "toc_item", "unknown"]
+
+
+def test_toc_detection_rejects_short_and_descending_runs():
+    from dedoc_ray.core.line import LineMetadata, LineWithMeta
+    from dedoc_ray.structure.toc import mark_toc
+
+    # only two toc-ish lines → below min_run
+    short = [
+        LineWithMeta("A ..... 1\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("B ..... 2\n", metadata=LineMetadata(page_id=0)),
+    ]
+    mark_toc(short)
+    assert all(l.metadata.tag_hierarchy_level.line_type == "unknown" for l in short)
+
+    # descending page numbers break the run
+    desc = [
+        LineWithMeta("A ..... 9\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("B ..... 5\n", metadata=LineMetadata(page_id=0)),
+        LineWithMeta("C ..... 2\n", metadata=LineMetadata(page_id=0)),
+    ]
+    mark_toc(desc)
+    assert all(l.metadata.tag_hierarchy_level.line_type == "unknown" for l in desc)
