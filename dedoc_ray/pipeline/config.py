@@ -29,6 +29,7 @@ class PipelineConfig:
 
     # readers (api_args.py: delimiter / encoding / handle_invisible_table / pages)
     handle_invisible_table: bool = False
+    need_content_analysis: bool = False    # depth-1 parse of archive members
     need_header_footer_analysis: bool = False  # cross-page running header/footer drop (pdf)
     delimiter: Optional[str] = None        # csv
     encoding: Optional[str] = None         # txt/csv override

@@ -100,6 +100,14 @@ class ExtractKernel:
         if fmt == "archive":
             from dedoc_ray.readers.archive import read_archive
 
+            if self.config.need_content_analysis:
+                def read_member(name: str, payload: bytes) -> UnstructuredDoc:
+                    sub_fmt = sniff_format(f"https://member/{name}", payload)
+                    if sub_fmt in ("bad_file", "archive"):  # no nested recursion
+                        raise ValueError("member not parseable")
+                    return self.read_document(sub_fmt, payload)
+
+                return read_archive(data, read_member=read_member)
             return read_archive(data)
         raise ValueError(f"unsupported format: {fmt}")
 

@@ -11,23 +11,26 @@ from __future__ import annotations
 import io
 import tarfile
 import zipfile
-from typing import List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 from dedoc_ray.readers.base import UnstructuredDoc
+
+# bound recursive member parsing: members beyond this are listed, not parsed
+MAX_ANALYZED_MEMBERS = 16
 
 
 class BadArchive(ValueError):
     pass
 
 
-def read_archive(data: bytes) -> UnstructuredDoc:
-    attachments: List[Tuple[str, int]] = []
+def _iter_members(data: bytes):
+    """Yield (name, payload bytes) for each file member."""
     if data[:4] == b"PK\x03\x04":
         try:
             with zipfile.ZipFile(io.BytesIO(data)) as zf:
                 for info in zf.infolist():
                     if not info.is_dir():
-                        attachments.append((info.filename, info.file_size))
+                        yield info.filename, zf.read(info)
         except zipfile.BadZipFile as e:
             raise BadArchive(f"bad zip: {e}") from e
     elif data[:6] == b"Rar!\x1a\x07":
@@ -39,10 +42,44 @@ def read_archive(data: bytes) -> UnstructuredDoc:
             with tarfile.open(fileobj=io.BytesIO(data)) as tf:
                 for member in tf.getmembers():
                     if member.isfile():
-                        attachments.append((member.name, member.size))
+                        f = tf.extractfile(member)
+                        yield member.name, (f.read() if f else b"")
         except tarfile.TarError as e:
             raise BadArchive(f"bad tar: {e}") from e
-    doc = UnstructuredDoc()
+
+
+def read_archive(
+    data: bytes,
+    read_member: Optional[Callable[[str, bytes], UnstructuredDoc]] = None,
+) -> UnstructuredDoc:
+    """``read_member`` enables depth-1 content analysis (the reference's
+    recursive attachments_handler.py:31-81, bounded to one level and
+    MAX_ANALYZED_MEMBERS): each parseable member's lines join the document
+    (page_id = member index); unparseable members are listed only."""
+    attachments: List[Tuple[str, int]] = []
+    lines = []
+    tables = []
+    warnings: List[str] = []
+    analyzed = 0
+    for idx, (name, payload) in enumerate(_iter_members(data)):
+        attachments.append((name, len(payload)))
+        if read_member is None or analyzed >= MAX_ANALYZED_MEMBERS:
+            continue
+        try:
+            sub = read_member(name, payload)
+        except Exception:
+            warnings.append(f"member {name!r}: not parseable, listed only")
+            continue
+        analyzed += 1
+        for line in sub.lines:
+            line.metadata.page_id = idx
+        for t in sub.tables:
+            t.page_id = idx
+        lines.extend(sub.lines)
+        tables.extend(sub.tables)
+    doc = UnstructuredDoc(lines=lines, tables=tables)
     doc.attachments = attachments
-    doc.warnings = [f"archive with {len(attachments)} members"]
+    doc.warnings = [f"archive with {len(attachments)} members"] + warnings
+    if read_member is not None:
+        doc.warnings.append(f"content analysis parsed {analyzed} members")
     return doc

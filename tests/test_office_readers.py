@@ -207,3 +207,27 @@ def test_sniff_new_formats_by_extension_and_content():
         info.size = 0
         tf.addfile(info, io.BytesIO(b""))
     assert sniff_format("https://x/f", buf.getvalue()) == "archive"
+
+
+def test_archive_content_analysis():
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+    import pyarrow as pa
+
+    z = zip_bytes([
+        ("doc.html", "<html><body><p>member para</p></body></html>"),
+        ("notes.txt", "plain member text"),
+        ("blob.bin", b"\xff\xfe\xfa\x00".decode("latin-1")),
+    ])
+    batch = pa.Table.from_pydict({"url": ["https://x/a.zip"], "html": [z]})
+
+    plain = ExtractKernel()(batch).to_pylist()[0]
+    assert plain["extracted_text"] == ""
+    assert len(plain["attachments"]) == 3
+
+    deep = ExtractKernel(config=PipelineConfig(need_content_analysis=True))(batch).to_pylist()[0]
+    assert "member para" in deep["extracted_text"]
+    assert "plain member text" in deep["extracted_text"]
+    assert len(deep["attachments"]) == 3
+    assert any("content analysis parsed 2 members" in w for w in deep["warnings"])
+    assert any("blob.bin" in w for w in deep["warnings"])
