@@ -198,6 +198,21 @@ def q_extract_law(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_distinct_urls(sf_dir: str):
+    """Corpus set-op (§2.7): exact dedup by url over a doubled corpus (the
+    re-crawl scenario) — union → hash-partitioned first-wins, only the url
+    column ever shuffles."""
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    pages = _pages(sf_dir).select_columns(["url"])
+    doubled = pages.union(pages)
+
+    def first(df):
+        return df.drop_duplicates("url")
+
+    return hash_partition_apply(doubled, ["url"], first, num_parts=16)
+
+
 def q_top_urls(sf_dir: str):
     """Corpus sort+limit (§2.7): top-20 pages by payload size, deterministic
     tiebreak on url. ``Dataset.sort`` is the all-to-all demonstration; the
@@ -342,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_csv": q_extract_csv,
         "extract_law": q_extract_law,
         "top_urls": q_top_urls,
+        "distinct_urls": q_distinct_urls,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "exact_dedup": q_exact_dedup,
@@ -436,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
                        f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_rows FROM documents",
         "extract_law": f"SELECT {office_url.format(ext='txt')} AS url, "
                        f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
+        "distinct_urls": f"SELECT {_URL_SQL} AS url FROM documents",
     }
     return {
         "extract_roundtrip": _ROUNDTRIP_SQL,
