@@ -92,6 +92,34 @@ def run_flagship(sf_dir: str, repeat: int = 1, batch_size: int = 64, size_mult: 
     }
 
 
+def run_write_sink(sf_dir: str, repeat: int = 8) -> dict:
+    """End-to-end job shape: read → extract → write_parquet (the real sink,
+    partitioned output under /tmp) — write cost included in throughput."""
+    import shutil
+
+    import ray.data as rd
+
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth import pages_batch
+
+    out_dir = "/tmp/bench_write_sink"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = [os.path.join(sf_dir, "documents.parquet")] * repeat
+    pages = rd.read_parquet(paths, columns=["doc_id", "text", "lang", "source"]).map_batches(
+        pages_batch, batch_format="pyarrow"
+    )
+    t0 = time.time()
+    extract_pages(pages).write_parquet(out_dir)
+    elapsed = time.time() - t0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{out_dir}/*.parquet"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": round(elapsed, 3), "rows": rows, "docs_per_sec": round(rows / elapsed, 1)}
+
+
 def run_all(sf_dir: str, num_cpus: int) -> dict:
     import __ray_entry__ as e
 
@@ -106,6 +134,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         except Exception as exc:  # one broken query must not kill the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     flag = run_flagship(sf_dir, repeat=16)
+    sink = run_write_sink(sf_dir)
     return {
         "metric": "total_pipeline_sec",
         "value": round(sum(timings.values()), 3),
@@ -116,6 +145,8 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         "extract_sec": flag["sec"],
         "extract_docs_per_sec": flag["docs_per_sec"],
         "extract_mb_per_sec": flag["mb_per_sec"],
+        "extract_write_sec": sink["sec"],
+        "extract_write_docs_per_sec": sink["docs_per_sec"],
         **({"errors": errors} if errors else {}),
     }
 
