@@ -322,6 +322,12 @@ def q_lineitem_pricing(sf_dir: str):
     return lineitem_pricing(sf_dir)
 
 
+def q_events_sliding(sf_dir: str):
+    from dedoc_ray.ops.relational import events_sliding
+
+    return events_sliding(sf_dir)
+
+
 def q_events_hourly(sf_dir: str):
     from dedoc_ray.ops.relational import events_hourly
 
@@ -373,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": q_language_id,
         "lineitem_pricing": q_lineitem_pricing,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "segment_revenue": q_segment_revenue,
     }
 
@@ -430,7 +437,12 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL
-    from dedoc_ray.ops.relational import EVENTS_HOURLY_SQL, LINEITEM_PRICING_SQL, SEGMENT_REVENUE_SQL
+    from dedoc_ray.ops.relational import (
+        EVENTS_HOURLY_SQL,
+        LINEITEM_PRICING_SQL,
+        SEGMENT_REVENUE_SQL,
+        events_sliding_sql,
+    )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
@@ -472,5 +484,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_frames": AUDIO_FRAMES_SQL,
         "lineitem_pricing": LINEITEM_PRICING_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "events_sliding": events_sliding_sql(),
         "segment_revenue": SEGMENT_REVENUE_SQL,
     }

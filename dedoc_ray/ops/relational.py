@@ -140,3 +140,47 @@ GROUP BY 1
 def top_urls_by_size(extracted_ds, k: int = 20):
     """sort + limit demo on the extracted corpus (SURVEY.md §2.7)."""
     return extracted_ds.select_columns(["url", "n_bytes"]).sort("n_bytes", descending=True).limit(k)
+
+
+def events_sliding(sf_dir: str, window: int = 3):
+    """Sliding-window aggregate (custom operator class — Ray Data has no
+    native window op): trailing ``window``-row moving sums over the hourly
+    aggregate, per event_type.
+
+    The distributed shape: the tumbling aggregate first (small output), then
+    ONE hash-partition shuffle on event_type so each key's full hour series
+    is co-located, then a vectorized pandas rolling inside the partition —
+    windows never straddle partitions because the partition key is the
+    window's PARTITION BY key.
+    """
+    import pandas as pd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    hourly = events_hourly(sf_dir)
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ("event_type", "hour", "n_w", "value_milli_w")})
+        out = []
+        for _, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("hour").copy()
+            g["n_w"] = g["n"].rolling(window, min_periods=1).sum().astype("int64")
+            g["value_milli_w"] = g["value_milli"].rolling(window, min_periods=1).sum().astype("int64")
+            out.append(g)
+        return pd.concat(out)[["event_type", "hour", "n_w", "value_milli_w"]]
+
+    return hash_partition_apply(hourly, ["event_type"], roll, num_parts=8)
+
+
+def events_sliding_sql(window: int = 3) -> str:
+    return f"""
+WITH hourly AS ({EVENTS_HOURLY_SQL})
+SELECT event_type, hour,
+       CAST(sum(n) OVER w AS BIGINT) AS n_w,
+       CAST(sum(value_milli) OVER w AS BIGINT) AS value_milli_w
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+"""
