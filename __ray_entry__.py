@@ -334,6 +334,12 @@ def q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def q_asof_events_orders(sf_dir: str):
+    from dedoc_ray.ops.relational import asof_events_orders
+
+    return asof_events_orders(sf_dir)
+
+
 def q_segment_revenue(sf_dir: str):
     from dedoc_ray.ops.relational import segment_revenue
 
@@ -381,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "segment_revenue": q_segment_revenue,
+        "asof_events_orders": q_asof_events_orders,
     }
 
 
@@ -438,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL
     from dedoc_ray.ops.relational import (
+        ASOF_EVENTS_ORDERS_SQL,
         EVENTS_HOURLY_SQL,
         LINEITEM_PRICING_SQL,
         SEGMENT_REVENUE_SQL,
@@ -486,4 +494,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sliding": events_sliding_sql(),
         "segment_revenue": SEGMENT_REVENUE_SQL,
+        "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     }

@@ -184,3 +184,92 @@ FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+def asof_events_orders(sf_dir: str):
+    """AS-OF JOIN (custom operator — Ray Data has no native asof): each
+    event matched to the user's latest order with o_orderdate <= event date.
+
+    Distributed shape: both tables normalized to one tagged schema and
+    UNIONed, ONE hash-partition shuffle on the join key co-locates each
+    user's events and orders, then a vectorized ``pandas.merge_asof``
+    (backward, inclusive) per partition. Orders are deduped per (user, date)
+    keeping the max o_orderkey so ties are deterministic — the oracle
+    applies the same rule with arg_max.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(df["user_id"].astype("int64")),
+                "kind": pa.array(["e"] * len(df), "string"),
+                "when": pa.array(df["ts"].to_numpy().astype("datetime64[D]").astype("int64")),
+                "id": pa.array(df["event_id"].astype("int64")),
+                "price_cents": pa.array(np.zeros(len(df), dtype=np.int64)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(df["o_custkey"].astype("int64")),
+                "kind": pa.array(["o"] * len(df), "string"),
+                "when": pa.array(pd.to_datetime(df["o_orderdate"]).to_numpy().astype("datetime64[D]").astype("int64")),
+                "id": pa.array(df["o_orderkey"].astype("int64")),
+                "price_cents": pa.array(_cents(df["o_totalprice"])),
+            }
+        )
+
+    tagged = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in ("event_id", "user_id", "o_orderkey", "price_cents")})
+        evp = df[df["kind"] == "e"]
+        odp = df[df["kind"] == "o"]
+        if evp.empty or odp.empty:
+            return empty
+        # dedupe orders: max o_orderkey per (user, date), carrying its price
+        odp = odp.sort_values(["when", "id"]).groupby(["key", "when"], as_index=False).last()
+        evp = evp.sort_values("when", kind="mergesort")
+        odp = odp.sort_values("when", kind="mergesort")
+        m = pd.merge_asof(evp, odp, on="when", by="key", direction="backward", suffixes=("", "_o"))
+        m = m.dropna(subset=["id_o"])
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "event_id": m["id"].astype("int64"),
+                "user_id": m["key"].astype("int64"),
+                "o_orderkey": m["id_o"].astype("int64"),
+                "price_cents": m["price_cents_o"].astype("int64"),
+            }
+        )
+
+    return hash_partition_apply(tagged, ["key"], join_part, num_parts=16)
+
+
+ASOF_EVENTS_ORDERS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM events e
+ASOF JOIN o ON e.user_id = o.o_custkey AND CAST(e.ts AS DATE) >= o.o_orderdate
+"""
