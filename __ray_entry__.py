@@ -340,6 +340,12 @@ def q_asof_events_orders(sf_dir: str):
     return asof_events_orders(sf_dir)
 
 
+def q_range_join(sf_dir: str):
+    from dedoc_ray.ops.relational import range_join_events_orders
+
+    return range_join_events_orders(sf_dir)
+
+
 def q_segment_revenue(sf_dir: str):
     from dedoc_ray.ops.relational import segment_revenue
 
@@ -388,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "segment_revenue": q_segment_revenue,
         "asof_events_orders": q_asof_events_orders,
+        "range_join": q_range_join,
     }
 
 
@@ -450,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         LINEITEM_PRICING_SQL,
         SEGMENT_REVENUE_SQL,
         events_sliding_sql,
+        range_join_sql,
     )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL
 
@@ -495,4 +503,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": events_sliding_sql(),
         "segment_revenue": SEGMENT_REVENUE_SQL,
         "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
+        "range_join": range_join_sql(),
     }

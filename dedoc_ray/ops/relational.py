@@ -273,3 +273,78 @@ SELECT e.event_id, e.user_id, o.o_orderkey,
 FROM events e
 ASOF JOIN o ON e.user_id = o.o_custkey AND CAST(e.ts AS DATE) >= o.o_orderdate
 """
+
+
+def range_join_events_orders(sf_dir: str, window_days: int = 7):
+    """RANGE JOIN (custom operator): per event, how many of the user's orders
+    fall in the trailing ``window_days`` window [event_date - w, event_date].
+
+    Same distributed shape as the as-of join — tag+union, one key shuffle —
+    but the per-partition kernel is a windowed count via np.searchsorted on
+    each user's sorted order dates (left-join semantics: events with no
+    orders in range report 0).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(df["user_id"].astype("int64")),
+                "kind": pa.array(["e"] * len(df), "string"),
+                "when": pa.array(df["ts"].to_numpy().astype("datetime64[D]").astype("int64")),
+                "id": pa.array(df["event_id"].astype("int64")),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(df["o_custkey"].astype("int64")),
+                "kind": pa.array(["o"] * len(df), "string"),
+                "when": pa.array(pd.to_datetime(df["o_orderdate"]).to_numpy().astype("datetime64[D]").astype("int64")),
+                "id": pa.array(df["o_orderkey"].astype("int64")),
+            }
+        )
+
+    tagged = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"), "n_orders": pd.Series([], dtype="int64")})
+        evp = df[df["kind"] == "e"]
+        if evp.empty:
+            return empty
+        out_id = evp["id"].to_numpy("int64")
+        out_n = np.zeros(len(evp), dtype=np.int64)
+        odp = df[df["kind"] == "o"]
+        if not odp.empty:
+            pos = 0
+            for key, g in evp.groupby("key", sort=False):
+                dates = np.sort(odp.loc[odp["key"] == key, "when"].to_numpy("int64"))
+                w = g["when"].to_numpy("int64")
+                n = np.searchsorted(dates, w, side="right") - np.searchsorted(dates, w - window_days, side="left")
+                out_n[evp.index.get_indexer(g.index)] = n
+        return pd.DataFrame({"event_id": out_id, "n_orders": out_n})
+
+    return hash_partition_apply(tagged, ["key"], count_part, num_parts=16)
+
+
+def range_join_sql(window_days: int = 7) -> str:
+    return f"""
+SELECT e.event_id,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM events e
+LEFT JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND o.o_orderdate BETWEEN CAST(e.ts AS DATE) - {window_days} AND CAST(e.ts AS DATE)
+GROUP BY e.event_id
+"""
