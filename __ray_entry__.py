@@ -250,6 +250,35 @@ def q_doc_quality(sf_dir: str):
     return doc_quality(sf_dir)
 
 
+def q_gopher_quality(sf_dir: str):
+    from dedoc_ray.ops.textstats import gopher_quality
+
+    return gopher_quality(sf_dir)
+
+
+def q_winnow_stats(sf_dir: str):
+    """Winnowing fingerprints per doc (count; fingerprint values are
+    rows-only — rolling-hash selection isn't SQL-expressible)."""
+    from dedoc_ray.ops.fingerprint import winnow_fingerprints
+
+    ds = winnow_fingerprints(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().groupby("doc_id", as_index=False).size().rename(columns={"size": "n_fps"})
+        df["n_fps"] = df["n_fps"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+    import pandas as pd
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["n_fps"].sum()
+
+    return hash_partition_apply(ds.map_batches(partial, batch_format="pyarrow"), ["doc_id"], combine, num_parts=8)
+
+
 def q_exact_dedup(sf_dir: str):
     from dedoc_ray.ops.dedup import exact_dedup
 
@@ -378,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_urls": q_distinct_urls,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
+        "gopher_quality": q_gopher_quality,
+        "winnow_stats": q_winnow_stats,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -459,7 +490,7 @@ def oracle_sql() -> dict[str, str]:
         events_sliding_sql,
         range_join_sql,
     )
-    from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL
+    from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
     body = "replace(text, ' the ', chr(10)) || chr(10)"
@@ -490,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         # extract_full / minhash_lsh_pairs / simhash: rows-only (not SQL-expressible)
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
+        "gopher_quality": GOPHER_QUALITY_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": jaccard_pairs_sql(),
         "knn": knn_sql(),

@@ -123,3 +123,78 @@ SELECT doc_id,
             ELSE 'other' END AS lang_guess
 FROM toks
 """
+
+
+class GopherQualityKernel:
+    """Gopher-style quality filter rules (Rae et al. 2021, public) —
+    deterministic integer outputs so DuckDB can verify exactly:
+
+      r_wordcount: 50 <= n words <= 100000
+      r_wordlen:   3 <= mean word length*10 <= 100 (x10 to stay integral)
+      r_hashratio: '#' count * 10 <= n words
+      r_bullet:    lines starting with '-'/'*' <= 90% of lines
+      passes:      all rules hold
+    """
+
+    def __init__(self) -> None:
+        self.ws_re = WS_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        cols = {k: [] for k in ("r_wordcount", "r_wordlen", "r_hashratio", "r_bullet", "passes")}
+        for text in texts:
+            words = text.split()
+            n = len(words)
+            mean_len_x10 = (sum(len(w) for w in words) * 10) // n if n else 0
+            lines = text.splitlines() or [""]
+            n_bullet = sum(1 for ln in lines if ln.lstrip().startswith(("-", "*")))
+            r_wc = 1 if 50 <= n <= 100000 else 0
+            r_wl = 1 if 30 <= mean_len_x10 <= 100 else 0
+            r_hash = 1 if text.count("#") * 10 <= n else 0
+            r_bul = 1 if n_bullet * 10 <= 9 * len(lines) else 0
+            cols["r_wordcount"].append(r_wc)
+            cols["r_wordlen"].append(r_wl)
+            cols["r_hashratio"].append(r_hash)
+            cols["r_bullet"].append(r_bul)
+            cols["passes"].append(r_wc & r_wl & r_hash & r_bul)
+        out = {"doc_id": batch["doc_id"]}
+        out.update({k: pa.array(v, "int64") for k, v in cols.items()})
+        return pa.Table.from_pydict(out)
+
+
+def gopher_quality(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(GopherQualityKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+
+
+GOPHER_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+         regexp_split_to_array(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, lines,
+         CASE WHEN trim(text) = '' THEN 0 ELSE n_words END AS n,
+         CASE WHEN trim(text) = '' OR n_words = 0 THEN 0
+              ELSE (len(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '')) * 10) // n_words END AS mean_len_x10
+  FROM w
+)
+SELECT doc_id,
+       CAST(CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+       CAST(CASE WHEN mean_len_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+       CAST(CASE WHEN (len(text) - len(replace(text, '#', ''))) * 10 <= n THEN 1 ELSE 0 END AS BIGINT) AS r_hashratio,
+       CAST(CASE WHEN len(list_filter(lines, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%')) * 10
+                 <= 9 * greatest(len(lines), 1) THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+       CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len_x10 BETWEEN 30 AND 100
+                  AND (len(text) - len(replace(text, '#', ''))) * 10 <= n
+                  AND len(list_filter(lines, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%')) * 10
+                      <= 9 * greatest(len(lines), 1)
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM m
+"""

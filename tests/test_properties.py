@@ -90,3 +90,51 @@ def test_range_count_matches_naive(order_days, event_days, window):
     fast = np.searchsorted(dates, w, side="right") - np.searchsorted(dates, w - window, side="left")
     naive = [sum(1 for d in order_days if ew - window <= d <= ew) for ew in event_days]
     assert fast.tolist() == naive
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcdefgh ", min_size=30, max_size=60),
+       st.text(alphabet="ijklmnop ", min_size=0, max_size=20),
+       st.text(alphabet="qrstuvwx ", min_size=0, max_size=20))
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(common, pre, post):
+    """Schleimer et al.: documents sharing a substring of length >= w+k-1
+    share at least one selected fingerprint."""
+    from dedoc_ray.ops.fingerprint import _K_DEFAULT, _W_DEFAULT, _normalize, rolling_hashes, winnow
+
+    need = _W_DEFAULT + _K_DEFAULT - 1
+    if len(_normalize(common)) < need:
+        return
+    a = winnow(rolling_hashes(_normalize(pre + common), _K_DEFAULT), _W_DEFAULT)
+    b = winnow(rolling_hashes(_normalize(common + post), _K_DEFAULT), _W_DEFAULT)
+    assert len(set(a.tolist()) & set(b.tolist())) >= 1
+
+
+def test_winnow_empty_and_short_inputs():
+    import numpy as np
+
+    from dedoc_ray.ops.fingerprint import rolling_hashes, winnow
+
+    assert len(winnow(rolling_hashes(b"", 16))) == 0
+    assert len(winnow(rolling_hashes(b"short", 16))) == 0       # < k bytes
+    one = winnow(rolling_hashes(b"x" * 20, 16))                 # < w grams
+    assert len(one) == 1
+
+
+def test_gopher_rules_boundaries():
+    import pyarrow as pa
+
+    from dedoc_ray.ops.textstats import GopherQualityKernel
+
+    good = " ".join(["word"] * 60)                      # 60 words, mean len 4
+    short = "only three words"                          # < 50 words
+    hashy = " ".join(["word"] * 60) + " " + "#" * 30    # hash ratio fails
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array([1, 2, 3, 4], "int64"),
+         "text": pa.array([good, short, hashy, bullets], "string")}
+    )
+    out = GopherQualityKernel()(batch)
+    assert out["passes"].to_pylist() == [1, 0, 0, 0]
+    assert out["r_wordcount"].to_pylist() == [1, 0, 1, 0]
+    assert out["r_hashratio"].to_pylist() == [1, 1, 0, 1]
+    assert out["r_bullet"].to_pylist() == [1, 1, 1, 0]
