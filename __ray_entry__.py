@@ -369,6 +369,12 @@ def q_asof_events_orders(sf_dir: str):
     return asof_events_orders(sf_dir)
 
 
+def q_shipped_2000_revenue(sf_dir: str):
+    from dedoc_ray.ops.relational import shipped_2000_revenue
+
+    return shipped_2000_revenue(sf_dir)
+
+
 def q_range_join(sf_dir: str):
     from dedoc_ray.ops.relational import range_join_events_orders
 
@@ -426,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "asof_events_orders": q_asof_events_orders,
         "range_join": q_range_join,
+        "shipped_2000_revenue": q_shipped_2000_revenue,
     }
 
 
@@ -485,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.relational import (
         ASOF_EVENTS_ORDERS_SQL,
         EVENTS_HOURLY_SQL,
+        SHIPPED_2000_REVENUE_SQL,
         LINEITEM_PRICING_SQL,
         SEGMENT_REVENUE_SQL,
         events_sliding_sql,
@@ -536,4 +544,5 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": SEGMENT_REVENUE_SQL,
         "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
         "range_join": range_join_sql(),
+        "shipped_2000_revenue": SHIPPED_2000_REVENUE_SQL,
     }

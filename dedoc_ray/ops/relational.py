@@ -348,3 +348,42 @@ LEFT JOIN orders o
  AND o.o_orderdate BETWEEN CAST(e.ts AS DATE) - {window_days} AND CAST(e.ts AS DATE)
 GROUP BY e.event_id
 """
+
+
+def shipped_2000_revenue(sf_dir: str):
+    """Predicate + projection pushdown at the read (SURVEY.md 'prune at the
+    read'): only two columns and only year-2000 row groups leave storage —
+    the filter executes inside the parquet scan, not in a downstream stage.
+    Revenue per returnflag in cents."""
+    import datetime
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    lo = datetime.datetime(2000, 1, 1)
+    hi = datetime.datetime(2001, 1, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue_cents"] = _cents(df["l_extendedprice"])
+        g = df.groupby("l_returnflag", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = partials.groupby("l_returnflag", as_index=False)["revenue_cents"].sum()
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out
+
+
+SHIPPED_2000_REVENUE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+GROUP BY 1
+"""
