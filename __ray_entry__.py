@@ -127,6 +127,34 @@ def q_extract_docx(sf_dir: str):
     return _office_extract(sf_dir, "docx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_pdf_layout(sf_dir: str):
+    """Multi-column PDF reading order: two-column synthetic corpus whose ops
+    are emitted interleaved — only column-aware layout (columns left→right,
+    y-desc within a column) reproduces the oracle text byte-exactly."""
+    return _office_extract(sf_dir, "pdf2col").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_metadata(sf_dir: str):
+    """Document-level metadata columns (author/created/modified/title) from
+    docx core-properties — the metadata-extractor stage (SURVEY.md §2 /
+    reference base_metadata_extractor.py:33)."""
+    ds = _office_extract(sf_dir, "docx")
+
+    def cols(batch: pa.Table) -> pa.Table:
+        m = batch["metadata"].combine_chunks() if isinstance(batch["metadata"], pa.ChunkedArray) else batch["metadata"]
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "title": m.field("title"),
+                "author": m.field("author"),
+                "created": m.field("created"),
+                "modified": m.field("modified"),
+            }
+        )
+
+    return ds.map_batches(cols, batch_format="pyarrow")
+
+
 def q_extract_pptx(sf_dir: str):
     return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
 
@@ -216,8 +244,19 @@ def q_distinct_urls(sf_dir: str):
 def q_top_urls(sf_dir: str):
     """Corpus sort+limit (§2.7): top-20 pages by payload size, deterministic
     tiebreak on url. ``Dataset.sort`` is the all-to-all demonstration; the
-    input is pruned to two tiny columns before the shuffle."""
-    ds = _extracted(sf_dir).select_columns(["url", "n_bytes"])
+    input is pruned to two tiny columns before the shuffle. Restricted to
+    the simple-template classes (cls <= 5) so the byte counts are
+    SQL-reconstructable — full oracle instead of rows-only."""
+    import pyarrow.compute as pc
+
+    pages = _pages(sf_dir, cls_filter=lambda cls: cls <= 5)
+
+    def sizes(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"url": b["url"], "n_bytes": pc.cast(pc.binary_length(b["html"]), "int64")}
+        )
+
+    ds = pages.map_batches(sizes, batch_format="pyarrow")
     return ds.sort(["n_bytes", "url"], descending=[True, False]).limit(20)
 
 
@@ -328,9 +367,28 @@ def q_image_features(sf_dir: str):
 
 
 def q_image_thumbnails(sf_dir: str):
+    """Thumbnail stage: dim + pixel checksum per row. The synth image is
+    constant-valued (doc_id % 256), so the checksum is SQL-predictable —
+    the oracle verifies the resize actually sampled pixels."""
     from dedoc_ray.ops.multimodal import image_thumbnails
 
-    return image_thumbnails(sf_dir).select_columns(["doc_id", "thumb_dim"])
+    ds = image_thumbnails(sf_dir)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sums = [
+            int(np.frombuffer(t[8:], dtype=np.uint8).sum()) for t in b["thumb"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b["doc_id"],
+                "thumb_dim": b["thumb_dim"],
+                "thumb_sum": pa.array(sums, "int64"),
+            }
+        )
+
+    return ds.map_batches(checksum, batch_format="pyarrow")
 
 
 def q_audio_frames(sf_dir: str):
@@ -402,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_tables": q_extract_tables,
         "extract_full": q_extract_full,
         "extract_docx": q_extract_docx,
+        "extract_metadata": q_extract_metadata,
+        "extract_pdf_layout": q_extract_pdf_layout,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
         "extract_eml": q_extract_eml,
@@ -484,9 +544,38 @@ FROM documents
 WHERE doc_id % 10 = 6
 """
 
+# python html.escape (quote=True) replayed in SQL: & first, then < > " '
+_HTML_ESC = ("replace(replace(replace(replace(replace(t, '&', '&amp;'), '<', '&lt;'), "
+             "'>', '&gt;'), '\"', '&quot;'), chr(39), '&#x27;')")
+
+_TOP_URLS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, doc_id % 10 AS cls,
+         CASE WHEN doc_id % 997 = 0 THEN repeat(text || ' the ', 200) || text ELSE text END AS t
+  FROM documents WHERE doc_id % 10 <= 5
+),
+esc AS (SELECT doc_id, source, cls, {_HTML_ESC} AS e FROM base)
+SELECT 'https://synth.test/' || source || '/' || doc_id || '.html' AS url,
+       CAST(octet_length(encode(
+         CASE WHEN cls <= 3 THEN '<html><body><p>' || replace(e, ' the ', '</p><p>') || '</p></body></html>'
+              WHEN cls = 4 THEN '<html><body><div>' || replace(e, ' the ', '</div><div>') || '</div></body></html>'
+              ELSE '<html><body><h1>Document ' || doc_id || '</h1><p>' || e || '</p></body></html>' END
+       )) AS BIGINT) AS n_bytes
+FROM esc
+ORDER BY n_bytes DESC, url ASC
+LIMIT 20
+"""
+
+_IMAGE_THUMBNAILS_SQL = """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS thumb_dim,
+       CAST(64 * (doc_id % 256) AS BIGINT) AS thumb_sum
+FROM documents
+"""
+
 
 def oracle_sql() -> dict[str, str]:
-    from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql
+    from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql, simhash_sql
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL
     from dedoc_ray.ops.relational import (
@@ -502,9 +591,19 @@ def oracle_sql() -> dict[str, str]:
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
     body = "replace(text, ' the ', chr(10)) || chr(10)"
+    # byte-exact rendering of the synthetic numbered list (synth_office.DOCX_LIST_TEXT)
+    docx_list = ("'1. item one' || chr(10) || 'a) sub one' || chr(10) || "
+                 "'b) sub two' || chr(10) || '2. item two' || chr(10)")
     office_sql = {
         "extract_docx": f"SELECT {office_url.format(ext='docx')} AS url, 'ok' AS status, "
-                        f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+                        f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
+        "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                              f"{body} AS extracted_text FROM documents",
+        "extract_metadata": f"SELECT {office_url.format(ext='docx')} AS url, "
+                            f"'Document ' || doc_id AS title, "
+                            f"'synth-author-' || (doc_id % 5) AS author, "
+                            f"'2024-01-01T00:00:00Z' AS created, "
+                            f"'2024-01-02T00:00:00Z' AS modified FROM documents",
         "extract_pptx": f"SELECT {office_url.format(ext='pptx')} AS url, 'ok' AS status, "
                         f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_eml": f"SELECT {office_url.format(ext='eml')} AS url, 'ok' AS status, "
@@ -526,16 +625,21 @@ def oracle_sql() -> dict[str, str]:
         "extract_counts": _COUNTS_SQL,
         "extract_tables": _TABLES_SQL,
         **office_sql,
-        # extract_full / minhash_lsh_pairs / simhash: rows-only (not SQL-expressible)
+        "top_urls": _TOP_URLS_SQL,
+        # extract_full / minhash_lsh_pairs / winnow_stats: rows-only (LSH
+        # candidates and rolling-hash winnowing are not SQL-expressible;
+        # extract_full spans the rich template class)
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "gopher_quality": GOPHER_QUALITY_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": jaccard_pairs_sql(),
+        "simhash": simhash_sql(),
         "knn": knn_sql(),
         "embedding_neardup": embedding_neardup_sql(),
-        # knn_ivf / image_thumbnails / language_id: rows-only (ANN probing,
-        # binary payloads, rank-profile distance are not SQL-expressible)
+        # knn_ivf / language_id: rows-only (ANN probing and rank-profile
+        # distance are not SQL-expressible)
+        "image_thumbnails": _IMAGE_THUMBNAILS_SQL,
         "image_features": IMAGE_FEATURES_SQL,
         "audio_frames": AUDIO_FRAMES_SQL,
         "lineitem_pricing": LINEITEM_PRICING_SQL,

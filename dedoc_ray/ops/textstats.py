@@ -15,7 +15,9 @@ import re
 import pyarrow as pa
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
-WS_RE = re.compile(r"\s+")
+# Pinned to RE2's ASCII \s class ([\t\n\f\r ]) so the DuckDB oracles (which
+# run RE2 '\s+') agree byte-for-byte even on \xa0 / \v / unicode whitespace.
+WS_RE = re.compile(r"[ \t\n\f\r]+")
 CYRILLIC_RE = re.compile(r"[Ѐ-ӿ]")
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -40,7 +42,9 @@ class DocStatsKernel:
             n_tokens.append(len(toks))
             n_stop.append(sum(1 for t in toks if t in self.stop))
             tok_chars.append(sum(len(t) for t in toks))
-            normalized = self.ws_re.sub(" ", text.lower()).strip()
+            # strip(" ") not strip(): DuckDB trim() removes spaces only, and
+            # after the ASCII-\s collapse the edges are single spaces anyway
+            normalized = self.ws_re.sub(" ", text.lower()).strip(" ")
             fps.append(hashlib.md5(normalized.encode("utf-8")).hexdigest())
         return pa.Table.from_pydict(
             {
@@ -143,11 +147,14 @@ class GopherQualityKernel:
         texts = batch["text"].to_pylist()
         cols = {k: [] for k in ("r_wordcount", "r_wordlen", "r_hashratio", "r_bullet", "passes")}
         for text in texts:
-            words = text.split()
+            # words/lines pinned to the SQL oracle's definitions exactly:
+            # words split on RE2-\s ([ \t\n\f\r]+), lines split on '\n' only,
+            # bullet-lstrip on space+tab only (DuckDB ltrim(x, ' '||chr(9)))
+            words = [w for w in self.ws_re.split(text) if w]
             n = len(words)
             mean_len_x10 = (sum(len(w) for w in words) * 10) // n if n else 0
-            lines = text.splitlines() or [""]
-            n_bullet = sum(1 for ln in lines if ln.lstrip().startswith(("-", "*")))
+            lines = text.split("\n")
+            n_bullet = sum(1 for ln in lines if ln.lstrip(" \t").startswith(("-", "*")))
             r_wc = 1 if 50 <= n <= 100000 else 0
             r_wl = 1 if 30 <= mean_len_x10 <= 100 else 0
             r_hash = 1 if text.count("#") * 10 <= n else 0
@@ -170,31 +177,29 @@ def gopher_quality(sf_dir: str):
 
 
 GOPHER_QUALITY_SQL = """
-WITH w AS (
+WITH m AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
-         CASE WHEN len(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS tot_chars,
          regexp_split_to_array(text, chr(10)) AS lines
   FROM documents
 ),
-m AS (
-  SELECT doc_id, text, lines,
-         CASE WHEN trim(text) = '' THEN 0 ELSE n_words END AS n,
-         CASE WHEN trim(text) = '' OR n_words = 0 THEN 0
-              ELSE (len(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '')) * 10) // n_words END AS mean_len_x10
-  FROM w
+r AS (
+  SELECT doc_id, n, lines,
+         CASE WHEN n = 0 THEN 0 ELSE (tot_chars * 10) // n END AS mean_len_x10,
+         len(list_filter(lines, x -> ltrim(x, ' ' || chr(9)) LIKE '-%'
+                                   OR ltrim(x, ' ' || chr(9)) LIKE '*%')) AS n_bullet,
+         len(lines) AS n_lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash
+  FROM m
 )
 SELECT doc_id,
        CAST(CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
        CAST(CASE WHEN mean_len_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
-       CAST(CASE WHEN (len(text) - len(replace(text, '#', ''))) * 10 <= n THEN 1 ELSE 0 END AS BIGINT) AS r_hashratio,
-       CAST(CASE WHEN len(list_filter(lines, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%')) * 10
-                 <= 9 * greatest(len(lines), 1) THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+       CAST(CASE WHEN n_hash * 10 <= n THEN 1 ELSE 0 END AS BIGINT) AS r_hashratio,
+       CAST(CASE WHEN n_bullet * 10 <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
        CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len_x10 BETWEEN 30 AND 100
-                  AND (len(text) - len(replace(text, '#', ''))) * 10 <= n
-                  AND len(list_filter(lines, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%')) * 10
-                      <= 9 * greatest(len(lines), 1)
+                  AND n_hash * 10 <= n AND n_bullet * 10 <= 9 * n_lines
              THEN 1 ELSE 0 END AS BIGINT) AS passes
-FROM m
+FROM r
 """

@@ -121,6 +121,7 @@ class ExtractKernel:
             "annotations": [],
             "tables": [],
             "attachments": [],
+            "metadata": {k: "" for k in ("title", "author", "created", "modified", "subject")},
             "warnings": [],
             "error_msg": "",
         }
@@ -130,17 +131,33 @@ class ExtractKernel:
             return out
         try:
             doc = self.read_document(fmt, data)
+            if fmt in ("pdf", "docx") and doc.tables:
+                from dedoc_ray.core.object_linker import link_line_objects
+                from dedoc_ray.core.table import merge_multipage_tables
+
+                if fmt == "pdf":
+                    # reference merges page-spanning tables before linking
+                    # (pdf_base_reader.py:140)
+                    doc.tables = merge_multipage_tables(doc.tables)
+                link_line_objects(doc.lines, doc.tables)
             if self.config.need_header_footer_analysis and fmt == "pdf":
                 from dedoc_ray.readers.header_footer import remove_headers_footers
 
                 doc.lines, hf_warnings = remove_headers_footers(doc.lines)
                 doc.warnings.extend(hf_warnings)
             lines = extract_structure(doc.lines, self.patterns)
+            if self.config.document_type != "other":
+                from dedoc_ray.structure.postprocess import split_for_document_type
+
+                # item/subitem prefix splitting — reference concrete domain
+                # extractors only (abstract_structure_extractor.py:41-113)
+                lines = split_for_document_type(self.config.document_type, lines)
             root = self.constructor(lines)
             flat = flatten_tree(root)
             out.update(flat)
             out["warnings"] = doc.warnings
             out["attachments"] = [{"name": n, "size": s} for n, s in doc.attachments]
+            out["metadata"] = doc.metadata
             out["tables"] = [
                 {
                     "page_id": t.page_id,
@@ -190,6 +207,7 @@ class ExtractKernel:
             cols["annotations"].append(row["annotations"])
             cols["tables"].append(row["tables"])
             cols["attachments"].append(row["attachments"])
+            cols["metadata"].append(row["metadata"])
             cols["warnings"].append(row["warnings"])
             cols["error_msg"].append(row["error_msg"])
             cols["n_nodes"].append(len(row["nodes"]))

@@ -61,6 +61,18 @@ ATTACHMENT_TYPE = pa.struct(
     ]
 )
 
+# document-level metadata (reference base_metadata_extractor.py:33 +
+# docx core-properties / eml headers); empty strings when absent
+METADATA_TYPE = pa.struct(
+    [
+        ("title", pa.string()),
+        ("author", pa.string()),
+        ("created", pa.string()),
+        ("modified", pa.string()),
+        ("subject", pa.string()),
+    ]
+)
+
 EXTRACTED_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -73,6 +85,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("annotations", pa.list_(ANNOTATION_TYPE)),
         ("tables", pa.list_(TABLE_TYPE)),
         ("attachments", pa.list_(ATTACHMENT_TYPE)),
+        ("metadata", METADATA_TYPE),
         ("warnings", pa.list_(pa.string())),
         ("error_msg", pa.string()),
         ("n_nodes", pa.int32()),

@@ -14,8 +14,13 @@ from dedoc_ray.core.line import LineWithMeta
 from dedoc_ray.core.table import Table
 
 
+#: fixed metadata keys every reader may fill (reference
+#: base_metadata_extractor.py:33 + per-format extractors)
+METADATA_KEYS = ("title", "author", "created", "modified", "subject")
+
+
 class UnstructuredDoc:
-    __slots__ = ("lines", "tables", "warnings", "attachments")
+    __slots__ = ("lines", "tables", "warnings", "attachments", "metadata")
 
     def __init__(
         self,
@@ -23,6 +28,7 @@ class UnstructuredDoc:
         tables: Optional[List[Table]] = None,
         warnings: Optional[List[str]] = None,
         attachments: Optional[List[tuple]] = None,
+        metadata: Optional[dict] = None,
     ) -> None:
         self.lines = lines if lines is not None else []
         self.tables = tables if tables is not None else []
@@ -30,3 +36,7 @@ class UnstructuredDoc:
         # (name, size) pairs — the row-carried analogue of the reference's
         # AttachedFile temp files (attached_file.py)
         self.attachments = attachments if attachments is not None else []
+        # document-level metadata columns (title/author/created/modified/subject)
+        self.metadata = {k: "" for k in METADATA_KEYS}
+        if metadata:
+            self.metadata.update({k: v for k, v in metadata.items() if k in self.metadata})

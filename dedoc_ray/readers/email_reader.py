@@ -78,7 +78,17 @@ def read_eml(data: bytes) -> UnstructuredDoc:
         else:
             payload = _decode_part(part)
             attachments.append((filename or f"part_{part_id}", len(payload)))
-    doc = UnstructuredDoc(lines=lines, tables=tables)
+    doc = UnstructuredDoc(
+        lines=lines,
+        tables=tables,
+        # header-fields metadata (reference writes a header json attachment —
+        # email_reader.py; we surface the common fields as columns)
+        metadata={
+            "title": subject,
+            "author": str(msg.get("From", "") or ""),
+            "created": str(msg.get("Date", "") or ""),
+        },
+    )
     doc.attachments = attachments
     return doc
 

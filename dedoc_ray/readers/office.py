@@ -65,8 +65,17 @@ def _cell_lines(text: str) -> List[LineWithMeta]:
 # --------------------------------------------------------------------- docx
 
 
-def _docx_paragraph(p: ElementTree.Element, page_id: int, line_id: int) -> LineWithMeta:
-    """One w:p → LineWithMeta with run-level style annotations."""
+def _docx_paragraph(
+    p: ElementTree.Element,
+    page_id: int,
+    line_id: int,
+    numbering: Optional["NumberingEngine"] = None,
+    styles: Optional["StylesDb"] = None,
+) -> LineWithMeta:
+    """One w:p → LineWithMeta with run-level style annotations and, for list
+    paragraphs, the rendered numbering prefix ("1.\\t", "a)\\t", bullets —
+    reference numbering_extractor.py inserts the numbering text as a leading
+    run; we prepend it and shift run annotations accordingly)."""
     texts: List[str] = []
     annotations: List[Annotation] = []
     pos = 0
@@ -86,19 +95,48 @@ def _docx_paragraph(p: ElementTree.Element, page_id: int, line_id: int) -> LineW
         texts.append(run_text)
         pos = end
 
-    # paragraph-level unit → trailing newline, like the HTML kernel's
-    # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
-    text = "".join(texts) + "\n"
     ppr = p.find(f"{W}pPr")
     tag_hl: Optional[HierarchyLevel] = None
+    style_id = ""
+    num_ref: Optional[Tuple[str, str]] = None
+    bare_list_depth: Optional[int] = None  # numPr without a resolvable numId
     if ppr is not None:
         style = ppr.find(f"{W}pStyle")
-        val = style.get(f"{W}val", "") if style is not None else ""
-        m = _HEADING_RE.match(val)
-        if m:
-            tag_hl = HierarchyLevel(1, int(m.group(1)), False, HierarchyLevel.header)
-        elif ppr.find(f"{W}numPr") is not None:
-            tag_hl = HierarchyLevel(2, 1, False, HierarchyLevel.list_item)
+        style_id = style.get(f"{W}val", "") if style is not None else ""
+        numpr = ppr.find(f"{W}numPr")
+        if numpr is not None:
+            num_el = numpr.find(f"{W}numId")
+            ilvl_el = numpr.find(f"{W}ilvl")
+            ilvl_val = ilvl_el.get(f"{W}val", "0") if ilvl_el is not None else "0"
+            if num_el is not None:
+                num_ref = (num_el.get(f"{W}val", ""), ilvl_val)
+            else:
+                bare_list_depth = int(ilvl_val) + 1 if ilvl_val.isdigit() else 1
+    if num_ref is None and style_id and styles is not None:
+        num_ref = styles.numbering_of(style_id)
+
+    heading: Optional[int] = None
+    if style_id:
+        if styles is not None:
+            heading = styles.heading_depth(style_id)
+        if heading is None:
+            m = _HEADING_RE.match(style_id)
+            heading = int(m.group(1)) if m else None
+
+    prefix = ""
+    if heading is not None:
+        tag_hl = HierarchyLevel(1, heading, False, HierarchyLevel.header)
+    elif num_ref is not None or bare_list_depth is not None:
+        depth = bare_list_depth or 1
+        if num_ref is not None and numbering is not None:
+            prefix, depth = numbering.prefix(*num_ref)
+        tag_hl = HierarchyLevel(2, depth, False, HierarchyLevel.list_item)
+        if prefix:
+            annotations = [a.shifted(len(prefix)) for a in annotations]
+
+    # paragraph-level unit → trailing newline, like the HTML kernel's
+    # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
+    text = prefix + "".join(texts) + "\n"
     metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=tag_hl)
     return LineWithMeta(text, metadata=metadata, annotations=annotations)
 
@@ -143,7 +181,37 @@ def _docx_table(tbl: ElementTree.Element, page_id: int, uid: str) -> Table:
     return Table(grid, page_id=page_id, uid=uid)
 
 
+_CP = "{http://schemas.openxmlformats.org/package/2006/metadata/core-properties}"
+_DC = "{http://purl.org/dc/elements/1.1/}"
+_DCTERMS = "{http://purl.org/dc/terms/}"
+
+
+def _core_properties(zf: zipfile.ZipFile) -> Dict[str, str]:
+    """docProps/core.xml → title/author/created/modified/subject columns
+    (reference base_metadata_extractor.py:33 + docx core-properties)."""
+    meta = {"title": "", "author": "", "created": "", "modified": "", "subject": ""}
+    try:
+        root = _xml(zf, "docProps/core.xml")
+    except BadOfficeFile:
+        return meta
+    if root is None:
+        return meta
+    for tag, key in (
+        (f"{_DC}title", "title"),
+        (f"{_DC}creator", "author"),
+        (f"{_DC}subject", "subject"),
+        (f"{_DCTERMS}created", "created"),
+        (f"{_DCTERMS}modified", "modified"),
+    ):
+        el = root.find(tag)
+        if el is not None and el.text:
+            meta[key] = el.text
+    return meta
+
+
 def read_docx(data: bytes) -> UnstructuredDoc:
+    from dedoc_ray.readers.docx_numbering import NumberingEngine, StylesDb
+
     zf = _open_zip(data)
     root = _xml(zf, "word/document.xml")
     if root is None:
@@ -151,16 +219,20 @@ def read_docx(data: bytes) -> UnstructuredDoc:
     body = root.find(f"{W}body")
     if body is None:
         raise BadOfficeFile("no w:body")
+    numbering = NumberingEngine(_xml(zf, "word/numbering.xml"))
+    styles = StylesDb(_xml(zf, "word/styles.xml"))
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = 0
     for child in body:
         if child.tag == f"{W}p":
-            lines.append(_docx_paragraph(child, page_id=0, line_id=line_id))
+            lines.append(_docx_paragraph(child, page_id=0, line_id=line_id, numbering=numbering, styles=styles))
             line_id += 1
         elif child.tag == f"{W}tbl":
-            tables.append(_docx_table(child, page_id=0, uid=f"table_{len(tables)}"))
-    return UnstructuredDoc(lines=lines, tables=tables)
+            tbl = _docx_table(child, page_id=0, uid=f"table_{len(tables)}")
+            tbl.order = line_id  # document-order anchor for line↔table linking
+            tables.append(tbl)
+    return UnstructuredDoc(lines=lines, tables=tables, metadata=_core_properties(zf))
 
 
 # --------------------------------------------------------------------- xlsx

@@ -104,6 +104,41 @@ def _iter_text_ops(block: bytes):
             stack_nums = []
 
 
+def _split_columns(ops: List[Tuple[float, float, str, float, str]], gap: float = 90.0):
+    """Partition text ops into columns by 1-D clustering of x starts: any
+    empty x-band wider than ``gap`` points separates columns (the multi-
+    column analogue of pdfminer LAParams boxes_flow column detection —
+    pdfminer_extractor.py:40-318). Returns columns left→right; a single
+    column for ordinary pages (indents are far below the gap threshold)."""
+    xs = sorted({op[0] for op in ops})
+    bounds = [(a + b) / 2 for a, b in zip(xs, xs[1:]) if b - a > gap]
+    if not bounds:
+        return [ops]
+    cols: List[List[Tuple[float, float, str, float, str]]] = [[] for _ in range(len(bounds) + 1)]
+    for op in ops:
+        cols[sum(op[0] > b for b in bounds)].append(op)
+    return cols
+
+
+def _group_lines(ops: List[Tuple[float, float, str, float, str]], line_margin: float = 2.0):
+    """Merge ops whose baselines are within ``line_margin`` into one visual
+    line, fragments ordered by x (LAParams line_margin/char grouping
+    analogue). Input must already be column-local."""
+    ops_sorted = sorted(ops, key=lambda t: (-t[1], t[0]))
+    groups: List[List[Tuple[float, float, str, float, str]]] = []
+    for op in ops_sorted:
+        if groups and abs(groups[-1][0][1] - op[1]) <= line_margin:
+            groups[-1].append(op)
+        else:
+            groups.append([op])
+    lines = []
+    for g in groups:
+        g.sort(key=lambda t: t[0])
+        x, y, font, size = g[0][0], g[0][1], g[0][2], max(t[3] for t in g)
+        lines.append((x, y, font, size, "".join(t[4] for t in g)))
+    return lines
+
+
 def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
     """``pages``: (start, stop) 0-based page slice — the reference's
     ``pages="first:last"`` knob (parameter_utils.py:111-129, applied
@@ -129,22 +164,34 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc
             page_id += 1
             saw_text = True  # text exists, just outside the requested slice
             continue
-        page_lines: List[Tuple[float, float, str, float, str]] = []
+        page_ops: List[Tuple[float, float, str, float, str]] = []
         for block in blocks:
-            page_lines.extend(_iter_text_ops(block))
-        page_lines.sort(key=lambda t: (-t[1], t[0]))  # y desc, x asc (pdfminer order)
-        for x, y, font, size, text in page_lines:
-            if not text:
-                continue
-            saw_text = True
-            annotations = [Annotation(0, len(text), AN.size, str(size))]
-            if "bold" in font.lower():
-                annotations.append(Annotation(0, len(text), AN.bold, "True"))
-            metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
-            lines.append(
-                LineWithMeta(line=text + "\n", metadata=metadata, annotations=annotations, uid=f"pdf_{file_hash}_{line_id}")
-            )
-            line_id += 1
+            page_ops.extend(op for op in _iter_text_ops(block) if op[4])
+        # columns left→right, LAParams-style line grouping within each,
+        # y desc inside a column (multi-column reading order)
+        for col_ops in _split_columns(page_ops):
+            for x, y, font, size, text in _group_lines(col_ops):
+                saw_text = True
+                annotations = [Annotation(0, len(text), AN.size, str(size))]
+                if "bold" in font.lower():
+                    annotations.append(Annotation(0, len(text), AN.bold, "True"))
+                # word-level bbox estimate: monospace-ish advance of 0.6 em
+                # (real glyph metrics need font files; the plumbing — offsets
+                # + per-word spans — is what downstream linking consumes)
+                cursor = 0
+                for word in text.split(" "):
+                    if word:
+                        wx = x + 0.6 * size * cursor
+                        annotations.append(
+                            Annotation(cursor, cursor + len(word), "bounding box",
+                                       f"({wx:.1f},{y:.1f},{0.6 * size * len(word):.1f},{size:.1f})")
+                        )
+                    cursor += len(word) + 1
+                metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
+                lines.append(
+                    LineWithMeta(line=text + "\n", metadata=metadata, annotations=annotations, uid=f"pdf_{file_hash}_{line_id}")
+                )
+                line_id += 1
         page_id += 1
     if not saw_text:
         raise ValueError("PDF has no text layer (OCR path not available)")
@@ -153,12 +200,17 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc
 
 def read_pdf_auto(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
-    (pdf_auto_reader.py:7-153): try the text layer; a PDF without one routes
-    to the OCR path, which is STUBBED in this container (no Tesseract /
-    torch) — the row comes back empty with an explicit warning instead of
-    failing, so a corpus with scanned PDFs still streams through."""
+    (pdf_auto_reader.py:7-153): extract the text layer, then the trained
+    txtlayer classifier decides whether it is CORRECT readable text
+    (reference txtlayer_classifier.py:46-61); a missing or garbage layer
+    routes to the OCR path, which is STUBBED in this container (no
+    Tesseract / torch) — the row comes back empty with an explicit warning
+    instead of failing, so a corpus with scanned PDFs still streams
+    through."""
+    from dedoc_ray.readers.txtlayer import TxtlayerClassifier
+
     try:
-        return read_pdf_textlayer(data, pages=pages)
+        doc = read_pdf_textlayer(data, pages=pages)
     except ValueError as e:
         if "no text layer" not in str(e):
             raise
@@ -166,3 +218,10 @@ def read_pdf_auto(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
             lines=[],
             warnings=["pdf without text layer: OCR stage stubbed (no tesseract in container)"],
         )
+    text = "".join(line.line for line in doc.lines)
+    if text and not TxtlayerClassifier().is_correct(text):
+        return UnstructuredDoc(
+            lines=[],
+            warnings=["pdf text layer classified incorrect: OCR stage stubbed (no tesseract in container)"],
+        )
+    return doc

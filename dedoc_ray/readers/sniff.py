@@ -83,7 +83,7 @@ def sniff_format(url: str, data: bytes) -> str:
         return "mhtml"
     if _TAG_RE.search(head):
         return "html"
-    if _MAIL_HEADER_RE.search(head[:1024]) and b"\n\n" in data[:8192] + b"\n\n":
+    if _MAIL_HEADER_RE.search(head[:1024]) and (b"\n\n" in data[:8192] or b"\r\n\r\n" in data[:8192]):
         # rfc822-looking header block (reference sniffs mime via libmagic)
         if head.count(b":") >= 2 and _MAIL_HEADER_RE.match(head):
             return "eml"

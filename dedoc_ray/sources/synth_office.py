@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import io
 import zipfile
-from typing import Callable, Dict
+from typing import Callable, Dict, List
 from xml.sax.saxutils import escape
 
 import pyarrow as pa
@@ -36,14 +36,70 @@ def _zip_bytes(entries) -> bytes:
     return buf.getvalue()
 
 
+_DOCX_NUMBERING = f"""<?xml version="1.0"?>
+<w:numbering {_W}>
+  <w:abstractNum w:abstractNumId="0">
+    <w:lvl w:ilvl="0"><w:start w:val="1"/><w:numFmt w:val="decimal"/>
+      <w:lvlText w:val="%1."/><w:suff w:val="space"/></w:lvl>
+    <w:lvl w:ilvl="1"><w:start w:val="1"/><w:numFmt w:val="lowerLetter"/>
+      <w:lvlText w:val="%2)"/><w:suff w:val="space"/></w:lvl>
+  </w:abstractNum>
+  <w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
+</w:numbering>"""
+
+_DOCX_STYLES = f"""<?xml version="1.0"?>
+<w:styles {_W}>
+  <w:style w:type="paragraph" w:styleId="Heading1"><w:name w:val="heading 1"/></w:style>
+  <w:style w:type="paragraph" w:styleId="ListParagraph"><w:name w:val="List Paragraph"/></w:style>
+</w:styles>"""
+
+#: byte-exact expected rendering of the numbered list below (the DuckDB
+#: oracle appends this constant — keep in sync with _docx_list_paras)
+DOCX_LIST_TEXT = "1. item one\na) sub one\nb) sub two\n2. item two\n"
+
+
+def _docx_list_paras() -> List[str]:
+    items = [("item one", 0), ("sub one", 1), ("sub two", 1), ("item two", 0)]
+    return [
+        f'<w:p><w:pPr><w:pStyle w:val="ListParagraph"/><w:numPr><w:ilvl w:val="{ilvl}"/>'
+        f'<w:numId w:val="1"/></w:numPr></w:pPr>'
+        f'<w:r><w:t xml:space="preserve">{escape(t)}</w:t></w:r></w:p>'
+        for t, ilvl in items
+    ]
+
+
+def _docx_core_xml(doc_id: int) -> str:
+    return (
+        '<?xml version="1.0"?>'
+        '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/">'
+        f"<dc:title>Document {doc_id}</dc:title>"
+        f"<dc:creator>synth-author-{doc_id % 5}</dc:creator>"
+        "<dc:subject>corpus</dc:subject>"
+        "<dcterms:created>2024-01-01T00:00:00Z</dcterms:created>"
+        "<dcterms:modified>2024-01-02T00:00:00Z</dcterms:modified>"
+        "</cp:coreProperties>"
+    )
+
+
 def docx_bytes(doc_id: int, text: str) -> bytes:
-    """Heading 'Document {id}' + one paragraph per ' the '-chunk.
-    Expected extracted text: 'Document {id}\n' + replace(text,' the ','\n') + '\n'."""
+    """Heading 'Document {id}' + one paragraph per ' the '-chunk + a 2-level
+    numbered list (decimal / lowerLetter via word/numbering.xml) + core
+    properties. Expected extracted text:
+    'Document {id}\n' + replace(text,' the ','\n') + '\n' + DOCX_LIST_TEXT."""
     paras = [f'<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t xml:space="preserve">Document {doc_id}</w:t></w:r></w:p>']
     for c in chunks_of(text):
         paras.append(f'<w:p><w:r><w:t xml:space="preserve">{escape(c)}</w:t></w:r></w:p>')
+    paras.extend(_docx_list_paras())
     xml = f'<?xml version="1.0"?><w:document {_W}><w:body>{"".join(paras)}</w:body></w:document>'
-    return _zip_bytes([("word/document.xml", xml)])
+    return _zip_bytes(
+        [
+            ("word/document.xml", xml),
+            ("word/numbering.xml", _DOCX_NUMBERING),
+            ("word/styles.xml", _DOCX_STYLES),
+            ("docProps/core.xml", _docx_core_xml(doc_id)),
+        ]
+    )
 
 
 def xlsx_bytes(doc_id: int, text: str) -> bytes:
@@ -103,6 +159,30 @@ def archive_bytes(doc_id: int, text: str) -> bytes:
     return _zip_bytes([("body.txt", text.encode("utf-8")), ("meta.txt", "12345678")])
 
 
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def pdf_twocol_bytes(doc_id: int, text: str) -> bytes:
+    """Two-column text-layer PDF: first half of the chunks in the left
+    column (x=72), second half in the right (x=322), ops EMITTED INTERLEAVED
+    with the right column's baselines offset so a naive global y-sort would
+    interleave the columns — only column-aware reading order reproduces
+    replace(text,' the ','\\n') + '\\n'."""
+    chunks = chunks_of(text)
+    k = (len(chunks) + 1) // 2
+    left, right = chunks[:k], chunks[k:]
+    ops = []
+    for i in range(max(len(left), len(right))):
+        if i < len(left):
+            ops.append(f"BT /F1 12 Tf 72 {760 - 28 * i} Td ({_pdf_escape(left[i])}) Tj ET")
+        if i < len(right):
+            ops.append(f"BT /F1 12 Tf 322 {746 - 28 * i} Td ({_pdf_escape(right[i])}) Tj ET")
+    content = "\n".join(ops).encode("latin-1", errors="replace")
+    return (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+            + b" >> stream\n" + content + b"\nendstream endobj\ntrailer\n%%EOF")
+
+
 def law_bytes(doc_id: int, text: str) -> bytes:
     """Plain-text legal doc: one Chapter header, one 'Article i' per chunk
     (content lines prefixed 'text:' so they can never match a structure
@@ -123,7 +203,10 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "zip": archive_bytes,
     "csv": csv_bytes,
     "law": law_bytes,
+    "pdf2col": pdf_twocol_bytes,
 }
+
+_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:
@@ -131,7 +214,7 @@ def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:
     gen = _GENERATORS[fmt]
     urls, payloads = [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        ext = "txt" if fmt == "law" else fmt
+        ext = _EXT_OVERRIDE.get(fmt, fmt)
         urls.append(f"https://synth.test/office/{doc_id}.{ext}")
         payloads.append(gen(doc_id, text))
     return pa.Table.from_pydict(
