@@ -127,6 +127,24 @@ def q_extract_docx(sf_dir: str):
     return _office_extract(sf_dir, "docx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_docx_attachments(sf_dir: str):
+    """Embedded-media attachment manifest per docx (recursive-attachments
+    row — reference attachments_handler semantics, row-carried)."""
+    ds = _office_extract(sf_dir, "docx")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        atts = batch["attachments"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_attachments": pa.array([len(a) for a in atts], "int64"),
+                "total_size": pa.array([sum(x["size"] for x in a) for a in atts], "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_pdf_layout(sf_dir: str):
     """Multi-column PDF reading order: two-column synthetic corpus whose ops
     are emitted interleaved — only column-aware layout (columns left→right,
@@ -462,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docx": q_extract_docx,
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
+        "docx_attachments": q_docx_attachments,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
         "extract_eml": q_extract_eml,
@@ -599,6 +618,9 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
         "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                               f"{body} AS extracted_text FROM documents",
+        "docx_attachments": f"SELECT {office_url.format(ext='docx')} AS url, "
+                            f"CAST(1 AS BIGINT) AS n_attachments, "
+                            f"CAST(doc_id % 7 + 3 AS BIGINT) AS total_size FROM documents",
         "extract_metadata": f"SELECT {office_url.format(ext='docx')} AS url, "
                             f"'Document ' || doc_id AS title, "
                             f"'synth-author-' || (doc_id % 5) AS author, "

@@ -341,12 +341,15 @@ class ShingleSetKernel:
         )
 
 
-def _tag_table(key, kind: str, other, sh) -> pa.Table:
+def _tag_table(key, kind: str, doc_a, doc_b, side, sh) -> pa.Table:
+    n = len(key)
     return pa.Table.from_pydict(
         {
             "key": pa.array(np.asarray(key, dtype=np.int64), "int64"),
-            "kind": pa.array([kind] * len(key), "string"),
-            "other": pa.array(np.asarray(other, dtype=np.int64), "int64"),
+            "kind": pa.array([kind] * n, "string"),
+            "doc_a": pa.array(np.asarray(doc_a, dtype=np.int64), "int64"),
+            "doc_b": pa.array(np.asarray(doc_b, dtype=np.int64), "int64"),
+            "side": pa.array(np.asarray(side, dtype=np.int8), "int8"),
             "sh": pa.array(list(sh), "binary"),
         }
     )
@@ -357,16 +360,14 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128, 
     END-TO-END DISTRIBUTED (no driver-side candidate collect, no broadcast
     text dict; VERDICT r1 top fix).
 
-    Stages, each a hash-partitioned streaming pass:
+    Stages, each a hash-partitioned streaming pass (shingle sets computed
+    ONCE, never materialized — they stream through the shuffles):
       1. band buckets → within-bucket candidate pairs (skew-guarded).
-      2. pair-key shuffle → global candidate dedup.
-      3. tagged union of candidates (keyed by doc_a) with per-doc shingle
-         sets → attach set A.
-      4. tagged union of that (re-keyed by doc_b) with shingle sets again →
-         attach set B, compute exact Jaccard, filter by threshold.
-    The shingle-set table is recomputed for pass 3 and 4 (lazy streaming ×2)
-    rather than materialized — at 100 TB the sketch table is corpus-sized
-    and belongs in the stream, not the object store.
+      2. each pair tagged twice (keyed by doc_a with side=0, by doc_b with
+         side=1), unioned with the per-doc shingle-set table, one doc-key
+         shuffle: duplicates from different bands co-locate per side and
+         dedup; each side row picks up its doc's set blob.
+      3. one pair-key shuffle reunites the two sides; exact Jaccard filter.
 
     Not SQL-expressible (signature permutations) → rows-only driver check;
     the pytest suite verifies LSH recall against exact jaccard_pairs,
@@ -407,60 +408,58 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128, 
 
     cands = hash_partition_apply(bands, ["band_id", "band_hash"], bucket_pairs_part, num_parts=32)
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _empty_frame("doc_a", "doc_b")
-        return df.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    sets = read_docs().map_batches(ShingleSetKernel(n), batch_format="pyarrow", batch_size=512)
 
-    cands = hash_partition_apply(cands, ["doc_a", "doc_b"], dedup_pairs, num_parts=16)
-
-    def sets_ds():
-        return read_docs().map_batches(
-            ShingleSetKernel(n), batch_format="pyarrow", batch_size=512,
-        )
-
-    # ---- pass A: co-locate candidates with set(doc_a) by key = doc_a
-    def tag_pairs_a(b: pa.Table) -> pa.Table:
-        n_rows = b.num_rows
+    def tag_pairs_two_sided(b: pa.Table) -> pa.Table:
+        """Each candidate pair emits TWO rows: keyed by doc_a (side 0) and
+        by doc_b (side 1), so one doc-key shuffle attaches both sets."""
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        d = b["doc_b"].to_numpy(zero_copy_only=False)
+        nn = len(a)
         return _tag_table(
-            b["doc_a"].to_numpy(zero_copy_only=False), "p",
-            b["doc_b"].to_numpy(zero_copy_only=False), [b""] * n_rows,
+            np.concatenate([a, d]), "p",
+            np.concatenate([a, a]), np.concatenate([d, d]),
+            np.concatenate([np.zeros(nn, np.int8), np.ones(nn, np.int8)]),
+            [b""] * (2 * nn),
         )
 
     def tag_sets(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return _tag_table(ids, "s", np.zeros(len(ids), dtype=np.int64), b["sh"].to_pylist())
+        z = np.zeros(len(ids), dtype=np.int64)
+        return _tag_table(ids, "s", z, z, np.full(len(ids), -1, np.int8), b["sh"].to_pylist())
 
-    def attach_a(t: pa.Table) -> pa.Table:
-        """Merge pair rows with set rows on doc_a; re-key output by doc_b."""
+    def attach_sets(t: pa.Table) -> pa.Table:
+        """Dedup per-side pair rows (band duplicates co-locate by key) and
+        attach each side's shingle-set blob."""
         if t.num_rows == 0:  # hash-shuffle can emit schemaless empty partitions
-            return _tag_table(np.empty(0, np.int64), "p", np.empty(0, np.int64), [])
+            return _tag_table(np.empty(0, np.int64), "p", np.empty(0, np.int64),
+                              np.empty(0, np.int64), np.empty(0, np.int8), [])
         df = t.to_pandas()
-        p = df[df["kind"] == "p"]
+        p = df[df["kind"] == "p"].drop_duplicates(["doc_a", "doc_b", "side"])
         s = df[df["kind"] == "s"]
-        m = p[["key", "other"]].merge(s[["key", "sh"]], on="key", how="inner")
-        return _tag_table(m["other"].to_numpy("int64"), "p", m["key"].to_numpy("int64"), list(m["sh"]))
+        m = p[["key", "doc_a", "doc_b", "side"]].merge(s[["key", "sh"]], on="key", how="inner")
+        return _tag_table(m["key"].to_numpy("int64"), "p", m["doc_a"].to_numpy("int64"),
+                          m["doc_b"].to_numpy("int64"), m["side"].to_numpy("int8"), list(m["sh"]))
 
-    tagged_a = cands.map_batches(tag_pairs_a, batch_format="pyarrow").union(
-        sets_ds().map_batches(tag_sets, batch_format="pyarrow")
+    tagged = cands.map_batches(tag_pairs_two_sided, batch_format="pyarrow").union(
+        sets.map_batches(tag_sets, batch_format="pyarrow")
     )
-    keyed_b = hash_partition_apply(tagged_a, ["key"], attach_a, num_parts=16, batch_format="pyarrow")
+    sided = hash_partition_apply(tagged, ["key"], attach_sets, num_parts=16, batch_format="pyarrow")
 
-    # ---- pass B: co-locate with set(doc_b), verify exact Jaccard
-    def verify_b(t: pa.Table) -> pa.Table:
+    def verify_pairs(t: pa.Table) -> pa.Table:
+        """Reunite the two sides of each pair and apply the exact-Jaccard
+        threshold."""
         empty = pa.Table.from_pydict({"doc_a": pa.array([], "int64"), "doc_b": pa.array([], "int64")})
         if t.num_rows == 0:
             return empty
         df = t.to_pandas()
-        p = df[df["kind"] == "p"]
-        s = df[df["kind"] == "s"]
-        if p.empty:
-            return empty
-        m = p.merge(s[["key", "sh"]], on="key", how="inner", suffixes=("_a", "_b"))
+        a_side = df[df["side"] == 0]
+        b_side = df[df["side"] == 1]
+        m = a_side.merge(b_side, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
         keep_a: List[int] = []
         keep_b: List[int] = []
-        for doc_b, doc_a, blob_a, blob_b in zip(
-            m["key"].to_numpy("int64"), m["other"].to_numpy("int64"), m["sh_a"], m["sh_b"]
+        for doc_a, doc_b, blob_a, blob_b in zip(
+            m["doc_a"].to_numpy("int64"), m["doc_b"].to_numpy("int64"), m["sh_a"], m["sh_b"]
         ):
             ha = np.frombuffer(blob_a, dtype=np.uint64)
             hb = np.frombuffer(blob_b, dtype=np.uint64)
@@ -471,8 +470,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, num_perm: int = 128, 
                 keep_b.append(int(doc_b))
         return pa.Table.from_pydict({"doc_a": pa.array(keep_a, "int64"), "doc_b": pa.array(keep_b, "int64")})
 
-    tagged_b = keyed_b.union(sets_ds().map_batches(tag_sets, batch_format="pyarrow"))
-    return hash_partition_apply(tagged_b, ["key"], verify_b, num_parts=16, batch_format="pyarrow")
+    return hash_partition_apply(sided, ["doc_a", "doc_b"], verify_pairs, num_parts=16, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash

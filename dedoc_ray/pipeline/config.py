@@ -27,13 +27,30 @@ class PipelineConfig:
     structure_type: str = "tree"          # "tree" | "linear"
     patterns: Optional[List[dict]] = None  # user patterns, see structure/patterns.py
 
+    # output (api_args.py: return_format) — consumed by pipeline.render
+    return_format: str = "json"            # "json" | "html" | "plain_text" | "tree"
+
     # readers (api_args.py: delimiter / encoding / handle_invisible_table / pages)
     handle_invisible_table: bool = False
-    need_content_analysis: bool = False    # depth-1 parse of archive members
+    need_content_analysis: bool = False    # parse archive members recursively
+    recursion_deep_attachments: int = 10   # nested-attachment parse depth (api_args.py:19)
     need_header_footer_analysis: bool = False  # cross-page running header/footer drop (pdf)
     delimiter: Optional[str] = None        # csv
     encoding: Optional[str] = None         # txt/csv override
     pages: Optional[str] = None            # "first:last" per-document page slice (pdf)
+    html_fields: Optional[List[str]] = None  # json keys whose values parse as HTML (api_args.py:45)
+
+    # pdf routing (api_args.py: pdf_with_text_layer / fast detection / columns)
+    pdf_with_text_layer: str = "auto"      # "auto" (classifier) | "true" (always) | "false" (OCR route)
+    fast_textual_layer_detection: bool = False  # classify on a bounded text prefix
+    is_one_column_document: str = "auto"   # "auto" (x-gap clustering) | "true" (skip column split)
+
+    # OCR-domain knobs (language / binarization / orientation / gost frame /
+    # table_type / need_pdf_table_analysis): the OCR stack is stubbed in this
+    # container (no Tesseract/torch) — fields accepted for API parity, the
+    # OCR route itself surfaces an explicit warning (readers/pdf.py)
+    language: str = "rus+eng"
+    need_pdf_table_analysis: bool = True
 
     # execution (ours: map_batches sizing — the reference has no corpus axis)
     batch_size: int = 64
@@ -42,6 +59,12 @@ class PipelineConfig:
     def validate(self) -> "PipelineConfig":
         if self.structure_type not in ("tree", "linear"):
             raise ValueError(f"structure_type must be tree|linear, got {self.structure_type!r}")
+        if self.return_format not in ("json", "html", "plain_text", "tree"):
+            raise ValueError(f"unknown return_format {self.return_format!r}")
+        if self.pdf_with_text_layer not in ("auto", "true", "false"):
+            raise ValueError(f"pdf_with_text_layer must be auto|true|false, got {self.pdf_with_text_layer!r}")
+        if self.is_one_column_document not in ("auto", "true"):
+            raise ValueError(f"is_one_column_document must be auto|true, got {self.is_one_column_document!r}")
         return self
 
 

@@ -57,6 +57,7 @@ def extract_pages(
     handle_invisible_table: bool = False,
     giant_row_bytes: Optional[int] = None,
     config=None,
+    readers=None,
 ):
     """pages Dataset → extracted Dataset (lazy, streaming).
 
@@ -72,6 +73,8 @@ def extract_pages(
     kwargs: Dict[str, Any] = {}
     kwargs["concurrency"] = concurrency if concurrency is not None else _autosize_pool()
     fn_kwargs = {"config": config} if config is not None else {"handle_invisible_table": handle_invisible_table}
+    if readers is not None:  # pluggable reader registry (manager_config analogue)
+        fn_kwargs["readers"] = readers
 
     if giant_row_bytes is None:
         return pages_ds.map_batches(

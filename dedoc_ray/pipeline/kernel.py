@@ -40,7 +40,13 @@ class ExtractKernel:
         handle_invisible_table: bool = False,
         patterns: Optional[PatternComposition] = None,
         config: Optional[PipelineConfig] = None,
+        readers: Optional[Dict[str, object]] = None,
     ) -> None:
+        # pluggable reader registry (reference manager_config composition,
+        # manager_config docs + dedoc_manager.py): map format → callable
+        # bytes → UnstructuredDoc; entries override the built-in dispatch.
+        # Callables must be module-level (pickled into each pool actor).
+        self.readers: Dict[str, object] = dict(readers) if readers else {}
         if config is None:
             config = PipelineConfig(handle_invisible_table=handle_invisible_table)
         self.config = config.validate()
@@ -65,6 +71,8 @@ class ExtractKernel:
     # --- per-document ------------------------------------------------------
 
     def read_document(self, fmt: str, data: bytes) -> UnstructuredDoc:
+        if fmt in self.readers:
+            return self.readers[fmt](data)
         if fmt == "html":
             return read_html(data, handle_invisible_table=self.handle_invisible_table)
         if fmt == "txt":
@@ -72,11 +80,17 @@ class ExtractKernel:
         if fmt == "csv":
             return read_csv(data, delimiter=self.config.delimiter, encoding=self.config.encoding)
         if fmt == "json":
-            return read_json(data)
+            return read_json(data, html_fields=self.config.html_fields)
         if fmt == "pdf":
             from dedoc_ray.readers.pdf import read_pdf_auto
 
-            return read_pdf_auto(data, pages=self.pages)
+            return read_pdf_auto(
+                data,
+                pages=self.pages,
+                mode=self.config.pdf_with_text_layer,
+                fast_detection=self.config.fast_textual_layer_detection,
+                one_column=self.config.is_one_column_document == "true",
+            )
         if fmt == "docx":
             from dedoc_ray.readers.office import read_docx
 
@@ -101,10 +115,20 @@ class ExtractKernel:
             from dedoc_ray.readers.archive import read_archive
 
             if self.config.need_content_analysis:
-                def read_member(name: str, payload: bytes) -> UnstructuredDoc:
+                max_depth = self.config.recursion_deep_attachments
+
+                def read_member(name: str, payload: bytes, depth: int = 1) -> UnstructuredDoc:
                     sub_fmt = sniff_format(f"https://member/{name}", payload)
-                    if sub_fmt in ("bad_file", "archive"):  # no nested recursion
+                    if sub_fmt == "bad_file":
                         raise ValueError("member not parseable")
+                    if sub_fmt == "archive":
+                        # nested archives recurse up to recursion_deep_attachments
+                        # (reference attachments_handler.py:31-81 depth bound)
+                        if depth >= max_depth:
+                            raise ValueError("max attachment recursion depth")
+                        return read_archive(
+                            payload, read_member=lambda n, p: read_member(n, p, depth + 1)
+                        )
                     return self.read_document(sub_fmt, payload)
 
                 return read_archive(data, read_member=read_member)

@@ -107,6 +107,46 @@ def render_tree(row: Dict) -> Dict:
     }
 
 
+def labeling_rows(batch: pa.Table) -> pa.Table:
+    """Labeling-dump stage (reference labeling/train_dataset sink: one
+    jsonl record per LINE with its uid/type/levels for annotation tooling).
+    Emits one row per node span — write with ``write_labeling_dump``."""
+    rows = batch.to_pylist()
+    cols: Dict[str, List] = {k: [] for k in ("url", "node_id", "line_type", "level_1", "level_2", "text", "annotations_json")}
+    for r in rows:
+        anns_by_node: Dict[str, List[Dict]] = {}
+        for a in r.get("annotations") or []:
+            anns_by_node.setdefault(a["node_id"], []).append(
+                {"start": a["start"], "end": a["end"], "name": a["name"], "value": a["value"]}
+            )
+        for node in r.get("nodes") or []:
+            cols["url"].append(r["url"])
+            cols["node_id"].append(node["node_id"])
+            cols["line_type"].append(node["line_type"])
+            cols["level_1"].append(node["level_1"])
+            cols["level_2"].append(node["level_2"])
+            cols["text"].append(_node_text(r, node))
+            cols["annotations_json"].append(json.dumps(anns_by_node.get(node["node_id"], []), sort_keys=True))
+    return pa.Table.from_pydict(
+        {
+            "url": pa.array(cols["url"], "string"),
+            "node_id": pa.array(cols["node_id"], "string"),
+            "line_type": pa.array(cols["line_type"], "string"),
+            "level_1": pa.array(cols["level_1"], "int32"),
+            "level_2": pa.array(cols["level_2"], "float32"),
+            "text": pa.array(cols["text"], "string"),
+            "annotations_json": pa.array(cols["annotations_json"], "string"),
+        }
+    )
+
+
+def write_labeling_dump(extracted_ds, out_dir: str) -> str:
+    """Labeling sink: per-line parquet dump (partition-friendly, resumable
+    like every sink here — one file per block, never one giant file)."""
+    extracted_ds.map_batches(labeling_rows, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
+
+
 def render_batch(batch: pa.Table, fmt: str = "html") -> pa.Table:
     """map_batches stage: extracted rows → (url, rendered string column)."""
     renderer = {"txt": render_txt, "html": render_html, "tree": lambda r: json.dumps(render_tree(r), sort_keys=True)}[fmt]

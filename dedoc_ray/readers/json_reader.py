@@ -36,11 +36,24 @@ def _make_line(depth: int, value: Any, line_type: str) -> LineWithMeta:
     return LineWithMeta(line=_text_of(value), metadata=metadata)
 
 
-def read_json(data: bytes) -> UnstructuredDoc:
+def read_json(data: bytes, html_fields: List[str] = None) -> UnstructuredDoc:
+    """``html_fields``: top-level keys whose string values are parsed as HTML
+    documents instead of scalar lines (reference api_args.py:45 +
+    json_reader html-field delegation; dotted nested paths degrade to the
+    top-level key here)."""
     try:
         json_data = json.loads(data.decode("utf-8", errors="replace"))
     except (json.JSONDecodeError, ValueError) as e:
         raise BadFileError(f"invalid json: {e}") from e
+
+    html_lines: List[LineWithMeta] = []
+    if html_fields and isinstance(json_data, dict):
+        from dedoc_ray.readers.html import read_html
+
+        for field in html_fields:
+            value = json_data.pop(field, None)
+            if isinstance(value, str) and value:
+                html_lines.extend(read_html(value.encode("utf-8")).lines)
 
     stack: List = [(json_data, 1)]
     result: List[LineWithMeta] = []
@@ -65,4 +78,4 @@ def read_json(data: bytes) -> UnstructuredDoc:
         elif _is_flat(element):
             result.append(_make_line(depth, str(element), HierarchyLevel.raw_text))
 
-    return UnstructuredDoc(lines=result)
+    return UnstructuredDoc(lines=html_lines + result)

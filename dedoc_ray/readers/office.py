@@ -232,7 +232,17 @@ def read_docx(data: bytes) -> UnstructuredDoc:
             tbl = _docx_table(child, page_id=0, uid=f"table_{len(tables)}")
             tbl.order = line_id  # document-order anchor for line↔table linking
             tables.append(tbl)
-    return UnstructuredDoc(lines=lines, tables=tables, metadata=_core_properties(zf))
+    # embedded media/OLE parts → attachment manifest (reference
+    # attachments_handler/attachments_handler.py:1-91 + docx
+    # attachments_extractor; rows carry (name, size) instead of temp files)
+    attachments = [
+        (name.rsplit("/", 1)[-1], zf.getinfo(name).file_size)
+        for name in zf.namelist()
+        if name.startswith(("word/media/", "word/embeddings/"))
+    ]
+    return UnstructuredDoc(
+        lines=lines, tables=tables, metadata=_core_properties(zf), attachments=attachments
+    )
 
 
 # --------------------------------------------------------------------- xlsx

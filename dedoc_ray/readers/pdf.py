@@ -139,7 +139,7 @@ def _group_lines(ops: List[Tuple[float, float, str, float, str]], line_margin: f
     return lines
 
 
-def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
+def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool = False) -> UnstructuredDoc:
     """``pages``: (start, stop) 0-based page slice — the reference's
     ``pages="first:last"`` knob (parameter_utils.py:111-129, applied
     pdf_base_reader.py:108-124)."""
@@ -168,8 +168,9 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc
         for block in blocks:
             page_ops.extend(op for op in _iter_text_ops(block) if op[4])
         # columns left→right, LAParams-style line grouping within each,
-        # y desc inside a column (multi-column reading order)
-        for col_ops in _split_columns(page_ops):
+        # y desc inside a column (multi-column reading order);
+        # is_one_column_document="true" forces a single column
+        for col_ops in ([page_ops] if one_column else _split_columns(page_ops)):
             for x, y, font, size, text in _group_lines(col_ops):
                 saw_text = True
                 annotations = [Annotation(0, len(text), AN.size, str(size))]
@@ -198,7 +199,13 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc
     return UnstructuredDoc(lines=lines, warnings=[f"pdf pages: {page_id}"])
 
 
-def read_pdf_auto(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
+def read_pdf_auto(
+    data: bytes,
+    pages: tuple = (0, None),
+    mode: str = "auto",
+    fast_detection: bool = False,
+    one_column: bool = False,
+) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
     (pdf_auto_reader.py:7-153): extract the text layer, then the trained
     txtlayer classifier decides whether it is CORRECT readable text
@@ -209,16 +216,27 @@ def read_pdf_auto(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
     through."""
     from dedoc_ray.readers.txtlayer import TxtlayerClassifier
 
+    if mode == "false":  # pdf_with_text_layer="false": straight to OCR route
+        return UnstructuredDoc(
+            lines=[],
+            warnings=["pdf routed to OCR by pdf_with_text_layer=false: OCR stage stubbed (no tesseract in container)"],
+        )
     try:
-        doc = read_pdf_textlayer(data, pages=pages)
+        doc = read_pdf_textlayer(data, pages=pages, one_column=one_column)
     except ValueError as e:
         if "no text layer" not in str(e):
+            raise
+        if mode == "true":  # forced text layer but none exists
             raise
         return UnstructuredDoc(
             lines=[],
             warnings=["pdf without text layer: OCR stage stubbed (no tesseract in container)"],
         )
+    if mode == "true":  # trust the layer unconditionally
+        return doc
     text = "".join(line.line for line in doc.lines)
+    if fast_detection:  # classify a bounded prefix (api_args.py:29)
+        text = text[:2000]
     if text and not TxtlayerClassifier().is_correct(text):
         return UnstructuredDoc(
             lines=[],

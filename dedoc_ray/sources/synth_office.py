@@ -98,6 +98,8 @@ def docx_bytes(doc_id: int, text: str) -> bytes:
             ("word/numbering.xml", _DOCX_NUMBERING),
             ("word/styles.xml", _DOCX_STYLES),
             ("docProps/core.xml", _docx_core_xml(doc_id)),
+            # embedded image → exercises the docx attachment manifest
+            ("word/media/image1.png", b"P" * (doc_id % 7 + 3)),
         ]
     )
 

@@ -1,0 +1,82 @@
+"""Round-2 QueryParameters knobs: pdf routing, html_fields, nested archives,
+one-column forcing, return_format validation."""
+
+import io
+import zipfile
+
+import pytest
+
+from dedoc_ray.pipeline.config import PipelineConfig
+from dedoc_ray.pipeline.kernel import ExtractKernel
+
+
+def _zip(entries) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in entries:
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def _simple_pdf(text: str = "hello world from a pdf line") -> bytes:
+    content = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    return (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+            + b" >> stream\n" + content + b"\nendstream endobj\ntrailer\n%%EOF")
+
+
+def test_pdf_with_text_layer_false_routes_to_ocr_stub():
+    k = ExtractKernel(config=PipelineConfig(pdf_with_text_layer="false"))
+    row = k.extract_row("https://x.test/a.pdf", _simple_pdf())
+    assert row["extracted_text"] == ""
+    assert any("pdf_with_text_layer=false" in w for w in row["warnings"])
+
+
+def test_pdf_with_text_layer_true_skips_classifier():
+    garbage = " ".join(f"cid{i % 97}x" for i in range(120))
+    k = ExtractKernel(config=PipelineConfig(pdf_with_text_layer="true"))
+    row = k.extract_row("https://x.test/a.pdf", _simple_pdf(garbage))
+    assert garbage.split()[0] in row["extracted_text"]  # layer trusted
+
+
+def test_is_one_column_true_forces_interleaved_order():
+    from dedoc_ray.sources.synth_office import pdf_twocol_bytes
+
+    pdf = pdf_twocol_bytes(1, "alpha the beta the gamma the delta")
+    auto = ExtractKernel().extract_row("https://x.test/a.pdf", pdf)["extracted_text"]
+    forced = ExtractKernel(config=PipelineConfig(is_one_column_document="true")).extract_row(
+        "https://x.test/a.pdf", pdf
+    )["extracted_text"]
+    assert auto == "alpha\nbeta\ngamma\ndelta\n"
+    assert forced != auto  # y-sort interleaves the columns
+
+
+def test_html_fields_parsed_as_html():
+    data = b'{"body": "<html><body><p>rich para</p></body></html>", "plain": "x"}'
+    k = ExtractKernel(config=PipelineConfig(html_fields=["body"]))
+    row = k.extract_row("https://x.test/a.json", data)
+    assert "rich para\n" in row["extracted_text"]
+    assert "<p>" not in row["extracted_text"]  # html parsed, not kept raw
+    row2 = ExtractKernel().extract_row("https://x.test/a.json", data)
+    assert "<p>rich para</p>" in row2["extracted_text"]  # default: raw scalar line
+
+
+def test_nested_archive_recursion_depth():
+    inner = _zip([("deep.txt", "deep text payload")])
+    outer = _zip([("inner.zip", inner), ("top.txt", "top text")])
+    k = ExtractKernel(config=PipelineConfig(need_content_analysis=True, recursion_deep_attachments=3))
+    row = k.extract_row("https://x.test/a.zip", outer)
+    assert "deep text payload" in row["extracted_text"]
+    assert "top text" in row["extracted_text"]
+    # depth 1: nested archive is NOT descended into
+    k1 = ExtractKernel(config=PipelineConfig(need_content_analysis=True, recursion_deep_attachments=1))
+    row1 = k1.extract_row("https://x.test/a.zip", outer)
+    assert "deep text payload" not in row1["extracted_text"]
+    assert "top text" in row1["extracted_text"]
+
+
+def test_return_format_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(return_format="nope").validate()
+    with pytest.raises(ValueError):
+        PipelineConfig(pdf_with_text_layer="maybe").validate()
+    PipelineConfig(return_format="plain_text").validate()

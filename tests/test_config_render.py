@@ -169,3 +169,30 @@ def test_document_type_diploma_named_items():
     row = _extract(PipelineConfig(document_type="diploma"), url="https://x/d.txt", data=txt)
     types = [n["line_type"] for n in row["nodes"]]
     assert "named_item" in types and "chapter" in types
+
+
+def test_labeling_dump_sink(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.pipeline.render import write_labeling_dump
+    from dedoc_ray.sources.synth import pages_batch
+
+    docs_tbl = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([5], "int64"),  # cls 5: h1 + paragraph
+            "text": pa.array(["alpha beta"], "string"),
+            "lang": pa.array(["en"], "string"),
+            "source": pa.array(["s"], "string"),
+        }
+    )
+    ds = extract_pages(rd.from_arrow(pages_batch(docs_tbl)), concurrency=2)
+    out = str(tmp_path / "labeling")
+    write_labeling_dump(ds, out)
+    dumped = pq.read_table(out).to_pylist()
+    assert len(dumped) >= 2  # root + at least one content node
+    assert {"url", "node_id", "line_type", "text", "annotations_json"} <= set(dumped[0])
+    texts = "".join(sorted(r["text"] for r in dumped))
+    assert "alpha beta" in texts
