@@ -161,8 +161,20 @@ class NumberingEngine:
     ``prefix(num_id, ilvl)`` → the rendered numbering text (with suffix) and
     the 1-based list depth (reference NumberingExtractor.parse semantics)."""
 
-    def __init__(self, numbering_root: Optional[ElementTree.Element]) -> None:
-        self.nums: Dict[str, _Num] = {}
+    def __init__(
+        self,
+        numbering_root: Optional[ElementTree.Element],
+        nums: Optional[Dict[str, _Num]] = None,
+    ) -> None:
+        """``nums`` lets callers inject pre-parsed (immutable) numbering
+        definitions — the per-document state below stays fresh. Used by the
+        docx reader's parse cache: web corpora repeat identical
+        numbering.xml parts across millions of generated documents."""
+        if nums is not None:
+            self.nums = nums
+            numbering_root = None
+        else:
+            self.nums = {}
         if numbering_root is not None:
             abstract_trees = {
                 t.get(f"{W}abstractNumId", ""): t for t in numbering_root.findall(f"{W}abstractNum")

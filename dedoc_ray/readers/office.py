@@ -20,6 +20,7 @@ from __future__ import annotations
 import io
 import re
 import zipfile
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 from xml.etree import ElementTree
 
@@ -209,6 +210,29 @@ def _core_properties(zf: zipfile.ZipFile) -> Dict[str, str]:
     return meta
 
 
+def _read_part(zf: zipfile.ZipFile, name: str) -> Optional[bytes]:
+    try:
+        return zf.read(name)
+    except KeyError:
+        return None
+
+
+@lru_cache(maxsize=64)
+def _cached_nums(xml_bytes: bytes):
+    """Parse numbering.xml once per distinct byte content (corpora repeat
+    the same part across documents); returns the immutable num definitions."""
+    from dedoc_ray.readers.docx_numbering import NumberingEngine
+
+    return NumberingEngine(ElementTree.fromstring(xml_bytes)).nums
+
+
+@lru_cache(maxsize=64)
+def _cached_styles(xml_bytes: bytes):
+    from dedoc_ray.readers.docx_numbering import StylesDb
+
+    return StylesDb(ElementTree.fromstring(xml_bytes))
+
+
 def read_docx(data: bytes) -> UnstructuredDoc:
     from dedoc_ray.readers.docx_numbering import NumberingEngine, StylesDb
 
@@ -219,8 +243,17 @@ def read_docx(data: bytes) -> UnstructuredDoc:
     body = root.find(f"{W}body")
     if body is None:
         raise BadOfficeFile("no w:body")
-    numbering = NumberingEngine(_xml(zf, "word/numbering.xml"))
-    styles = StylesDb(_xml(zf, "word/styles.xml"))
+    numbering_bytes = _read_part(zf, "word/numbering.xml")
+    styles_bytes = _read_part(zf, "word/styles.xml")
+    try:
+        nums = _cached_nums(numbering_bytes) if numbering_bytes else None
+    except ElementTree.ParseError as e:
+        raise BadOfficeFile(f"bad xml in word/numbering.xml: {e}") from e
+    numbering = NumberingEngine(None, nums=nums)
+    try:
+        styles = _cached_styles(styles_bytes) if styles_bytes else StylesDb(None)
+    except ElementTree.ParseError as e:
+        raise BadOfficeFile(f"bad xml in word/styles.xml: {e}") from e
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = 0
