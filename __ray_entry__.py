@@ -360,6 +360,12 @@ def q_simhash(sf_dir: str):
     return simhash_fingerprints(sf_dir)
 
 
+def q_simhash_pairs(sf_dir: str):
+    from dedoc_ray.ops.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(sf_dir)
+
+
 def q_knn(sf_dir: str):
     from dedoc_ray.ops.knn import knn_bruteforce
 
@@ -376,6 +382,67 @@ def q_knn_ivf(sf_dir: str):
     from dedoc_ray.ops.knn import knn_ivf
 
     return knn_ivf(sf_dir)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Approximate high-threshold near-dup via SRP-LSH buckets (the 100 TB
+    path — no all-pairs), over the RE-CRAWL scenario: the corpus doubled
+    with a deterministically perturbed twin per vector (cos ≈ 0.99), so
+    the operator has real near-dups to find. rows-only (SRP projections are
+    not SQL-expressible); pytest checks precision/recall vs the exact
+    block-pair operator on a clustered corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from dedoc_ray.ops.knn import embedding_neardup_lsh
+
+    def doubled(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float32)
+        n = b.num_rows
+        if n == 0:
+            return b
+        mat = flat.reshape(n, -1)
+        ids = np.asarray(b["vec_id"].to_pylist(), dtype=np.int64)
+        # deterministic tiny perturbation: noise derived per (vec_id, dim)
+        # by a splitmix64 hash — identical at ANY batch split / parallelism
+        dim = mat.shape[1]
+        x = ids[:, None].astype(np.uint64) * np.uint64(1_000_003) + np.arange(dim, dtype=np.uint64)[None, :]
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        noise = ((x >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0).astype(np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        twin = mat + 0.02 * norms * noise / np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
+        out_ids = np.concatenate([ids, ids + 10_000_000])
+        out_mat = np.concatenate([mat, twin])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(out_ids, "int64"),
+                "embedding": pa.array([r.tolist() for r in out_mat], pa.list_(pa.float32())),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        doubled, batch_format="pyarrow"
+    )
+    return embedding_neardup_lsh(sf_dir, threshold=0.95, n_bits=8, n_tables=16, emb_ds=ds)
+
+
+def q_knn_ivf_indexed(sf_dir: str):
+    """ANN over a list-partitioned parquet index (build + probe-pruned scan).
+    rows-only check; pytest asserts equality with knn_ivf."""
+    import hashlib
+    import tempfile
+
+    from dedoc_ray.ops.knn import ivf_build_index, knn_ivf_indexed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"{tempfile.gettempdir()}/dedoc_ray_ivf_{tag}"
+    ivf_build_index(sf_dir, index_dir)
+    return knn_ivf_indexed(index_dir, sf_dir)
 
 
 def q_image_features(sf_dir: str):
@@ -498,9 +565,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "knn": q_knn,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_indexed": q_knn_ivf_indexed,
         "image_features": q_image_features,
         "image_thumbnails": q_image_thumbnails,
         "audio_frames": q_audio_frames,
@@ -594,7 +664,7 @@ FROM documents
 
 
 def oracle_sql() -> dict[str, str]:
-    from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql, simhash_sql
+    from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql, simhash_pairs_sql, simhash_sql
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL
     from dedoc_ray.ops.relational import (
@@ -657,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": jaccard_pairs_sql(),
         "simhash": simhash_sql(),
+        "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),
         "embedding_neardup": embedding_neardup_sql(),
         # knn_ivf / language_id: rows-only (ANN probing and rank-profile

@@ -516,6 +516,83 @@ def simhash_fingerprints(sf_dir: str):
     return docs.map_batches(SimHashKernel, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
 
 
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs: 4×16-bit band-collision candidates, verified
+    by Hamming distance over the full 64-bit fingerprint (the pair-search
+    stage the banding exists for). Distributed shape mirrors minhash:
+    explode (band_id, band_val, doc_id, simhash) → band-key shuffle →
+    within-bucket pairs carrying both fingerprints → pair-key shuffle for
+    dedup + vectorized popcount verify."""
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    sims = simhash_fingerprints(sf_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
+        sh = np.asarray(b["simhash"].to_pylist(), dtype=np.uint64)
+        bands = np.stack([np.asarray(b[f"band{i}"].to_pylist(), dtype=np.int64) for i in range(4)])
+        n = len(ids)
+        return pa.Table.from_pydict(
+            {
+                "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n), "int32"),
+                "band_val": pa.array(bands.ravel(), "int64"),
+                "doc_id": pa.array(np.tile(ids, 4), "int64"),
+                "simhash": pa.array(np.tile(sh, 4), "uint64"),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
+                              "sim_a": pd.Series([], dtype="uint64"), "sim_b": pd.Series([], dtype="uint64")})
+        if df.empty:
+            return empty
+        keys = ["band_id", "band_val"]
+        sz = df.groupby(keys)["doc_id"].transform("size")
+        df = df[(sz >= 2) & (sz <= 256)]  # skew guard, same rule family as LSH buckets
+        if df.empty:
+            return empty
+        m = df.merge(df, on=keys, suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_a"].to_numpy("int64"),
+                "doc_b": m["doc_id_b"].to_numpy("int64"),
+                "sim_a": m["simhash_a"].to_numpy("uint64"),
+                "sim_b": m["simhash_b"].to_numpy("uint64"),
+            }
+        )
+
+    cands = hash_partition_apply(
+        sims.map_batches(explode, batch_format="pyarrow"), ["band_id", "band_val"], bucket_pairs, num_parts=32
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")})
+        df = df.drop_duplicates(["doc_a", "doc_b"])
+        x = df["sim_a"].to_numpy("uint64") ^ df["sim_b"].to_numpy("uint64")
+        # vectorized popcount via byte-view + lookup table
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+        keep = df[ham <= max_hamming]
+        return pd.DataFrame({"doc_a": keep["doc_a"].to_numpy("int64"), "doc_b": keep["doc_b"].to_numpy("int64")})
+
+    return hash_partition_apply(cands, ["doc_a", "doc_b"], verify, num_parts=16)
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Oracle for ``simhash_dup_pairs``: same fingerprints (simhash_sql),
+    band-collision candidacy, bit_count Hamming verify. The skew guard
+    (buckets >256) never fires at oracle scale."""
+    return f"""
+WITH sh AS ({simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
 def simhash_sql() -> str:
     """Bit-exact DuckDB oracle for ``simhash_fingerprints``.
 

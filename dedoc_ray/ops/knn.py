@@ -257,7 +257,12 @@ class SRPKernel:
 
 
 def embedding_neardup_lsh(
-    sf_dir: str, threshold: float = 0.8, n_bits: int = 12, n_tables: int = 8, max_bucket: int = 2048
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_bits: int = 12,
+    n_tables: int = 8,
+    max_bucket: int = 2048,
+    emb_ds=None,
 ):
     """APPROXIMATE cosine near-dup for high thresholds — the 100 TB scale
     path: SRP-LSH buckets both sides (no all-pairs), exact cosine verify
@@ -273,7 +278,9 @@ def embedding_neardup_lsh(
     dim = len(
         pqm.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 1)["embedding"][0]
     )
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb_ds if emb_ds is not None else rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     keyed = emb.map_batches(
         SRPKernel(dim=dim, n_bits=n_bits, n_tables=n_tables),
         batch_format="pyarrow", batch_size=4096,
@@ -402,6 +409,80 @@ class IVFTopKKernel:
                 "sim": pa.array(out_s, "float64"),
             }
         )
+
+
+def ivf_build_index(sf_dir: str, index_dir: str, n_lists: int = 16) -> str:
+    """Write the embedding table LIST-PARTITIONED by IVF cell (hive layout
+    ``list_id=N/``): the 100 TB ANN storage shape where probing prunes I/O —
+    a query reads ONLY its probed lists' files, not the whole corpus.
+    Centroids ride along as one small parquet for query-time assignment."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqm
+    import ray
+    import ray.data as rd
+
+    cent = train_centroids(sf_dir, n_lists=n_lists)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(cent_ref)
+        mat = _embedding_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        lists = np.argmax((mat / norms) @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lists, "int32"))
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["list_id"]
+    )
+    pqm.write_table(
+        pa.Table.from_pydict({"centroid": pa.array([c.tolist() for c in cent])}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    return index_dir
+
+
+def knn_ivf_indexed(index_dir: str, sf_dir: str, k: int = 10, n_queries: int = 8, n_probe: int = 4):
+    """ANN over a list-partitioned index: the scan is PRUNED to the union of
+    every query's probed lists (hive partition filter → only those files are
+    read), then the same per-query probe masking as ``knn_ivf``. With
+    identical centroids the result equals ``knn_ivf`` exactly — asserted in
+    pytest — while I/O scales with n_probe/n_lists instead of corpus size."""
+    import os
+
+    import pyarrow.parquet as pqm
+    import ray
+    import ray.data as rd
+
+    cent = np.array(pqm.read_table(os.path.join(index_dir, "centroids.parquet"))["centroid"].to_pylist())
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    probed_lists = sorted({int(x) for x in probe.ravel()})
+
+    # partition pruning at its most literal: only the probed lists' hive
+    # directories are ever handed to the reader — unprobed files are not
+    # opened, listed row-groups not decoded
+    import glob
+
+    paths = [
+        f
+        for l in probed_lists
+        for f in sorted(glob.glob(os.path.join(index_dir, "lists", f"list_id={l}", "*.parquet")))
+    ]
+    emb = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    queries_ref = ray.put((qids, qmat))
+    centroids_ref = ray.put(cent)
+    candidates = emb.map_batches(
+        IVFTopKKernel,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "centroids_ref": centroids_ref, "k": k + 1, "n_probe": n_probe},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    )
+    return _final_topk(candidates, k)
 
 
 def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 8, n_lists: int = 16, n_probe: int = 4):

@@ -172,3 +172,58 @@ def test_salted_group_sum_skewed(ray_session):
     expect = tbl.to_pandas().groupby("k", as_index=False)["v"].sum()
     got = out.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expect.sort_values("k").reset_index(drop=True))
+
+
+def test_ivf_indexed_equals_in_memory(ray_session, tmp_path):
+    """List-partitioned index + probe-pruned scan returns exactly what the
+    full-scan IVF does (same centroids, same masking) — the I/O savings are
+    free of result drift."""
+    from dedoc_ray.ops.knn import ivf_build_index, knn_ivf, knn_ivf_indexed
+
+    index_dir = str(tmp_path / "ivf_index")
+    ivf_build_index(SF, index_dir, n_lists=16)
+    a = knn_ivf(SF, k=5, n_queries=4, n_lists=16, n_probe=4).to_pandas()
+    b = knn_ivf_indexed(index_dir, SF, k=5, n_queries=4, n_probe=4).to_pandas()
+    sa = set(zip(a["qid"], a["vec_id"]))
+    sb = set(zip(b["qid"], b["vec_id"]))
+    assert sa == sb
+
+
+def test_embedding_lsh_precision_and_recall(ray_session, tmp_path):
+    """SRP-LSH pairs are a subset of the exact pairs (the within-bucket
+    verify is exact cosine) with high recall at threshold 0.8 — checked on
+    a clustered corpus (the synthetic embeddings table has no >=0.8 pairs)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedoc_ray.ops.knn import embedding_neardup_lsh, embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    vecs = []
+    for c in range(20):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(8):
+            v = base + 0.08 * rng.standard_normal(32)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    d = str(tmp_path / "clustered")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(len(vecs)), "int64"),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    exact = embedding_neardup_pairs(d, threshold=0.8).to_pandas()
+    approx = embedding_neardup_lsh(d, threshold=0.8, n_bits=8, n_tables=16).to_pandas()
+    se = set(zip(exact["vec_a"], exact["vec_b"]))
+    sa = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert len(se) > 50  # clusters really produce high-cosine pairs
+    assert sa <= se, f"false positives: {sa - se}"
+    assert len(sa & se) / len(se) >= 0.7, f"recall {len(sa & se)}/{len(se)}"
