@@ -127,6 +127,18 @@ def q_extract_docx(sf_dir: str):
     return _office_extract(sf_dir, "docx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_odt(sf_dir: str):
+    """Native OpenDocument reader (the reference shells to soffice; we parse
+    content.xml/meta.xml directly) — byte-exact extracted text oracle."""
+    return _office_extract(sf_dir, "odt").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_rtf(sf_dir: str):
+    """Native RTF reader (reference converts via soffice) — byte-exact
+    extracted text oracle."""
+    return _office_extract(sf_dir, "rtf").select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -247,10 +259,27 @@ def q_extract_law(sf_dir: str):
 def q_distinct_urls(sf_dir: str):
     """Corpus set-op (§2.7): exact dedup by url over a doubled corpus (the
     re-crawl scenario) — union → hash-partitioned first-wins, only the url
-    column ever shuffles."""
-    from dedoc_ray.ops.shuffle import hash_partition_apply
+    column ever shuffles. The url is PROJECTED straight from the documents
+    table (prune-at-the-source: page payloads are never built for a query
+    that only needs urls)."""
+    import ray.data as rd
 
-    pages = _pages(sf_dir).select_columns(["url"])
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+    from dedoc_ray.sources.synth import url_for
+
+    def urls_only(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(
+                    [url_for(d, s) for d, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist())],
+                    "string",
+                )
+            }
+        )
+
+    pages = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]).map_batches(
+        urls_only, batch_format="pyarrow"
+    )
     doubled = pages.union(pages)
 
     def first(df):
@@ -548,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "docx_attachments": q_docx_attachments,
+        "extract_odt": q_extract_odt,
+        "extract_rtf": q_extract_rtf,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
         "extract_eml": q_extract_eml,
@@ -691,6 +722,13 @@ def oracle_sql() -> dict[str, str]:
         "docx_attachments": f"SELECT {office_url.format(ext='docx')} AS url, "
                             f"CAST(1 AS BIGINT) AS n_attachments, "
                             f"CAST(doc_id % 7 + 3 AS BIGINT) AS total_size FROM documents",
+        "extract_odt": f"SELECT {office_url.format(ext='odt')} AS url, 'ok' AS status, "
+                       f"'Document ' || doc_id || chr(10) || {body} || "
+                       f"'1. item one' || chr(10) || '2. item two' || chr(10) AS extracted_text FROM documents",
+        "extract_rtf": f"SELECT {office_url.format(ext='rtf')} AS url, 'ok' AS status, "
+                       f"'Document ' || doc_id || chr(10) || "
+                       f"list_aggregate(list_filter(list_transform(string_split(text, ' the '), x -> trim(x)), "
+                       f"x -> x <> ''), 'string_agg', chr(10)) || chr(10) AS extracted_text FROM documents",
         "extract_metadata": f"SELECT {office_url.format(ext='docx')} AS url, "
                             f"'Document ' || doc_id AS title, "
                             f"'synth-author-' || (doc_id % 5) AS author, "

@@ -103,6 +103,14 @@ class ExtractKernel:
             from dedoc_ray.readers.office import read_pptx
 
             return read_pptx(data)
+        if fmt == "odt":
+            from dedoc_ray.readers.odt import read_odt
+
+            return read_odt(data)
+        if fmt == "rtf":
+            from dedoc_ray.readers.rtf import read_rtf
+
+            return read_rtf(data)
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 

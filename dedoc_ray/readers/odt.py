@@ -1,0 +1,161 @@
+"""ODT (OpenDocument Text) kernel — native reader.
+
+The reference handles .odt by shelling out to soffice and re-reading the
+resulting DOCX (converters/concrete_converters/docx_converter.py:8); that
+binary is absent here, so this is a NATIVE OpenDocument parser producing
+the same line/table IR the docx reader yields: text:h → header lines with
+outline-level hierarchy, text:p → paragraphs, text:list → list items with
+synthesized bullet/number prefixes, table:table → Table grids, meta.xml →
+document metadata columns.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from typing import Dict, List, Optional
+from xml.etree import ElementTree
+
+from dedoc_ray.core.hierarchy import HierarchyLevel
+from dedoc_ray.core.line import LineMetadata, LineWithMeta
+from dedoc_ray.core.table import CellWithMeta, Table
+from dedoc_ray.readers.base import UnstructuredDoc
+from dedoc_ray.readers.office import BadOfficeFile, _open_zip, _xml
+
+TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+META = "{urn:oasis:names:tc:opendocument:xmlns:meta:1.0}"
+DC = "{http://purl.org/dc/elements/1.1/}"
+
+ODT_MIMETYPE = b"application/vnd.oasis.opendocument.text"
+
+
+def _element_text(el: ElementTree.Element) -> str:
+    """Flatten one paragraph-level element: tabs/line-breaks/spaces expand
+    per the ODF spec (text:tab, text:line-break, text:s)."""
+    parts: List[str] = []
+
+    def walk(e: ElementTree.Element) -> None:
+        if e.tag == f"{TEXT}tab":
+            parts.append("\t")
+        elif e.tag == f"{TEXT}line-break":
+            parts.append("\n")
+        elif e.tag == f"{TEXT}s":
+            parts.append(" " * int(e.get(f"{TEXT}c", "1")))
+        if e.text:
+            parts.append(e.text)
+        for child in e:
+            walk(child)
+            if child.tail:
+                parts.append(child.tail)
+
+    walk(el)
+    return "".join(parts)
+
+
+def _odt_metadata(zf: zipfile.ZipFile) -> Dict[str, str]:
+    meta = {"title": "", "author": "", "created": "", "modified": "", "subject": ""}
+    try:
+        root = _xml(zf, "meta.xml")
+    except BadOfficeFile:
+        return meta
+    if root is None:
+        return meta
+    body = root.find(f"{OFFICE}meta")
+    if body is None:
+        return meta
+    for tag, key in (
+        (f"{DC}title", "title"),
+        (f"{META}initial-creator", "author"),
+        (f"{DC}creator", "author"),
+        (f"{DC}subject", "subject"),
+        (f"{META}creation-date", "created"),
+        (f"{DC}date", "modified"),
+    ):
+        el = body.find(tag)
+        if el is not None and el.text and not meta[key]:
+            meta[key] = el.text
+    return meta
+
+
+def _read_list(el: ElementTree.Element, lines: List[LineWithMeta], line_id: List[int], depth: int) -> None:
+    """text:list → one list_item line per text:list-item with a synthesized
+    dotted-number prefix (ODF numbering lives in styles; the common default
+    is decimal — matching the reference's converted-docx output for simple
+    generated lists)."""
+    counter = 0
+    for item in el.findall(f"{TEXT}list-item"):
+        counter += 1
+        sublists: List[ElementTree.Element] = []
+        texts: List[str] = []
+        for child in item:
+            if child.tag == f"{TEXT}list":
+                sublists.append(child)
+            elif child.tag in (f"{TEXT}p", f"{TEXT}h"):
+                texts.append(_element_text(child))
+        if texts:
+            hl = HierarchyLevel(2, depth, False, HierarchyLevel.list_item)
+            lines.append(
+                LineWithMeta(
+                    f"{counter}. " + " ".join(texts) + "\n",
+                    metadata=LineMetadata(page_id=0, line_id=line_id[0], tag_hierarchy_level=hl),
+                )
+            )
+            line_id[0] += 1
+        for sub in sublists:
+            _read_list(sub, lines, line_id, depth + 1)
+
+
+def _read_table(el: ElementTree.Element, page_id: int, uid: str) -> Table:
+    grid: List[List[CellWithMeta]] = []
+    for tr in el.findall(f"{TABLE}table-row"):
+        row: List[CellWithMeta] = []
+        for tc in tr.findall(f"{TABLE}table-cell"):
+            colspan = int(tc.get(f"{TABLE}number-columns-spanned", "1"))
+            text = "\n".join(_element_text(p) for p in tc.findall(f"{TEXT}p")).strip("\n")
+            cell = CellWithMeta([LineWithMeta(text)] if text else [], colspan=colspan, rowspan=1)
+            row.append(cell)
+            for _ in range(colspan - 1):
+                row.append(CellWithMeta(list(cell.lines), colspan, 1, invisible=True))
+        grid.append(row)
+    return Table(grid, page_id=page_id, uid=uid)
+
+
+def read_odt(data: bytes) -> UnstructuredDoc:
+    zf = _open_zip(data)
+    root = _xml(zf, "content.xml")
+    if root is None:
+        raise BadOfficeFile("no content.xml")
+    body = root.find(f"{OFFICE}body")
+    text_el = body.find(f"{OFFICE}text") if body is not None else None
+    if text_el is None:
+        raise BadOfficeFile("no office:text body")
+    lines: List[LineWithMeta] = []
+    tables: List[Table] = []
+    line_id = [0]
+    for child in text_el:
+        if child.tag == f"{TEXT}h":
+            level = int(child.get(f"{TEXT}outline-level", "1"))
+            hl = HierarchyLevel(1, level, False, HierarchyLevel.header)
+            lines.append(
+                LineWithMeta(
+                    _element_text(child) + "\n",
+                    metadata=LineMetadata(page_id=0, line_id=line_id[0], tag_hierarchy_level=hl),
+                )
+            )
+            line_id[0] += 1
+        elif child.tag == f"{TEXT}p":
+            lines.append(
+                LineWithMeta(
+                    _element_text(child) + "\n",
+                    metadata=LineMetadata(page_id=0, line_id=line_id[0]),
+                )
+            )
+            line_id[0] += 1
+        elif child.tag == f"{TEXT}list":
+            _read_list(child, lines, line_id, depth=1)
+        elif child.tag == f"{TABLE}table":
+            tbl = _read_table(child, page_id=0, uid=f"table_{len(tables)}")
+            tbl.order = line_id[0]
+            tables.append(tbl)
+    return UnstructuredDoc(lines=lines, tables=tables, metadata=_odt_metadata(zf))

@@ -25,6 +25,8 @@ PPTX_EXT = (".pptx",)
 EML_EXT = (".eml",)
 MHTML_EXT = (".mhtml", ".mht")
 ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz")
+ODT_EXT = (".odt",)
+RTF_EXT = (".rtf",)
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -37,6 +39,8 @@ _EXT_TABLE = (
     (EML_EXT, "eml"),
     (MHTML_EXT, "mhtml"),
     (ARCHIVE_EXT, "archive"),
+    (ODT_EXT, "odt"),
+    (RTF_EXT, "rtf"),
     (TXT_EXT, "txt"),
 )
 
@@ -59,12 +63,14 @@ def _sniff_zip(data: bytes) -> str:
             return "xlsx"
         if name.startswith("ppt/"):
             return "pptx"
+    if "content.xml" in names:  # OpenDocument container
+        return "odt"
     return "archive"
 
 
 def sniff_format(url: str, data: bytes) -> str:
-    """Return one of: html, txt, csv, json, pdf, docx, xlsx, pptx, eml,
-    mhtml, archive, bad_file."""
+    """Return one of: html, txt, csv, json, pdf, docx, xlsx, pptx, odt, rtf,
+    eml, mhtml, archive, bad_file."""
     path = urlparse(url).path.lower() if url else ""
     for exts, fmt in _EXT_TABLE:
         if path.endswith(exts):
@@ -72,6 +78,8 @@ def sniff_format(url: str, data: bytes) -> str:
 
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:5] == b"{\\rtf":
+        return "rtf"
     if data[:4] == b"PK\x03\x04":
         return _sniff_zip(data)
     if len(data) > 262 and data[257:262] == b"ustar":

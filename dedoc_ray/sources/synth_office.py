@@ -161,6 +161,60 @@ def archive_bytes(doc_id: int, text: str) -> bytes:
     return _zip_bytes([("body.txt", text.encode("utf-8")), ("meta.txt", "12345678")])
 
 
+_ODT_CONTENT_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+)
+
+#: byte-exact expected rendering of the odt list below
+ODT_LIST_TEXT = "1. item one\n2. item two\n"
+
+
+def odt_bytes(doc_id: int, text: str) -> bytes:
+    """Native OpenDocument: heading + one text:p per chunk + a 2-item list +
+    meta.xml. Expected extracted text:
+    'Document {id}\n' + replace(text,' the ','\n') + '\n' + ODT_LIST_TEXT."""
+    paras = [f'<text:h text:outline-level="1">Document {doc_id}</text:h>']
+    for c in chunks_of(text):
+        paras.append(f"<text:p>{escape(c)}</text:p>")
+    paras.append(
+        "<text:list>"
+        "<text:list-item><text:p>item one</text:p></text:list-item>"
+        "<text:list-item><text:p>item two</text:p></text:list-item>"
+        "</text:list>"
+    )
+    content = (f'<?xml version="1.0"?><office:document-content {_ODT_CONTENT_NS}>'
+               f'<office:body><office:text>{"".join(paras)}</office:text></office:body>'
+               f"</office:document-content>")
+    meta = ('<?xml version="1.0"?>'
+            '<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:meta="urn:oasis:names:tc:opendocument:xmlns:meta:1.0" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/"><office:meta>'
+            f"<dc:title>Document {doc_id}</dc:title>"
+            f"<meta:initial-creator>synth-author-{doc_id % 5}</meta:initial-creator>"
+            "<meta:creation-date>2024-01-01T00:00:00Z</meta:creation-date>"
+            "</office:meta></office:document-meta>")
+    return _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("content.xml", content),
+            ("meta.xml", meta),
+        ]
+    )
+
+
+def rtf_bytes(doc_id: int, text: str) -> bytes:
+    """Native RTF: title paragraph + one paragraph per chunk. Expected
+    extracted text: 'Document {id}\n' + non-empty trimmed chunks joined by
+    newlines + '\n' (the reader drops blank paragraphs)."""
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("{", r"\{").replace("}", r"\}")
+
+    body = "\\par ".join(esc(c) for c in chunks_of(text))
+    return (f"{{\\rtf1\\ansi\\ansicpg1252 Document {doc_id}\\par {body}}}").encode("cp1252", errors="replace")
+
+
 def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
@@ -206,6 +260,8 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "csv": csv_bytes,
     "law": law_bytes,
     "pdf2col": pdf_twocol_bytes,
+    "odt": odt_bytes,
+    "rtf": rtf_bytes,
 }
 
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf"}

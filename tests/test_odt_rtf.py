@@ -1,0 +1,75 @@
+"""Native ODT / RTF reader tests."""
+
+import pytest
+
+from dedoc_ray.readers.odt import read_odt
+from dedoc_ray.readers.rtf import BadRtfFile, read_rtf
+from dedoc_ray.sources.synth_office import ODT_LIST_TEXT, _zip_bytes, odt_bytes, rtf_bytes
+
+
+def test_odt_roundtrip_byte_exact():
+    doc = read_odt(odt_bytes(4, "a the b the c"))
+    text = "".join(l.line for l in doc.lines)
+    assert text == "Document 4\na\nb\nc\n" + ODT_LIST_TEXT
+    hl = doc.lines[0].metadata.tag_hierarchy_level
+    assert (hl.level_1, hl.level_2, hl.line_type) == (1, 1, "header")
+    assert doc.lines[-1].metadata.tag_hierarchy_level.line_type == "list_item"
+
+
+def test_odt_metadata():
+    doc = read_odt(odt_bytes(9, "x"))
+    assert doc.metadata["title"] == "Document 9"
+    assert doc.metadata["author"] == "synth-author-4"
+
+
+def test_odt_table_and_spans():
+    ns = ('xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+          'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+          'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"')
+    content = (f'<?xml version="1.0"?><office:document-content {ns}><office:body><office:text>'
+               '<text:p>before<text:tab/>tabbed<text:line-break/>broken<text:s text:c="3"/>spaced</text:p>'
+               '<table:table><table:table-row>'
+               '<table:table-cell table:number-columns-spanned="2"><text:p>wide</text:p></table:table-cell>'
+               '<table:table-cell><text:p>x</text:p></table:table-cell>'
+               '</table:table-row></table:table>'
+               '</office:text></office:body></office:document-content>')
+    doc = read_odt(_zip_bytes([("content.xml", content)]))
+    assert doc.lines[0].line == "before\ttabbed\nbroken   spaced\n"
+    [t] = doc.tables
+    assert [c.colspan for c in t.cells[0]] == [2, 2, 1]
+    assert t.cells[0][1].invisible
+
+
+def test_rtf_roundtrip():
+    doc = read_rtf(rtf_bytes(4, "a the b"))
+    assert "".join(l.line for l in doc.lines) == "Document 4\na\nb\n"
+
+
+def test_rtf_skips_destinations_and_decodes_unicode():
+    rtf = (b"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}{\\info{\\author nobody}}"
+           b"Hello \\u1084?\\u1080?\\u1088?\\par next {\\pict deadbeef} line}")
+    doc = read_rtf(rtf)
+    text = "".join(l.line for l in doc.lines)
+    assert "Hello мир" in text
+    assert "Arial" not in text and "nobody" not in text and "deadbeef" not in text
+    assert "next  line" in text or "next line" in text
+
+
+def test_rtf_hex_escapes_cp1251():
+    doc = read_rtf(b"{\\rtf1\\ansi\\ansicpg1251 \\'ef\\'f0\\'e8\\'e2\\'e5\\'f2}")
+    assert "".join(l.line for l in doc.lines) == "привет\n"
+
+
+def test_rtf_rejects_non_rtf():
+    with pytest.raises(BadRtfFile):
+        read_rtf(b"plain text, no rtf magic")
+
+
+def test_kernel_routes_odt_rtf():
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+
+    k = ExtractKernel()
+    r1 = k.extract_row("https://x.test/a.odt", odt_bytes(1, "x"))
+    assert r1["format"] == "odt" and r1["status"] == "ok"
+    r2 = k.extract_row("https://x.test/a.rtf", rtf_bytes(1, "x"))
+    assert r2["format"] == "rtf" and r2["status"] == "ok"
