@@ -256,6 +256,56 @@ def q_extract_law(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_extract_law_ml(sf_dir: str):
+    """Trained law line-type classifier E2E: article headers in
+    abbreviation/case variants the regex skeleton misses; the oracle counts
+    one article per chunk, so any classifier miss breaks the hash."""
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(
+        office_corpus(sf_dir, "law_ml"),
+        config=PipelineConfig(document_type="law", use_ml_line_classifier=True),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nodes = batch["nodes"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_articles": pa.array(
+                    [sum(1 for n in ns if n["line_type"] == "article") for ns in nodes], "int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_fintoc(sf_dir: str):
+    """FinTOC title detection E2E: titles per document (reference
+    fintoc_structure_extractor task) — oracle counts one title per chunk."""
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(office_corpus(sf_dir, "fintoc"), config=PipelineConfig(document_type="fintoc"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nodes = batch["nodes"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_titles": pa.array(
+                    [sum(1 for n in ns if n["line_type"] == "header") for ns in nodes], "int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_distinct_urls(sf_dir: str):
     """Corpus set-op (§2.7): exact dedup by url over a doubled corpus (the
     re-crawl scenario) — union → hash-partitioned first-wins, only the url
@@ -586,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_archive": q_extract_archive,
         "extract_csv": q_extract_csv,
         "extract_law": q_extract_law,
+        "extract_law_ml": q_extract_law_ml,
+        "extract_fintoc": q_extract_fintoc,
         "top_urls": q_top_urls,
         "distinct_urls": q_distinct_urls,
         "doc_stats": q_doc_stats,
@@ -748,6 +800,10 @@ def oracle_sql() -> dict[str, str]:
                        f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_rows FROM documents",
         "extract_law": f"SELECT {office_url.format(ext='txt')} AS url, "
                        f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
+        "extract_law_ml": f"SELECT {office_url.format(ext='txt')} AS url, "
+                          f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
+        "extract_fintoc": f"SELECT {office_url.format(ext='txt')} AS url, "
+                          f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_titles FROM documents",
         "distinct_urls": f"SELECT {_URL_SQL} AS url FROM documents",
     }
     return {

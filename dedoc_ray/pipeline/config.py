@@ -23,9 +23,13 @@ from typing import List, Optional
 @dataclass(frozen=True)
 class PipelineConfig:
     # structure (api_args.py: document_type / structure_type)
-    document_type: str = "other"
+    document_type: str = "other"           # other | law | law_txt | tz | tz_txt | diploma | fintoc
     structure_type: str = "tree"          # "tree" | "linear"
     patterns: Optional[List[dict]] = None  # user patterns, see structure/patterns.py
+    # trained line-type layer over the regex skeleton (reference pickled
+    # XGBoost classifiers) — catches abbreviation/case variants ("Ст. 5.",
+    # "ARTICLE 5") the strict patterns miss; structure/ml_classifier.py
+    use_ml_line_classifier: bool = False
 
     # output (api_args.py: return_format) — consumed by pipeline.render
     return_format: str = "json"            # "json" | "html" | "plain_text" | "tree"

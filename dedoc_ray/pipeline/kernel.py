@@ -67,6 +67,19 @@ class ExtractKernel:
 
         self.constructor = construct_tree if config.structure_type == "tree" else construct_linear
         self.pages = parse_pages(config.pages)
+        # trained line-type layer (built ONCE per actor — weights are tiny
+        # but the principle is model-in-__init__, reference pickled
+        # classifiers are request-cached the same way)
+        self.fintoc = None
+        self.law_ml = None
+        if config.document_type == "fintoc":
+            from dedoc_ray.structure.ml_classifier import FintocTitleClassifier
+
+            self.fintoc = FintocTitleClassifier()
+        elif config.use_ml_line_classifier and config.document_type.startswith("law"):
+            from dedoc_ray.structure.ml_classifier import LawLineClassifier
+
+            self.law_ml = LawLineClassifier()
 
     # --- per-document ------------------------------------------------------
 
@@ -177,7 +190,12 @@ class ExtractKernel:
 
                 doc.lines, hf_warnings = remove_headers_footers(doc.lines)
                 doc.warnings.extend(hf_warnings)
-            lines = extract_structure(doc.lines, self.patterns)
+            if self.fintoc is not None:
+                lines = self.fintoc.apply(doc.lines)
+            elif self.law_ml is not None:
+                lines = self.law_ml.apply(doc.lines)
+            else:
+                lines = extract_structure(doc.lines, self.patterns)
             if self.config.document_type != "other":
                 from dedoc_ray.structure.postprocess import split_for_document_type
 

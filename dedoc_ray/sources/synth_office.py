@@ -250,6 +250,37 @@ def law_bytes(doc_id: int, text: str) -> bytes:
     return ("\n".join(lines) + "\n").encode("utf-8")
 
 
+_LAW_ART_FORMS = ["Статья {i}.", "Ст. {i}.", "Article {i}", "ARTICLE {i}", "Art. {i}."]
+
+
+def law_ml_bytes(doc_id: int, text: str) -> bytes:
+    """Law text whose article headers rotate through abbreviation/case
+    variants ("Ст. N.", "ARTICLE N") that the strict skeleton regexes do
+    NOT match — only the trained line-type classifier recovers them. One
+    article per chunk; body lines start lowercase with no numbering so the
+    classifier's raw_text precision is exercised too."""
+    lines = [f"Гл. {doc_id % 3 + 1}"]
+    for i, c in enumerate(chunks_of(text), 1):
+        lines.append(_LAW_ART_FORMS[(doc_id + i) % len(_LAW_ART_FORMS)].format(i=i))
+        lines.append(f"provision text {c}")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+_FINTOC_TOPICS = ["Financial Review", "Market Risk", "Capital Resources",
+                  "Operating Segments", "Audit Findings", "Regulatory Matters"]
+
+
+def fintoc_bytes(doc_id: int, text: str) -> bytes:
+    """Financial-report-like text: one numbered title per chunk + a body
+    paragraph; the fintoc classifier must mark exactly the titles."""
+    lines = []
+    for i, c in enumerate(chunks_of(text), 1):
+        topic = _FINTOC_TOPICS[(doc_id + i) % len(_FINTOC_TOPICS)]
+        lines.append(f"{i}. {topic}")
+        lines.append(f"the reported figures for this period reflect {c} across the group")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "docx": docx_bytes,
     "xlsx": xlsx_bytes,
@@ -262,9 +293,11 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "pdf2col": pdf_twocol_bytes,
     "odt": odt_bytes,
     "rtf": rtf_bytes,
+    "law_ml": law_ml_bytes,
+    "fintoc": fintoc_bytes,
 }
 
-_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf"}
+_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:

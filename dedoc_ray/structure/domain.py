@@ -77,6 +77,10 @@ DOMAIN_PATTERNS: Dict[str, Callable[[], List[Pattern]]] = {
     "tz": tz_patterns,
     "tz_txt": tz_patterns,
     "diploma": diploma_patterns,
+    # fintoc classifies lines with the trained title model
+    # (structure/ml_classifier.py::FintocTitleClassifier); the pattern layer
+    # is a no-op default the kernel overrides
+    "fintoc": default_patterns,
 }
 
 

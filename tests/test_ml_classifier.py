@@ -1,0 +1,75 @@
+"""Trained law/fintoc line-type classifiers."""
+
+import numpy as np
+
+from dedoc_ray.structure.ml_classifier import FintocTitleClassifier, LawLineClassifier
+
+
+def test_law_classifier_heldout_accuracy():
+    """Fresh synthetic corpus (different seed from training) — the same bar
+    family as txtlayer (≥0.95)."""
+    import scripts.train_line_types as tt
+
+    rng = np.random.RandomState(99)
+    clf = LawLineClassifier()
+    total = correct = 0
+    for _ in range(10):
+        lines, labels = tt.law_doc(rng)
+        preds = clf.predict(lines)
+        correct += sum(p == t for p, t in zip(preds, labels))
+        total += len(labels)
+    assert correct / total >= 0.95, f"law acc {correct / total:.3f}"
+
+
+def test_law_classifier_catches_regex_missed_variants():
+    """Predicted IN DOCUMENT CONTEXT (features include relative position);
+    the abbreviation/case forms below are exactly the ones the skeleton
+    regexes in structure/domain.py do not match."""
+    clf = LawLineClassifier()
+    doc = [
+        "Гл. 2",
+        "Ст. 5. Общие положения",
+        "положение применяется ко всем лицам при соблюдении условий",
+        "ARTICLE 12",
+        "the provision applies to all persons subject to conditions",
+        "Art. 13.",
+    ]
+    preds = clf.predict(doc)
+    assert preds[1] == "article" and preds[3] == "article" and preds[5] == "article"
+    assert preds[2] == "raw_text" and preds[4] == "raw_text"
+
+
+def test_fintoc_title_detection():
+    import scripts.train_line_types as tt
+
+    rng = np.random.RandomState(77)
+    clf = FintocTitleClassifier()
+    total = correct = 0
+    for _ in range(10):
+        lines, labels = tt.fintoc_doc(rng)
+        preds = clf.predict_titles(lines)
+        correct += int((preds == np.array(labels, dtype=bool)).sum())
+        total += len(labels)
+    assert correct / total >= 0.95
+
+
+def test_fintoc_apply_assigns_depth_from_numbering():
+    from dedoc_ray.core.line import LineWithMeta
+
+    clf = FintocTitleClassifier()
+    lines = [LineWithMeta("2.1 Market Risk\n"), LineWithMeta("plain body text about many figures and results\n")]
+    clf.apply(lines)
+    hl = lines[0].metadata.hierarchy_level
+    assert hl.line_type == "header" and hl.level_2 == 2
+    assert lines[1].metadata.hierarchy_level.is_raw_text()
+
+
+def test_law_ml_kernel_end_to_end():
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+    from dedoc_ray.sources.synth_office import law_ml_bytes
+
+    k = ExtractKernel(config=PipelineConfig(document_type="law", use_ml_line_classifier=True))
+    row = k.extract_row("https://x.test/a.txt", law_ml_bytes(3, "alpha the beta the gamma"))
+    arts = [n for n in row["nodes"] if n["line_type"] == "article"]
+    assert len(arts) == 3
