@@ -39,8 +39,8 @@ def _load_queries(sf_dir: str, n_queries: int):
     tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries
     )
-    qids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    qmat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    qmat = _embedding_matrix(tbl)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     return qids, qmat
 
@@ -59,7 +59,7 @@ class TopKKernel:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (mat / norms) @ self.qmat.T  # (batch, nq)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vec_ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         out_q: List[int] = []
         out_v: List[int] = []
         out_s: List[float] = []
@@ -136,7 +136,7 @@ def _replicate_to_block_pairs(batch: pa.Table, n_blocks: int) -> pa.Table:
     flat = np.asarray(col.flatten(), dtype=np.float32)
     n = batch.num_rows
     d = flat.size // max(n, 1)
-    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     blk = ids % n_blocks
     rep_row = np.repeat(np.arange(n), n_blocks)
     rep_b = blk[rep_row]
@@ -232,7 +232,7 @@ class SRPKernel:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _embedding_matrix(batch)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         col = batch["embedding"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -349,7 +349,7 @@ def train_centroids(sf_dir: str, n_lists: int = 16, sample_rows: int = 512, iter
     tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
         columns=["vec_id", "embedding"], filter=pads.field("vec_id") < sample_rows
     )
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mat = _embedding_matrix(tbl)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     n = len(mat)
     idx = np.linspace(0, n - 1, n_lists).astype(int)  # deterministic init
@@ -391,7 +391,7 @@ class IVFTopKKernel:
         assign = np.argmax(unit @ self.cent.T, axis=1)  # (batch,)
         sims = unit @ self.qmat.T                       # (batch, nq)
         sims = np.where(self.lookup[assign], sims, -np.inf)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vec_ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         out_q: List[int] = []
         out_v: List[int] = []
         out_s: List[float] = []
