@@ -114,6 +114,16 @@ def q_extract_full(sf_dir: str):
     return _extracted(sf_dir).select_columns(["url", "status", "format", "n_nodes", "n_tables", "n_bytes"])
 
 
+def q_extract_node_counts(sf_dir: str):
+    """Structure-tree node/table counts per url, full SQL oracle: restricted
+    to the template classes whose tree shape is input-independent (all but
+    the rich class 6 and the indent-sensitive class 7). Complements the
+    rows-only extract_full with a hash-exact check of the constructed
+    tree's cardinality."""
+    ds = _extracted(sf_dir, cls_filter=lambda cls: (cls != 6) & (cls != 7))
+    return ds.select_columns(["url", "status", "format", "n_nodes", "n_tables"])
+
+
 def _office_extract(sf_dir: str, fmt: str):
     """Synthetic one-format corpus (docx/xlsx/pptx/eml/mhtml/zip derived
     from documents.text) → full extraction pipeline."""
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_counts": q_extract_counts,
         "extract_tables": q_extract_tables,
         "extract_full": q_extract_full,
+        "extract_node_counts": q_extract_node_counts,
         "extract_docx": q_extract_docx,
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
@@ -738,6 +749,21 @@ ORDER BY n_bytes DESC, url ASC
 LIMIT 20
 """
 
+_NODE_COUNTS_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % 10 = 9 THEN 'bad_file' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 10 <= 6 THEN 'html'
+            WHEN doc_id % 10 = 8 THEN 'json'
+            ELSE 'bad_file' END AS format,
+       CAST(CASE WHEN doc_id % 10 <= 4 THEN 2
+                 WHEN doc_id % 10 = 5 THEN 3
+                 WHEN doc_id % 10 = 8 THEN 5
+                 ELSE 0 END AS INT) AS n_nodes,
+       CAST(0 AS INT) AS n_tables
+FROM documents
+WHERE doc_id % 10 NOT IN (6, 7)
+"""
+
 _IMAGE_THUMBNAILS_SQL = """
 SELECT doc_id,
        CAST(8 AS BIGINT) AS thumb_dim,
@@ -812,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables": _TABLES_SQL,
         **office_sql,
         "top_urls": _TOP_URLS_SQL,
+        "extract_node_counts": _NODE_COUNTS_SQL,
         # extract_full / minhash_lsh_pairs / winnow_stats: rows-only (LSH
         # candidates and rolling-hash winnowing are not SQL-expressible;
         # extract_full spans the rich template class)

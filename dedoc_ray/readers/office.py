@@ -138,6 +138,17 @@ def _docx_paragraph(
     # paragraph-level unit → trailing newline, like the HTML kernel's
     # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
     text = prefix + "".join(texts) + "\n"
+    # paragraph-level alignment/indentation annotations (reference
+    # docx_reader/properties_extractor.py: w:jc → alignment, w:ind →
+    # indentation in twentieths of a point)
+    if ppr is not None and text.strip():
+        jc = ppr.find(f"{W}jc")
+        if jc is not None:
+            annotations.append(Annotation(0, len(text), "alignment", jc.get(f"{W}val", "left")))
+        ind = ppr.find(f"{W}ind")
+        if ind is not None:
+            left_ind = ind.get(f"{W}firstLine") or ind.get(f"{W}left") or "0"
+            annotations.append(Annotation(0, len(text), "indentation", left_ind))
     metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=tag_hl)
     return LineWithMeta(text, metadata=metadata, annotations=annotations)
 

@@ -104,3 +104,17 @@ def test_split_drops_empty_raw_text():
     empty = LineWithMeta("", metadata=LineMetadata(hierarchy_level=HierarchyLevel.create_raw_text()))
     out = split_prefix_lines([empty], ("item",), (REGEXPS_DIGITS_WITH_DOTS,), (REGEXPS_ENDS_OF_NUMBER,))
     assert out == []
+
+
+def test_docx_alignment_indent_annotations():
+    from dedoc_ray.sources.synth_office import _zip_bytes
+
+    W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    xml = (f'<?xml version="1.0"?><w:document {W}><w:body>'
+           '<w:p><w:pPr><w:jc w:val="center"/><w:ind w:firstLine="708"/></w:pPr>'
+           '<w:r><w:t>centered and indented</w:t></w:r></w:p>'
+           '</w:body></w:document>')
+    doc = read_docx(_zip_bytes([("word/document.xml", xml)]))
+    anns = {(a.name, a.value) for a in doc.lines[0].annotations}
+    assert ("alignment", "center") in anns
+    assert ("indentation", "708") in anns
