@@ -15,6 +15,10 @@ import re
 import pyarrow as pa
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
+# GPT-2-style pre-tokenizer approximation, shared VERBATIM with the DuckDB
+# oracle (RE2-compatible: no lookahead, ASCII classes)
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+BPE_RE = re.compile(BPE_PATTERN)
 # Pinned to RE2's ASCII \s class ([\t\n\f\r ]) so the DuckDB oracles (which
 # run RE2 '\s+') agree byte-for-byte even on \xa0 / \v / unicode whitespace.
 WS_RE = re.compile(r"[ \t\n\f\r]+")
@@ -36,12 +40,14 @@ class DocStatsKernel:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        n_tokens, n_stop, tok_chars, fps = [], [], [], []
+        n_tokens, n_stop, tok_chars, n_bpe, fps = [], [], [], [], []
         for text in texts:
             toks = self.token_re.findall(text.lower())
             n_tokens.append(len(toks))
             n_stop.append(sum(1 for t in toks if t in self.stop))
             tok_chars.append(sum(len(t) for t in toks))
+            # BPE-ish pre-tokenizer count — the training-data budget metric
+            n_bpe.append(len(BPE_RE.findall(text)))
             # strip(" ") not strip(): DuckDB trim() removes spaces only, and
             # after the ASCII-\s collapse the edges are single spaces anyway
             normalized = self.ws_re.sub(" ", text.lower()).strip(" ")
@@ -52,6 +58,7 @@ class DocStatsKernel:
                 "n_tokens": pa.array(n_tokens, "int64"),
                 "n_stopwords": pa.array(n_stop, "int64"),
                 "n_token_chars": pa.array(tok_chars, "int64"),
+                "n_bpe_tokens": pa.array(n_bpe, "int64"),
                 "fingerprint": pa.array(fps, "string"),
             }
         )
@@ -106,12 +113,13 @@ def doc_quality(sf_dir: str):
     return docs.map_batches(QualityKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
 
 
-DOC_STATS_SQL = """
+DOC_STATS_SQL = f"""
 SELECT doc_id,
        length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
        length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
                           t -> t IN ('the','a','and','of','to','in','is'))) AS n_stopwords,
        length(list_aggregate(regexp_extract_all(lower(text), '[a-z0-9]+'), 'string_agg', '')) AS n_token_chars,
+       length(regexp_extract_all(text, '{BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
@@ -137,6 +145,7 @@ class GopherQualityKernel:
       r_wordlen:   3 <= mean word length*10 <= 100 (x10 to stay integral)
       r_hashratio: '#' count * 10 <= n words
       r_bullet:    lines starting with '-'/'*' <= 90% of lines
+      r_dupline:   duplicate-line fraction <= 30% (Gopher repetition family)
       passes:      all rules hold
     """
 
@@ -145,7 +154,7 @@ class GopherQualityKernel:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        cols = {k: [] for k in ("r_wordcount", "r_wordlen", "r_hashratio", "r_bullet", "passes")}
+        cols = {k: [] for k in ("r_wordcount", "r_wordlen", "r_hashratio", "r_bullet", "r_dupline", "passes")}
         for text in texts:
             # words/lines pinned to the SQL oracle's definitions exactly:
             # words split on RE2-\s ([ \t\n\f\r]+), lines split on '\n' only,
@@ -155,15 +164,18 @@ class GopherQualityKernel:
             mean_len_x10 = (sum(len(w) for w in words) * 10) // n if n else 0
             lines = text.split("\n")
             n_bullet = sum(1 for ln in lines if ln.lstrip(" \t").startswith(("-", "*")))
+            n_dup = len(lines) - len(set(lines))
             r_wc = 1 if 50 <= n <= 100000 else 0
             r_wl = 1 if 30 <= mean_len_x10 <= 100 else 0
             r_hash = 1 if text.count("#") * 10 <= n else 0
             r_bul = 1 if n_bullet * 10 <= 9 * len(lines) else 0
+            r_dup = 1 if n_dup * 10 <= 3 * len(lines) else 0
             cols["r_wordcount"].append(r_wc)
             cols["r_wordlen"].append(r_wl)
             cols["r_hashratio"].append(r_hash)
             cols["r_bullet"].append(r_bul)
-            cols["passes"].append(r_wc & r_wl & r_hash & r_bul)
+            cols["r_dupline"].append(r_dup)
+            cols["passes"].append(r_wc & r_wl & r_hash & r_bul & r_dup)
         out = {"doc_id": batch["doc_id"]}
         out.update({k: pa.array(v, "int64") for k, v in cols.items()})
         return pa.Table.from_pydict(out)
@@ -190,6 +202,7 @@ r AS (
          len(list_filter(lines, x -> ltrim(x, ' ' || chr(9)) LIKE '-%'
                                    OR ltrim(x, ' ' || chr(9)) LIKE '*%')) AS n_bullet,
          len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS n_dup,
          length(text) - length(replace(text, '#', '')) AS n_hash
   FROM m
 )
@@ -198,8 +211,10 @@ SELECT doc_id,
        CAST(CASE WHEN mean_len_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
        CAST(CASE WHEN n_hash * 10 <= n THEN 1 ELSE 0 END AS BIGINT) AS r_hashratio,
        CAST(CASE WHEN n_bullet * 10 <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+       CAST(CASE WHEN n_dup * 10 <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_dupline,
        CAST(CASE WHEN n BETWEEN 50 AND 100000 AND mean_len_x10 BETWEEN 30 AND 100
                   AND n_hash * 10 <= n AND n_bullet * 10 <= 9 * n_lines
+                  AND n_dup * 10 <= 3 * n_lines
              THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM r
 """

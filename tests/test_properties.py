@@ -138,3 +138,98 @@ def test_gopher_rules_boundaries():
     assert out["r_wordcount"].to_pylist() == [1, 0, 1, 0]
     assert out["r_hashratio"].to_pylist() == [1, 1, 0, 1]
     assert out["r_bullet"].to_pylist() == [1, 1, 1, 0]
+
+
+# ------------------------------------------------- round-2 operator algebra
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts)
+def test_split_prefix_preserves_concatenated_text(t):
+    """Item/subitem splitting never changes the concatenated text."""
+    from dedoc_ray.core.hierarchy import HierarchyLevel
+    from dedoc_ray.core.line import LineMetadata
+    from dedoc_ray.structure.postprocess import (
+        REGEXPS_DIGITS_WITH_DOTS,
+        REGEXPS_ENDS_OF_NUMBER,
+        split_prefix_lines,
+    )
+
+    line = LineWithMeta(
+        t, metadata=LineMetadata(hierarchy_level=HierarchyLevel(2, 1, False, "item"))
+    )
+    out = split_prefix_lines([line], ("item",), (REGEXPS_DIGITS_WITH_DOTS,), (REGEXPS_ENDS_OF_NUMBER,))
+    assert "".join(l.line for l in out) == t
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_rtf_reader_never_crashes(payload):
+    """Arbitrary bytes after the magic: parse or raise BadRtfFile, never
+    another exception type."""
+    from dedoc_ray.readers.rtf import BadRtfFile, read_rtf
+
+    try:
+        read_rtf(b"{\\rtf1" + payload + b"}")
+    except BadRtfFile:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2000))
+def test_numbering_formatter_decimal_letters(n):
+    from dedoc_ray.readers.docx_numbering import format_number
+
+    assert format_number("decimal", n) == str(n + 1)
+    low = format_number("lowerLetter", n)
+    assert low == low.lower() and len(low) == n // 26 + 1
+    assert format_number("upperLetter", n) == low.upper()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120))
+def test_bpe_pattern_matches_duckdb(t):
+    """The BPE-ish token pattern is shared verbatim with the SQL oracle —
+    Python re and DuckDB RE2 must count identically on ASCII text."""
+    import duckdb
+
+    from dedoc_ray.ops.textstats import BPE_PATTERN, BPE_RE
+
+    py = len(BPE_RE.findall(t))
+    sql_pat = BPE_PATTERN.replace("'", "''")
+    db = duckdb.execute(
+        f"SELECT length(regexp_extract_all(?, '{sql_pat}'))", [t]
+    ).fetchone()[0]
+    assert py == db
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=8))
+def test_simhash_popcount_lut_matches_bincount(xs):
+    import numpy as np
+
+    x = np.array(xs, dtype=np.uint64)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+    assert [int(h) for h in ham] == [bin(v).count("1") for v in xs]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=300),
+    st.sampled_from([".html", ".txt", ".csv", ".json", ".pdf", ".docx", ".xlsx",
+                     ".pptx", ".odt", ".rtf", ".eml", ".mhtml", ".zip", ".bin"]),
+)
+def test_extract_row_never_raises(payload, ext):
+    """The 100 TB robustness contract: ANY payload byte string produces a
+    status row (ok | bad_file | parse_error), never an exception — one bad
+    row must not kill a 64-row batch."""
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+
+    row = _FUZZ_KERNEL.extract_row(f"https://fuzz.test/x{ext}", payload)
+    assert row["status"] in ("ok", "bad_file", "parse_error")
+
+
+from dedoc_ray.pipeline.kernel import ExtractKernel as _EK  # noqa: E402
+
+_FUZZ_KERNEL = _EK()
