@@ -619,6 +619,14 @@ def q_segment_revenue(sf_dir: str):
     return segment_revenue(sf_dir)
 
 
+def q_segment_revenue_join(sf_dir: str):
+    """Native Dataset.join (hash-shuffle backend) variant of
+    segment_revenue — the both-sides-large join path."""
+    from dedoc_ray.ops.relational import segment_revenue_shuffle_join
+
+    return segment_revenue_shuffle_join(sf_dir)
+
+
 # --------------------------------------------------------------- contract
 
 
@@ -673,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "segment_revenue": q_segment_revenue,
+        "segment_revenue_join": q_segment_revenue_join,
         "asof_events_orders": q_asof_events_orders,
         "range_join": q_range_join,
         "shipped_2000_revenue": q_shipped_2000_revenue,
@@ -860,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sliding": events_sliding_sql(),
         "segment_revenue": SEGMENT_REVENUE_SQL,
+        "segment_revenue_join": SEGMENT_REVENUE_SQL,
         "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
         "range_join": range_join_sql(),
         "shipped_2000_revenue": SHIPPED_2000_REVENUE_SQL,

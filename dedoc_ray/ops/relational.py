@@ -137,6 +137,50 @@ GROUP BY 1
 """
 
 
+def segment_revenue_shuffle_join(sf_dir: str):
+    """Same result as ``segment_revenue`` via Ray Data's NATIVE hash join
+    (``Dataset.join``, hash-shuffle backend) — the both-sides-large path a
+    100 TB pipeline needs when the dimension no longer fits a broadcast.
+    Orders rows are pre-pruned to (o_custkey, revenue_cents) before the
+    shuffle; the joined stream partially aggregates per batch and the final
+    combine is a tiny per-segment groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from dedoc_ray.ops.shuffle import enable_hash_shuffle
+
+    enable_hash_shuffle()
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": pa.array(df["o_custkey"].to_numpy("int64"), "int64"),
+                "revenue_cents": pa.array(_cents(df["o_totalprice"]), "int64"),
+            }
+        )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]).map_batches(
+        prune, batch_format="pyarrow", batch_size=65536
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="left_outer", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["c_mktsegment"].fillna("UNKNOWN")
+        df["n_orders"] = np.int64(1)
+        g = df.groupby("c_mktsegment", as_index=False)[["revenue_cents", "n_orders"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders")
+    )
+
+
 def top_urls_by_size(extracted_ds, k: int = 20):
     """sort + limit demo on the extracted corpus (SURVEY.md §2.7)."""
     return extracted_ds.select_columns(["url", "n_bytes"]).sort("n_bytes", descending=True).limit(k)
