@@ -384,6 +384,34 @@ def q_extract_archive(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction pass (emails/phones/IPv4 → typed placeholders)."""
+    from dedoc_ray.ops.webclean import pii_redact
+
+    return pii_redact(sf_dir)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-wide paragraph dedup (first occurrence wins)."""
+    from dedoc_ray.ops.webclean import paragraph_dedup
+
+    return paragraph_dedup(sf_dir)
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic md5-based train/val/test tagging per doc."""
+    from dedoc_ray.ops.webclean import hash_split
+
+    return hash_split(sf_dir)
+
+
+def q_url_stats(sf_dir: str):
+    """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
+    from dedoc_ray.ops.webclean import url_stats
+
+    return url_stats(sf_dir)
+
+
 def q_doc_stats(sf_dir: str):
     from dedoc_ray.ops.textstats import doc_stats
 
@@ -659,6 +687,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fintoc": q_extract_fintoc,
         "top_urls": q_top_urls,
         "distinct_urls": q_distinct_urls,
+        "pii_redact": q_pii_redact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "hash_split": q_hash_split,
+        "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "gopher_quality": q_gopher_quality,
@@ -795,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         range_join_sql,
     )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
+    from dedoc_ray.ops.webclean import HASH_SPLIT_SQL, PARAGRAPH_DEDUP_SQL, PII_REDACT_SQL, URL_STATS_SQL
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
     body = "replace(text, ' the ', chr(10)) || chr(10)"
@@ -851,6 +884,10 @@ def oracle_sql() -> dict[str, str]:
         # extract_full / minhash_lsh_pairs / winnow_stats: rows-only (LSH
         # candidates and rolling-hash winnowing are not SQL-expressible;
         # extract_full spans the rich template class)
+        "pii_redact": PII_REDACT_SQL,
+        "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "hash_split": HASH_SPLIT_SQL,
+        "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "gopher_quality": GOPHER_QUALITY_SQL,

@@ -1,0 +1,273 @@
+"""Web-corpus cleaning operators: PII redaction, paragraph-level dedup,
+deterministic train/val/test splits, URL parsing stats.
+
+These are the remaining staples of a training-data curation pipeline (the
+CCNet / C4 / Dolma family of cleanup passes) expressed Ray-Data-first:
+
+- PII redaction is a pure vectorized ``map_batches`` stage — RE2 kernels
+  via ``pyarrow.compute`` (``replace_substring_regex`` /
+  ``count_substring_regex``), the SAME regex engine DuckDB uses, so the
+  oracle replays byte-exactly. No shuffle; scales linearly.
+- Paragraph dedup is exact dedup at SUB-document granularity (the CCNet
+  move): explode paragraphs, one hash-partitioned shuffle of
+  (paragraph, doc_id, idx) triples, first-wins per paragraph inside each
+  partition. Only the paragraph column moves — at 100 TB the shuffle
+  payload is the text itself once, nothing quadratic.
+- Hash split tags each doc train/val/test from ``md5(doc_id)`` — stable
+  under re-runs, re-shards and corpus growth (a doc's split never depends
+  on what else is in the corpus). Map-only.
+- URL stats parses scheme/host/ext out of the url column with one RE2
+  kernel pass, pre-aggregates per batch, and combines the tiny partials on
+  the driver (the combiner-before-groupby pattern; ≤ |exts| rows/block).
+
+PII text is synthesized as a PURE FUNCTION of the documents view (same
+contract as dedoc_ray/sources/synth.py) so the DuckDB oracle can replay
+injection + redaction and hash-match the output exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- PII
+
+# Shared VERBATIM with the DuckDB oracle (RE2: no lookaround, ASCII classes).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def inject_pii_batch(batch: pa.Table) -> pa.Table:
+    """documents rows → rows with deterministic PII planted per doc_id.
+
+    Pure function of (doc_id, text) — the oracle rebuilds it in SQL. One
+    third of docs get an email, one third a phone + an IPv4, one third stay
+    clean (the redactor must pass them through untouched)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    out = []
+    for doc_id, text in zip(ids, texts):
+        m = doc_id % 3
+        if m == 0:
+            out.append(f"{text} contact user{doc_id}@example.com now")
+        elif m == 1:
+            out.append(
+                f"{text} call +1-555-{doc_id % 10000:04d} from 10.{doc_id % 256}.{(doc_id // 7) % 256}.{(doc_id // 11) % 256}"
+            )
+        else:
+            out.append(text)
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "pii_text": pa.array(out, "string")}
+    )
+
+
+class PiiRedactKernel:
+    """pii_text → redacted text + per-type match counts, fully vectorized.
+
+    All three patterns run as RE2 kernels over the whole batch (zero Python
+    per row). Counts are taken on the INPUT text; replacements then apply
+    sequentially email → phone → ip (patterns are mutually exclusive here,
+    and the oracle nests regexp_replace in the same order)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["pii_text"]
+        n_emails = pc.count_substring_regex(col, EMAIL_RE)
+        n_phones = pc.count_substring_regex(col, PHONE_RE)
+        n_ips = pc.count_substring_regex(col, IPV4_RE)
+        red = pc.replace_substring_regex(col, EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+        red = pc.replace_substring_regex(red, IPV4_RE, "<IP>")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": red,
+                "n_emails": pc.cast(n_emails, "int64"),
+                "n_phones": pc.cast(n_phones, "int64"),
+                "n_ips": pc.cast(n_ips, "int64"),
+            }
+        )
+
+
+def pii_redact(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    injected = docs.map_batches(inject_pii_batch, batch_format="pyarrow", batch_size=1024)
+    return injected.map_batches(PiiRedactKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+
+
+# DuckDB's regexp_* are RE2 like pyarrow.compute — patterns shared verbatim.
+_PII_SQL_TEXT = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id || '@example.com now' "
+    "WHEN doc_id % 3 = 1 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || ((doc_id // 11) % 256) "
+    "ELSE text END"
+)
+
+PII_REDACT_SQL = f"""
+WITH injected AS (SELECT doc_id, {_PII_SQL_TEXT} AS pii_text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(pii_text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g') AS clean_text,
+       length(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS n_emails,
+       length(regexp_extract_all(pii_text, '{PHONE_RE}')) AS n_phones,
+       length(regexp_extract_all(pii_text, '{IPV4_RE}')) AS n_ips
+FROM injected
+"""
+
+
+# ---------------------------------------------------- paragraph dedup
+
+PARA_SEP = " the "
+
+
+def explode_paragraphs(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one row per paragraph with its 1-based index.
+
+    Vectorized via pandas str.split + explode; the paragraph boundary is the
+    corpus's chunk delimiter (dedoc_ray/sources/synth.py chunks_of). On a
+    real crawl this is text.split('\\n\\n')."""
+    df = batch.select(["doc_id", "text"]).to_pandas()
+    df["para"] = df["text"].str.split(PARA_SEP)
+    df = df[["doc_id", "para"]].explode("para", ignore_index=True)
+    df["para_idx"] = df.groupby("doc_id").cumcount() + 1
+    df["para_idx"] = df["para_idx"].astype("int64")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(df["doc_id"], "int64"),
+            "para_idx": pa.array(df["para_idx"], "int64"),
+            "para": pa.array(df["para"], "string"),
+        }
+    )
+
+
+def paragraph_dedup(sf_dir: str):
+    """Corpus-wide exact paragraph dedup: keep the first occurrence
+    (smallest doc_id, then para_idx) of every distinct paragraph.
+
+    One hash-partitioned shuffle keyed on the paragraph string; first-wins
+    is a vectorized idxmin inside each key-complete partition. Boilerplate
+    paragraphs (headers, nav, license blocks) are exactly the hot keys the
+    coarse-partition shape absorbs — a popular paragraph's rows all land in
+    one partition but only as (para, doc_id, idx) triples, never the docs."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    paras = docs.map_batches(explode_paragraphs, batch_format="pyarrow", batch_size=1024)
+
+    def first_per_para(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "para_idx": pd.Series([], dtype="int64"),
+                    "para": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values(["doc_id", "para_idx"], kind="stable")
+        keep = df.drop_duplicates("para", keep="first")
+        return keep[["doc_id", "para_idx", "para"]]
+
+    return hash_partition_apply(paras, ["para"], first_per_para, num_parts=32)
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH exploded AS (
+    SELECT doc_id,
+           unnest(str_split(text, '{PARA_SEP}')) AS para,
+           unnest(range(1, len(str_split(text, '{PARA_SEP}')) + 1)) AS para_idx
+    FROM documents
+)
+SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx, para
+FROM exploded
+QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1
+"""
+
+
+# ------------------------------------------------------------- splits
+
+
+def hash_split_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic train/val/test tag from md5(doc_id).
+
+    First hex byte of md5(str(doc_id)) < 0x0d (13/256 ≈ 5%) → val, next
+    13/256 → test, rest train. Content- and corpus-independent: adding or
+    resharding docs never flips an existing doc's split (the property that
+    makes eval sets stable across crawl snapshots)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    splits = []
+    for i in ids:
+        h = hashlib.md5(str(int(i)).encode()).hexdigest()[:2]
+        splits.append("val" if h < "0d" else ("test" if h < "1a" else "train"))
+    return pa.Table.from_pydict(
+        {"doc_id": batch["doc_id"], "split": pa.array(splits, "string")}
+    )
+
+
+def hash_split(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(hash_split_batch, batch_format="pyarrow", batch_size=4096)
+
+
+HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# ----------------------------------------------------------- url stats
+
+_EXT_RE = r"\.(?P<ext>[a-z0-9]+)$"
+
+
+def url_stats(sf_dir: str):
+    """Per-extension page counts + text volume over the synthetic crawl.
+
+    The url column is parsed with one RE2 kernel pass (host/ext), partials
+    aggregated per batch, and the ≤|exts|-row partials combined on the
+    driver — no shuffle at any corpus size."""
+    import ray.data as rd
+
+    from dedoc_ray.sources.synth import pages_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"])
+    pages = docs.map_batches(pages_batch, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.struct_field(pc.extract_regex(batch["url"], _EXT_RE), "ext")
+        n_chars = pc.utf8_length(batch["text"])
+        df = pd.DataFrame({"ext": ext.to_pylist(), "n_chars": n_chars.to_numpy(zero_copy_only=False)})
+        g = df.groupby("ext", as_index=False).agg(n_pages=("n_chars", "size"), n_chars=("n_chars", "sum"))
+        g["n_pages"] = g["n_pages"].astype("int64")
+        g["n_chars"] = g["n_chars"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = pages.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby("ext", as_index=False)[["n_pages", "n_chars"]].sum()
+    return out
+
+
+URL_STATS_SQL = """
+SELECT CASE WHEN doc_id % 10 <= 6 THEN 'html'
+            WHEN doc_id % 10 = 7 THEN (CASE WHEN doc_id % 20 = 17 THEN 'pdf' ELSE 'txt' END)
+            WHEN doc_id % 10 = 8 THEN 'json'
+            ELSE 'bin' END AS ext,
+       count(*) AS n_pages,
+       sum(length(text)) AS n_chars
+FROM documents
+GROUP BY 1
+"""

@@ -1,0 +1,119 @@
+"""Tests: PII redaction, paragraph dedup, hash split, url stats."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------- PII
+
+
+def test_pii_kernel_redacts_and_counts():
+    from dedoc_ray.ops.webclean import PiiRedactKernel
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], "int64"),
+            "pii_text": pa.array(
+                [
+                    "mail me at a.b+c@foo-bar.org or x@y.io thanks",
+                    "call +1-555-0199 or 44-201-333, server 10.0.0.1 up",
+                    "nothing sensitive here",
+                ],
+                "string",
+            ),
+        }
+    )
+    out = PiiRedactKernel()(batch)
+    assert out["clean_text"][0].as_py() == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out["n_emails"].to_pylist() == [2, 0, 0]
+    assert out["n_phones"].to_pylist() == [0, 2, 0]
+    assert out["n_ips"].to_pylist() == [0, 1, 0]
+    assert out["clean_text"][1].as_py() == "call <PHONE> or <PHONE>, server <IP> up"
+    assert out["clean_text"][2].as_py() == "nothing sensitive here"
+
+
+def test_pii_injection_pure_function():
+    from dedoc_ray.ops.webclean import inject_pii_batch
+
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array([0, 1, 2], "int64"), "text": pa.array(["a", "b", "c"], "string")}
+    )
+    out = inject_pii_batch(batch)["pii_text"].to_pylist()
+    assert out[0] == "a contact user0@example.com now"
+    assert "+1-555-0001" in out[1] and "10.1.0.0" in out[1]
+    assert out[2] == "c"
+
+
+def test_pii_end_to_end_no_leftover_pii(ray_session):
+    from dedoc_ray.ops.webclean import EMAIL_RE, IPV4_RE, PHONE_RE, pii_redact
+
+    import re
+
+    df = pii_redact(SF).to_pandas()
+    joined = "\n".join(df["clean_text"])
+    for pat in (EMAIL_RE, PHONE_RE, IPV4_RE):
+        assert not re.search(pat, joined)
+    # every injected class actually got a redaction recorded
+    assert (df["n_emails"] > 0).any() and (df["n_phones"] > 0).any() and (df["n_ips"] > 0).any()
+
+
+# -------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_first_wins(ray_session):
+    from dedoc_ray.ops.webclean import paragraph_dedup
+
+    df = paragraph_dedup(SF).to_pandas()
+    # distinct paragraphs only
+    assert df["para"].is_unique
+    # winner is the minimal (doc_id, para_idx) for its paragraph: rebuild
+    # the exploded corpus in pandas and compare
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs["para"] = docs["text"].str.split(" the ")
+    exp = docs[["doc_id", "para"]].explode("para", ignore_index=True)
+    exp["para_idx"] = exp.groupby("doc_id").cumcount() + 1
+    exp = exp.sort_values(["doc_id", "para_idx"]).drop_duplicates("para", keep="first")
+    got = df.sort_values(["doc_id", "para_idx"]).reset_index(drop=True)
+    want = exp[["doc_id", "para_idx", "para"]].sort_values(["doc_id", "para_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"para_idx": "int64"}), want.astype({"para_idx": "int64"}))
+
+
+# --------------------------------------------------------- hash split
+
+
+def test_hash_split_deterministic_and_stable(ray_session):
+    from dedoc_ray.ops.webclean import hash_split
+
+    df = hash_split(SF).to_pandas()
+    assert set(df["split"].unique()) <= {"train", "val", "test"}
+    # stability: the tag is a pure function of doc_id
+    for _, row in df.head(20).iterrows():
+        h = hashlib.md5(str(int(row["doc_id"])).encode()).hexdigest()[:2]
+        want = "val" if h < "0d" else ("test" if h < "1a" else "train")
+        assert row["split"] == want
+    # roughly 90/5/5 (loose bounds at tiny sf)
+    frac_train = (df["split"] == "train").mean()
+    assert 0.75 <= frac_train <= 0.98
+
+
+# ---------------------------------------------------------- url stats
+
+
+def test_url_stats_exts(ray_session):
+    from dedoc_ray.ops.webclean import url_stats
+
+    out = url_stats(SF)
+    got = dict(zip(out["ext"], out["n_pages"]))
+    assert set(got) == {"html", "txt", "pdf", "json", "bin"}
+    # template classes 0-6 are html → 70% of the corpus
+    total = sum(got.values())
+    assert got["html"] == pytest.approx(0.7 * total, rel=0.1)
