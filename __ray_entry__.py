@@ -199,6 +199,37 @@ def q_extract_pptx(sf_dir: str):
     return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_doc(sf_dir: str):
+    """Native Word-97 .doc reader (CFB container + piece-table text; the
+    reference shells to soffice) — byte-exact extracted text oracle."""
+    return _office_extract(sf_dir, "doc").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_ppt(sf_dir: str):
+    """Native binary .ppt reader (CFB + TextCharsAtom records) — byte-exact
+    extracted text oracle."""
+    return _office_extract(sf_dir, "ppt").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_xls(sf_dir: str):
+    """Native BIFF8 .xls reader — sheet grid shape per url (2x3 grid)."""
+    ds = _office_extract(sf_dir, "xls")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n_cells = [
+            sum(len(row) for tab in t for row in tab["cells"]) for t in batch["tables"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_tables": pa.compute.cast(batch["n_tables"], "int64"),
+                "n_cells": pa.array(n_cells, "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_eml(sf_dir: str):
     return _office_extract(sf_dir, "eml").select_columns(["url", "status", "extracted_text"])
 
@@ -678,6 +709,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_rtf": q_extract_rtf,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
+        "extract_doc": q_extract_doc,
+        "extract_xls": q_extract_xls,
+        "extract_ppt": q_extract_ppt,
         "extract_eml": q_extract_eml,
         "extract_mhtml": q_extract_mhtml,
         "extract_archive": q_extract_archive,
@@ -856,6 +890,12 @@ def oracle_sql() -> dict[str, str]:
                             f"'2024-01-02T00:00:00Z' AS modified FROM documents",
         "extract_pptx": f"SELECT {office_url.format(ext='pptx')} AS url, 'ok' AS status, "
                         f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_doc": f"SELECT {office_url.format(ext='doc')} AS url, 'ok' AS status, "
+                       f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_ppt": f"SELECT {office_url.format(ext='ppt')} AS url, 'ok' AS status, "
+                       f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_xls": f"SELECT {office_url.format(ext='xls')} AS url, CAST(1 AS BIGINT) AS n_tables, "
+                       f"CAST(6 AS BIGINT) AS n_cells FROM documents",
         "extract_eml": f"SELECT {office_url.format(ext='eml')} AS url, 'ok' AS status, "
                        f"'Doc ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_mhtml": f"SELECT {office_url.format(ext='mhtml')} AS url, 'ok' AS status, "

@@ -124,6 +124,18 @@ class ExtractKernel:
             from dedoc_ray.readers.rtf import read_rtf
 
             return read_rtf(data)
+        if fmt == "doc":
+            from dedoc_ray.readers.legacy_office import read_doc
+
+            return read_doc(data)
+        if fmt == "xls":
+            from dedoc_ray.readers.legacy_office import read_xls
+
+            return read_xls(data)
+        if fmt == "ppt":
+            from dedoc_ray.readers.legacy_office import read_ppt
+
+            return read_ppt(data)
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 

@@ -1,0 +1,258 @@
+"""Native readers for the legacy binary Office formats: .doc (Word 97
+[MS-DOC]), .xls (BIFF8 [MS-XLS]), .ppt ([MS-PPT]) — the CFB family the
+reference converts with soffice before parsing
+(dedoc/converters/concrete_converters/docx_converter.py:13-27,
+excel_converter.py, pptx_converter.py). No soffice exists here, so — like
+the odt/rtf readers — these parse the binary layouts directly; strictly
+no external process, no temp files, one pass over the payload bytes.
+
+Scope (documented subset): piece-table text + paragraph marks for .doc
+(styles/FKP formatting not mapped), cell records NUMBER/RK/LABELSST + SST
+for .xls, TextCharsAtom/TextBytesAtom document-order text for .ppt.
+Metadata comes from the shared \\x05SummaryInformation property set.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from dedoc_ray.core.hierarchy import HierarchyLevel
+from dedoc_ray.core.line import LineMetadata, LineWithMeta
+from dedoc_ray.core.table import CellWithMeta, Table
+from dedoc_ray.readers.base import UnstructuredDoc
+from dedoc_ray.readers.cfb import BadCfbFile, CfbFile, read_summary_info
+
+
+class BadLegacyFile(ValueError):
+    pass
+
+
+def _open_cfb(data: bytes) -> CfbFile:
+    try:
+        return CfbFile(data)
+    except (BadCfbFile, struct.error) as e:
+        raise BadLegacyFile(str(e)) from e
+
+
+# ------------------------------------------------------------------- .doc
+
+# FIB fixed offsets for nFib 0x00C1 ([MS-DOC] 2.5.1): the A–M flag word sits
+# at 0x000A (fWhichTblStm = bit 9); the (fcClx, lcbClx) pair of FibRgFcLcb97
+# sits at 0x01A2/0x01A6.
+_FIB_FLAGS_OFF = 0x000A
+_FC_CLX_OFF = 0x01A2
+
+
+def _doc_pieces(word: bytes, table: bytes) -> List[Tuple[int, int, bool]]:
+    """CLX → [(file offset, char count, is_utf16)] piece descriptors."""
+    (fc_clx,) = struct.unpack_from("<I", word, _FC_CLX_OFF)
+    (lcb_clx,) = struct.unpack_from("<I", word, _FC_CLX_OFF + 4)
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    pos = 0
+    # skip Prc blocks (clxt 0x01: 2-byte size + grpprl) to the Pcdt (0x02)
+    while pos < len(clx) and clx[pos] == 0x01:
+        (cb,) = struct.unpack_from("<H", clx, pos + 1)
+        pos += 3 + cb
+    if pos >= len(clx) or clx[pos] != 0x02:
+        raise BadLegacyFile("no piece table")
+    (lcb,) = struct.unpack_from("<I", clx, pos + 1)
+    plc = clx[pos + 5 : pos + 5 + lcb]
+    n = (len(plc) - 4) // 12  # n+1 CPs (4B) + n PCDs (8B)
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    pieces: List[Tuple[int, int, bool]] = []
+    for i in range(n):
+        (fc_raw,) = struct.unpack_from("<I", plc, (n + 1) * 4 + i * 8 + 2)
+        compressed = bool(fc_raw & 0x40000000)
+        fc = (fc_raw & 0x3FFFFFFF) // 2 if compressed else fc_raw & 0x3FFFFFFF
+        pieces.append((fc, cps[i + 1] - cps[i], not compressed))
+    return pieces
+
+
+def read_doc(data: bytes) -> UnstructuredDoc:
+    """Word 97 .doc → paragraphs (piece-table text split on \\r marks)."""
+    cfb = _open_cfb(data)
+    word = cfb.stream("WordDocument")
+    if word is None or len(word) < 0x01AA or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
+        raise BadLegacyFile("no WordDocument stream")
+    (flags,) = struct.unpack_from("<H", word, _FIB_FLAGS_OFF)
+    table = cfb.stream("1Table" if flags & 0x0200 else "0Table")
+    if table is None:
+        raise BadLegacyFile("no table stream")
+    chunks: List[str] = []
+    for fc, n_chars, utf16 in _doc_pieces(word, table):
+        if utf16:
+            chunks.append(word[fc : fc + n_chars * 2].decode("utf-16-le", "replace"))
+        else:
+            chunks.append(word[fc : fc + n_chars].decode("cp1252", "replace"))
+    text = "".join(chunks)
+    lines: List[LineWithMeta] = []
+    # \r = paragraph mark, \x07 = cell/row mark, \x0b = soft break ([MS-DOC])
+    paras = text.replace("\x07", "\r").split("\r")
+    if paras and paras[-1] == "":
+        paras.pop()  # trailing mark terminates the last paragraph
+    for line_id, para in enumerate(paras):
+        para = para.replace("\x0b", "\n").strip("\x00")
+        hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if line_id == 0 else None
+        lines.append(
+            LineWithMeta(para + "\n", metadata=LineMetadata(page_id=0, line_id=line_id, tag_hierarchy_level=hl))
+        )
+    return UnstructuredDoc(lines=lines, metadata=read_summary_info(cfb))
+
+
+# ------------------------------------------------------------------- .xls
+
+_BIFF_BOF = 0x0809
+_BIFF_EOF = 0x000A
+_BIFF_SST = 0x00FC
+_BIFF_CONTINUE = 0x003C
+_BIFF_LABELSST = 0x00FD
+_BIFF_NUMBER = 0x0203
+_BIFF_RK = 0x027E
+_BIFF_LABEL = 0x0204
+_BIFF_BOUNDSHEET = 0x0085
+
+
+def _fmt_num(x: float) -> str:
+    return str(int(x)) if float(x).is_integer() else repr(x)
+
+
+def _decode_rk(rk: int) -> str:
+    cent = rk & 1
+    if rk & 2:  # signed 30-bit int
+        val = float(struct.unpack("<i", struct.pack("<I", rk & 0xFFFFFFFC))[0] >> 2)
+    else:  # top 30 bits of an IEEE double
+        val = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
+    return _fmt_num(val / 100 if cent else val)
+
+
+def _parse_sst(payload: bytes) -> List[str]:
+    """SST record body → unique strings (XLUnicodeRichExtendedString,
+    rich/ext runs skipped; CONTINUE splits not supported — the synth corpus
+    and typical small workbooks fit one record)."""
+    out: List[str] = []
+    (_, n_unique) = struct.unpack_from("<II", payload, 0)
+    pos = 8
+    for _ in range(n_unique):
+        if pos + 3 > len(payload):
+            break
+        (cch,) = struct.unpack_from("<H", payload, pos)
+        opts = payload[pos + 2]
+        pos += 3
+        rich = opts & 0x08
+        ext = opts & 0x04
+        n_runs = 0
+        cb_ext = 0
+        if rich:
+            (n_runs,) = struct.unpack_from("<H", payload, pos)
+            pos += 2
+        if ext:
+            (cb_ext,) = struct.unpack_from("<i", payload, pos)
+            pos += 4
+        if opts & 0x01:
+            out.append(payload[pos : pos + cch * 2].decode("utf-16-le", "replace"))
+            pos += cch * 2
+        else:
+            out.append(payload[pos : pos + cch].decode("cp1252", "replace"))
+            pos += cch
+        pos += n_runs * 4 + cb_ext
+    return out
+
+
+def read_xls(data: bytes) -> UnstructuredDoc:
+    """BIFF8 .xls → one Table per sheet substream (cells from
+    NUMBER/RK/LABELSST/LABEL records; formulas/formats out of scope)."""
+    cfb = _open_cfb(data)
+    wb = cfb.stream("Workbook") or cfb.stream("Book")
+    if wb is None:
+        raise BadLegacyFile("no Workbook stream")
+    sst: List[str] = []
+    sheets: List[Dict[Tuple[int, int], str]] = []
+    cur: Optional[Dict[Tuple[int, int], str]] = None
+    pos = 0
+    while pos + 4 <= len(wb):
+        rec, ln = struct.unpack_from("<HH", wb, pos)
+        payload = wb[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if rec == _BIFF_BOF:
+            # substreams are sequential, not nested: dt 0x0005 = workbook
+            # globals, 0x0010 = worksheet ([MS-XLS] 2.4.21)
+            (dt,) = struct.unpack_from("<H", payload, 2)
+            if dt != 0x0005:
+                cur = {}
+                sheets.append(cur)
+        elif rec == _BIFF_EOF:
+            cur = None
+        elif rec == _BIFF_SST:
+            sst = _parse_sst(payload)
+        elif cur is not None and rec in (_BIFF_NUMBER, _BIFF_RK, _BIFF_LABELSST, _BIFF_LABEL):
+            rw, col = struct.unpack_from("<HH", payload, 0)
+            if rec == _BIFF_NUMBER:
+                (num,) = struct.unpack_from("<d", payload, 6)
+                cur[(rw, col)] = _fmt_num(num)
+            elif rec == _BIFF_RK:
+                (rk,) = struct.unpack_from("<I", payload, 6)
+                cur[(rw, col)] = _decode_rk(rk)
+            elif rec == _BIFF_LABELSST:
+                (isst,) = struct.unpack_from("<I", payload, 6)
+                cur[(rw, col)] = sst[isst] if isst < len(sst) else ""
+            else:  # LABEL: inline XLUnicodeString
+                (cch,) = struct.unpack_from("<H", payload, 6)
+                opts = payload[8]
+                if opts & 0x01:
+                    cur[(rw, col)] = payload[9 : 9 + cch * 2].decode("utf-16-le", "replace")
+                else:
+                    cur[(rw, col)] = payload[9 : 9 + cch].decode("cp1252", "replace")
+    if not sheets:
+        raise BadLegacyFile("no sheet substream")
+    tables: List[Table] = []
+    for page_id, cells in enumerate(sheets):
+        if not cells:
+            tables.append(Table([], page_id=page_id, uid=f"sheet_{page_id}"))
+            continue
+        n_rows = max(r for r, _ in cells) + 1
+        n_cols = max(c for _, c in cells) + 1
+        grid = [
+            [CellWithMeta([LineWithMeta(cells.get((r, c), ""))] if cells.get((r, c), "") else []) for c in range(n_cols)]
+            for r in range(n_rows)
+        ]
+        tables.append(Table(grid, page_id=page_id, uid=f"sheet_{page_id}"))
+    return UnstructuredDoc(lines=[], tables=tables, metadata=read_summary_info(cfb))
+
+
+# ------------------------------------------------------------------- .ppt
+
+_PPT_TEXT_CHARS = 0x0FA0  # TextCharsAtom (utf-16-le)
+_PPT_TEXT_BYTES = 0x0FA8  # TextBytesAtom (cp1252)
+
+
+def _ppt_walk(buf: bytes, out: List[str]) -> None:
+    pos = 0
+    while pos + 8 <= len(buf):
+        ver_inst, rec, ln = struct.unpack_from("<HHI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln
+        if ver_inst & 0x000F == 0x000F:  # container record: recurse
+            _ppt_walk(body, out)
+        elif rec == _PPT_TEXT_CHARS:
+            out.append(body.decode("utf-16-le", "replace"))
+        elif rec == _PPT_TEXT_BYTES:
+            out.append(body.decode("cp1252", "replace"))
+
+
+def read_ppt(data: bytes) -> UnstructuredDoc:
+    """.ppt → document-order text atoms; the first atom is the title shape
+    (mirrors read_pptx's first-shape rule)."""
+    cfb = _open_cfb(data)
+    stream = cfb.stream("PowerPoint Document")
+    if stream is None:
+        raise BadLegacyFile("no PowerPoint Document stream")
+    texts: List[str] = []
+    _ppt_walk(stream, texts)
+    lines: List[LineWithMeta] = []
+    for line_id, text in enumerate(t for t in texts if t):
+        hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if line_id == 0 else None
+        lines.append(
+            LineWithMeta(text + "\n", metadata=LineMetadata(page_id=0, line_id=line_id, tag_hierarchy_level=hl))
+        )
+    return UnstructuredDoc(lines=lines, metadata=read_summary_info(cfb))

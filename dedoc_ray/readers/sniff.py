@@ -27,6 +27,9 @@ MHTML_EXT = (".mhtml", ".mht")
 ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz")
 ODT_EXT = (".odt",)
 RTF_EXT = (".rtf",)
+DOC_EXT = (".doc",)
+XLS_EXT = (".xls",)
+PPT_EXT = (".ppt",)
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -41,6 +44,9 @@ _EXT_TABLE = (
     (ARCHIVE_EXT, "archive"),
     (ODT_EXT, "odt"),
     (RTF_EXT, "rtf"),
+    (DOC_EXT, "doc"),
+    (XLS_EXT, "xls"),
+    (PPT_EXT, "ppt"),
     (TXT_EXT, "txt"),
 )
 
@@ -82,6 +88,12 @@ def sniff_format(url: str, data: bytes) -> str:
         return "rtf"
     if data[:4] == b"PK\x03\x04":
         return _sniff_zip(data)
+    if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # CFB/OLE2 container → classify by signature stream name
+        from dedoc_ray.readers.cfb import sniff_cfb_kind
+
+        kind = sniff_cfb_kind(data)
+        return kind if kind is not None else "bad_file"
     if len(data) > 262 and data[257:262] == b"ustar":
         return "archive"
     if data[:2] == b"\x1f\x8b":

@@ -297,6 +297,13 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "fintoc": fintoc_bytes,
 }
 
+# legacy CFB formats live in their own module (binary writers)
+from dedoc_ray.sources.cfb_writer import doc_bytes, ppt_bytes, xls_bytes  # noqa: E402
+
+_GENERATORS["doc"] = doc_bytes
+_GENERATORS["xls"] = xls_bytes
+_GENERATORS["ppt"] = ppt_bytes
+
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt"}
 
 
