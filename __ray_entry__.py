@@ -199,6 +199,36 @@ def q_extract_pptx(sf_dir: str):
     return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_article(sf_dir: str):
+    """GROBID-TEI article structure: per-url node-type counts (authors,
+    keywords, bibliography items, sections) + in-text citation spans.
+    The TEI parse itself is native (readers/article.py); the GROBID HTTP
+    call is the documented stub (no network)."""
+    ds = _office_extract(sf_dir, "article")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nodes = batch["nodes"].to_pylist()
+        anns = batch["annotations"].to_pylist()
+        m = batch["metadata"].combine_chunks() if isinstance(batch["metadata"], pa.ChunkedArray) else batch["metadata"]
+
+        def n_of(ns, t):
+            return sum(1 for n in ns if n["line_type"] == t)
+
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "title": m.field("title"),
+                "n_authors": pa.array([n_of(ns, "author_first_name") for ns in nodes], "int64"),
+                "n_keywords": pa.array([n_of(ns, "keyword") for ns in nodes], "int64"),
+                "n_bib_items": pa.array([n_of(ns, "bibliography_item") for ns in nodes], "int64"),
+                "n_sections": pa.array([n_of(ns, "list_item") for ns in nodes], "int64"),
+                "n_refs": pa.array([sum(1 for a in an if a["name"] == "reference") for an in anns], "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_doc(sf_dir: str):
     """Native Word-97 .doc reader (CFB container + piece-table text; the
     reference shells to soffice) — byte-exact extracted text oracle."""
@@ -712,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_doc": q_extract_doc,
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
+        "extract_article": q_extract_article,
         "extract_eml": q_extract_eml,
         "extract_mhtml": q_extract_mhtml,
         "extract_archive": q_extract_archive,
@@ -896,6 +927,13 @@ def oracle_sql() -> dict[str, str]:
                        f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_xls": f"SELECT {office_url.format(ext='xls')} AS url, CAST(1 AS BIGINT) AS n_tables, "
                        f"CAST(6 AS BIGINT) AS n_cells FROM documents",
+        "extract_article": f"SELECT {office_url.format(ext='tei')} AS url, "
+                           f"'Article ' || doc_id AS title, "
+                           f"CAST(2 AS BIGINT) AS n_authors, CAST(3 AS BIGINT) AS n_keywords, "
+                           f"CAST(2 AS BIGINT) AS n_bib_items, "
+                           f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_sections, "
+                           f"CAST(CASE WHEN doc_id % 2 = 0 THEN len(string_split(text, ' the ')) ELSE 0 END AS BIGINT) AS n_refs "
+                           f"FROM documents",
         "extract_eml": f"SELECT {office_url.format(ext='eml')} AS url, 'ok' AS status, "
                        f"'Doc ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_mhtml": f"SELECT {office_url.format(ext='mhtml')} AS url, 'ok' AS status, "

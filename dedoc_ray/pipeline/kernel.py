@@ -136,6 +136,10 @@ class ExtractKernel:
             from dedoc_ray.readers.legacy_office import read_ppt
 
             return read_ppt(data)
+        if fmt == "article":
+            from dedoc_ray.readers.article import read_tei
+
+            return read_tei(data)
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 

@@ -30,6 +30,7 @@ RTF_EXT = (".rtf",)
 DOC_EXT = (".doc",)
 XLS_EXT = (".xls",)
 PPT_EXT = (".ppt",)
+TEI_EXT = (".tei", ".tei.xml")
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -47,6 +48,7 @@ _EXT_TABLE = (
     (DOC_EXT, "doc"),
     (XLS_EXT, "xls"),
     (PPT_EXT, "ppt"),
+    (TEI_EXT, "article"),
     (TXT_EXT, "txt"),
 )
 

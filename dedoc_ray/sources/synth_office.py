@@ -304,7 +304,53 @@ _GENERATORS["doc"] = doc_bytes
 _GENERATORS["xls"] = xls_bytes
 _GENERATORS["ppt"] = ppt_bytes
 
-_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt"}
+
+def tei_bytes(doc_id: int, text: str) -> bytes:
+    """GROBID-style TEI for the article reader: title, 2 authors with
+    affiliations, 3 keywords, abstract = chunk 0, one numbered section per
+    chunk, 2 bibliography items; even doc_ids cite [1] in every paragraph."""
+    chunks = chunks_of(text)
+    words = (text.split(" ") + ["alpha", "beta", "gamma"])[:3]
+    cite = doc_id % 2 == 0
+    sections = []
+    for i, c in enumerate(chunks, start=1):
+        ref = '<ref type="bibr" target="#b0">[1]</ref> ' if cite else ""
+        sections.append(
+            f'<div><head n="{i}.">Section {i}</head><p>{ref}{escape(c)}</p></div>'
+        )
+    authors = "".join(
+        f"<author><persName><forename type=\"first\">{fn}</forename>"
+        f"<surname>{sn}</surname></persName><email>{fn.lower()}@synth.test</email>"
+        f'<affiliation key="aff{i}"><orgName type="institution">Inst {i}</orgName>'
+        f"<address><settlement>City {i}</settlement></address></affiliation></author>"
+        for i, (fn, sn) in enumerate([("Alice", f"Author{doc_id % 5}"), ("Bob", f"Writer{doc_id % 3}")])
+    )
+    bib = (
+        '<listBibl>'
+        '<biblStruct xml:id="b0"><analytic><title level="a" type="main">Prior work one</title>'
+        "<author><persName><forename>Carol</forename><surname>Cited</surname></persName></author></analytic>"
+        '<monogr><imprint><biblScope unit="volume">4</biblScope>'
+        '<biblScope unit="page" from="1" to="9"/><date>2020</date></imprint></monogr></biblStruct>'
+        '<biblStruct xml:id="b1"><analytic><title level="j">Prior work two</title></analytic>'
+        "<monogr><imprint><date>2021</date></imprint></monogr></biblStruct>"
+        "</listBibl>"
+    )
+    xml = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+        f"<titleStmt><title>Article {doc_id}</title></titleStmt>"
+        f"<sourceDesc><biblStruct>{authors}</biblStruct></sourceDesc></fileDesc>"
+        "<profileDesc><textClass><keywords>"
+        + "".join(f"<term>{escape(w)}</term>" for w in words)
+        + "</keywords></textClass>"
+        f"<abstract><p>{escape(chunks[0])}</p></abstract></profileDesc></teiHeader>"
+        f'<text><body>{"".join(sections)}</body><back>{bib}</back></text></TEI>'
+    )
+    return xml.encode("utf-8")
+
+
+_GENERATORS["article"] = tei_bytes
+
+_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt", "article": "tei"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:
