@@ -199,6 +199,26 @@ def q_extract_pptx(sf_dir: str):
     return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_note(sf_dir: str):
+    """.note.pickle corpus through the restricted-unpickler NoteReader."""
+    return _office_extract(sf_dir, "note").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_html2pdf(sf_dir: str):
+    """Html2Pdf route: html → native PDF render → txtlayer re-read → table
+    re-attachment (reference html2pdf_reader.py semantics; weasyprint
+    replaced by our own renderer). Exercises the pluggable reader registry:
+    the html format is overridden per-pipeline. Byte-exact on the plain
+    paragraph template classes (0-3); richer classes are covered by unit
+    tests asserting table re-attachment."""
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.readers.html2pdf import read_html2pdf
+
+    ds = _pages(sf_dir, cls_filter=lambda cls: cls <= 3)
+    out = extract_pages(ds, concurrency=None, readers={"html": read_html2pdf})
+    return out.select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_article(sf_dir: str):
     """GROBID-TEI article structure: per-url node-type counts (authors,
     keywords, bibliography items, sections) + in-text citation spans.
@@ -743,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
         "extract_article": q_extract_article,
+        "extract_note": q_extract_note,
+        "extract_html2pdf": q_extract_html2pdf,
         "extract_eml": q_extract_eml,
         "extract_mhtml": q_extract_mhtml,
         "extract_archive": q_extract_archive,
@@ -892,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         range_join_sql,
     )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
+    from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.webclean import HASH_SPLIT_SQL, PARAGRAPH_DEDUP_SQL, PII_REDACT_SQL, URL_STATS_SQL
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
@@ -927,6 +950,18 @@ def oracle_sql() -> dict[str, str]:
                        f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_xls": f"SELECT {office_url.format(ext='xls')} AS url, CAST(1 AS BIGINT) AS n_tables, "
                        f"CAST(6 AS BIGINT) AS n_cells FROM documents",
+        "extract_note": f"SELECT {office_url.format(ext='note.pickle')} AS url, 'ok' AS status, "
+                        f"{body} AS extracted_text FROM documents",
+        "extract_html2pdf": f"""
+WITH base AS (
+  SELECT doc_id, source, lang, doc_id % 10 AS cls,
+         CASE WHEN doc_id % 997 = 0 THEN repeat(text || ' the ', 200) || text ELSE text END AS t
+  FROM documents
+)
+SELECT {_URL_SQL} AS url, 'ok' AS status,
+       replace(t, ' the ', chr(10)) || chr(10) AS extracted_text
+FROM base WHERE cls <= 3
+""",
         "extract_article": f"SELECT {office_url.format(ext='tei')} AS url, "
                            f"'Article ' || doc_id AS title, "
                            f"CAST(2 AS BIGINT) AS n_authors, CAST(3 AS BIGINT) AS n_keywords, "
@@ -962,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         # extract_full / minhash_lsh_pairs / winnow_stats: rows-only (LSH
         # candidates and rolling-hash winnowing are not SQL-expressible;
         # extract_full spans the rich template class)
+        "winnow_stats": winnow_stats_sql(),
         "pii_redact": PII_REDACT_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "hash_split": HASH_SPLIT_SQL,

@@ -78,6 +78,43 @@ class WinnowKernel:
         )
 
 
+def winnow_stats_sql(k: int = _K_DEFAULT, w: int = _W_DEFAULT) -> str:
+    """DuckDB replay of the FULL winnowing selection: the Rabin-Karp fold
+    (acc*base + byte mod 2^64, HUGEINT intermediate) per k-gram via nested
+    list lambdas, then the rightmost-minimum index per w-window, distinct.
+    ASCII whitespace class is pinned like textstats (corpus is ASCII).
+    Docs whose normalized text is shorter than k contribute no rows (the
+    Python side emits zero exploded fingerprints for them)."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - {k} + 2, 1)),
+      i -> list_reduce(
+             list_transform(range(i, i + {k}), j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS UBIGINT)),
+             (acc, c) -> CAST((CAST(acc AS HUGEINT) * {int(_BASE)} + c) % 18446744073709551616 AS UBIGINT)
+           )) AS h
+  FROM norm
+), sel AS (
+  SELECT doc_id,
+    CASE WHEN len(h) <= {w} THEN [list_min(h)]
+    ELSE list_distinct(
+      list_transform(
+        list_distinct(
+          list_transform(range(0, len(h) - {w} + 1),
+            i -> list_reduce(range(CAST(i + 1 AS INTEGER), CAST(i + {w} + 1 AS INTEGER)),
+                   (a, b) -> CASE WHEN h[CAST(b AS INTEGER)] <= h[CAST(a AS INTEGER)] THEN b ELSE a END))),
+        ix -> h[CAST(ix AS INTEGER)]))
+    END AS fps
+  FROM grams
+  WHERE len(h) > 0
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps FROM sel
+"""
+
+
 def winnow_fingerprints(sf_dir: str, k: int = _K_DEFAULT, w: int = _W_DEFAULT):
     import ray.data as rd
 

@@ -140,6 +140,10 @@ class ExtractKernel:
             from dedoc_ray.readers.article import read_tei
 
             return read_tei(data)
+        if fmt == "note":
+            from dedoc_ray.readers.note import read_note
+
+            return read_note(data)
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 

@@ -31,6 +31,7 @@ DOC_EXT = (".doc",)
 XLS_EXT = (".xls",)
 PPT_EXT = (".ppt",)
 TEI_EXT = (".tei", ".tei.xml")
+NOTE_EXT = (".note.pickle",)
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -49,6 +50,7 @@ _EXT_TABLE = (
     (XLS_EXT, "xls"),
     (PPT_EXT, "ppt"),
     (TEI_EXT, "article"),
+    (NOTE_EXT, "note"),
     (TXT_EXT, "txt"),
 )
 

@@ -350,7 +350,23 @@ def tei_bytes(doc_id: int, text: str) -> bytes:
 
 _GENERATORS["article"] = tei_bytes
 
-_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt", "article": "tei"}
+
+def note_bytes(doc_id: int, text: str) -> bytes:
+    """.note.pickle payload: plain dict {content, author} — pickled
+    containers only, loadable by the restricted unpickler. Expected
+    extraction: replace(text,' the ',\\n) + '\\n'."""
+    import pickle
+
+    content = "\n".join(chunks_of(text)) + "\n"
+    return pickle.dumps(
+        {"content": content, "author": f"synth-author-{doc_id % 5}"}, protocol=4
+    )
+
+
+_GENERATORS["note"] = note_bytes
+
+_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt",
+                 "article": "tei", "note": "note.pickle"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:
