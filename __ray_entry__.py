@@ -219,6 +219,46 @@ def q_extract_html2pdf(sf_dir: str):
     return out.select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_pdf_tables(sf_dir: str):
+    """PDF table recognition (tabby-parity subset, no JVM): grid ops
+    clustered into column bands, >=2 coherent rows = a table; text lines
+    exclude table content. Cells hash-verified cell-by-cell via md5 of the
+    row-major concatenation."""
+    import hashlib as _hashlib
+
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(
+        office_corpus(sf_dir, "pdf_table"),
+        concurrency=None,
+        config=PipelineConfig(pdf_with_text_layer="tabby"),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        tables = batch["tables"].to_pylist()
+        n_tables, n_rows, n_cells, grid_md5 = [], [], [], []
+        for t in tables:
+            n_tables.append(len(t))
+            n_rows.append(sum(len(tab["cells"]) for tab in t))
+            n_cells.append(sum(len(row) for tab in t for row in tab["cells"]))
+            flat = "|".join(c["text"] for tab in t for row in tab["cells"] for c in row)
+            grid_md5.append(_hashlib.md5(flat.encode()).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "extracted_text": batch["extracted_text"],
+                "n_tables": pa.array(n_tables, "int64"),
+                "n_rows": pa.array(n_rows, "int64"),
+                "n_cells": pa.array(n_cells, "int64"),
+                "grid_md5": pa.array(grid_md5, "string"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_article(sf_dir: str):
     """GROBID-TEI article structure: per-url node-type counts (authors,
     keywords, bibliography items, sections) + in-text citation spans.
@@ -765,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_article": q_extract_article,
         "extract_note": q_extract_note,
         "extract_html2pdf": q_extract_html2pdf,
+        "extract_pdf_tables": q_extract_pdf_tables,
         "extract_eml": q_extract_eml,
         "extract_mhtml": q_extract_mhtml,
         "extract_archive": q_extract_archive,
@@ -950,6 +991,18 @@ def oracle_sql() -> dict[str, str]:
                        f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_xls": f"SELECT {office_url.format(ext='xls')} AS url, CAST(1 AS BIGINT) AS n_tables, "
                        f"CAST(6 AS BIGINT) AS n_cells FROM documents",
+        "extract_pdf_tables": f"""
+WITH base AS (SELECT doc_id, len(string_split(text, ' the ')) AS n FROM documents)
+SELECT {office_url.format(ext='pdf')} AS url,
+       'Table doc ' || doc_id || chr(10) || 'footer ' || doc_id || chr(10) AS extracted_text,
+       CAST(1 AS BIGINT) AS n_tables,
+       CAST(n + 1 AS BIGINT) AS n_rows,
+       CAST(3 * (n + 1) AS BIGINT) AS n_cells,
+       md5('h0|h1|h2|' || list_aggregate(list_transform(range(0, n),
+           i -> doc_id || 'r' || i || 'c0|' || doc_id || 'r' || i || 'c1|' || doc_id || 'r' || i || 'c2'),
+           'string_agg', '|')) AS grid_md5
+FROM base
+""",
         "extract_note": f"SELECT {office_url.format(ext='note.pickle')} AS url, 'ok' AS status, "
                         f"{body} AS extracted_text FROM documents",
         "extract_html2pdf": f"""

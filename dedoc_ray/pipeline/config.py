@@ -45,7 +45,7 @@ class PipelineConfig:
     html_fields: Optional[List[str]] = None  # json keys whose values parse as HTML (api_args.py:45)
 
     # pdf routing (api_args.py: pdf_with_text_layer / fast detection / columns)
-    pdf_with_text_layer: str = "auto"      # "auto" (classifier) | "true" (always) | "false" (OCR route)
+    pdf_with_text_layer: str = "auto"      # "auto" (classifier) | "true" (always) | "false" (OCR route) | "tabby"/"auto_tabby" (tables too)
     fast_textual_layer_detection: bool = False  # classify on a bounded text prefix
     is_one_column_document: str = "auto"   # "auto" (x-gap clustering) | "true" (skip column split)
 
@@ -65,8 +65,8 @@ class PipelineConfig:
             raise ValueError(f"structure_type must be tree|linear, got {self.structure_type!r}")
         if self.return_format not in ("json", "html", "plain_text", "tree"):
             raise ValueError(f"unknown return_format {self.return_format!r}")
-        if self.pdf_with_text_layer not in ("auto", "true", "false"):
-            raise ValueError(f"pdf_with_text_layer must be auto|true|false, got {self.pdf_with_text_layer!r}")
+        if self.pdf_with_text_layer not in ("auto", "true", "false", "tabby", "auto_tabby"):
+            raise ValueError(f"pdf_with_text_layer must be auto|true|false|tabby|auto_tabby, got {self.pdf_with_text_layer!r}")
         if self.is_one_column_document not in ("auto", "true"):
             raise ValueError(f"is_one_column_document must be auto|true, got {self.is_one_column_document!r}")
         return self

@@ -216,6 +216,20 @@ def read_pdf_auto(
     through."""
     from dedoc_ray.readers.txtlayer import TxtlayerClassifier
 
+    if mode in ("tabby", "auto_tabby"):
+        # reference's tabby modes (pdf_auto_reader.py + pdf_tabby_reader.py):
+        # text lines AND recognized tables from the born-digital layer
+        from dedoc_ray.readers.pdf_tables import read_pdf_tabby
+
+        try:
+            return read_pdf_tabby(data, pages=pages)
+        except ValueError as e:
+            if "no text layer" not in str(e) or mode == "tabby":
+                raise
+            return UnstructuredDoc(
+                lines=[],
+                warnings=["pdf without text layer: OCR stage stubbed (no tesseract in container)"],
+            )
     if mode == "false":  # pdf_with_text_layer="false": straight to OCR route
         return UnstructuredDoc(
             lines=[],

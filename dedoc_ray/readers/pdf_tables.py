@@ -1,0 +1,150 @@
+"""PDF table recognition over the text layer — the tabby-parity subset.
+
+The reference's PdfTabbyReader ships a Java jar that extracts both lines
+and tables from born-digital PDFs (dedoc/readers/pdf_reader/
+pdf_tabby_reader/pdf_tabby_reader.py:19-383). No JVM exists here, so this
+module implements the geometric core natively over our own text-op parse:
+
+- cluster op x-starts into column bands (tolerance-merged),
+- a table region = >=2 consecutive baselines whose ops populate >=2 shared
+  column bands (grid coherence),
+- ops inside a region become a row-major cell grid (y desc, x asc);
+  everything else stays ordinary text lines.
+
+Same contract as the reference: an UnstructuredDocument whose ``tables``
+carry the recognized grids and whose ``lines`` exclude table content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import List, Tuple
+
+from dedoc_ray.core.annotation import Annotation, AnnotationNames as AN
+from dedoc_ray.core.hierarchy import HierarchyLevel
+from dedoc_ray.core.line import LineMetadata, LineWithMeta
+from dedoc_ray.core.table import CellWithMeta, Table
+from dedoc_ray.readers.base import UnstructuredDoc
+from dedoc_ray.readers.pdf import _BT_RE, _STREAM_RE, _group_lines, _iter_text_ops
+
+Op = Tuple[float, float, str, float, str]
+
+_X_TOL = 3.0  # pt: ops within this x distance share a column band
+_LINE_TOL = 2.0  # pt: ops within this y distance share a baseline
+
+
+def _cluster(values: List[float], tol: float) -> List[float]:
+    """Sorted 1-D cluster centers (single-linkage with ``tol``)."""
+    centers: List[float] = []
+    for v in sorted(values):
+        if centers and v - centers[-1] <= tol:
+            continue
+        centers.append(v)
+    return centers
+
+
+def _band_of(x: float, bands: List[float], tol: float) -> int:
+    for i, c in enumerate(bands):
+        if abs(x - c) <= tol:
+            return i
+    return -1
+
+
+def detect_tables(page_ops: List[Op]) -> Tuple[List[List[List[Op]]], List[Op]]:
+    """Split a page's ops into (table grids, remaining text ops).
+
+    A grid is rows (y desc) of cell-op lists (x asc)."""
+    # baselines top→bottom
+    rows: List[List[Op]] = []
+    for op in sorted(page_ops, key=lambda t: (-t[1], t[0])):
+        if rows and abs(rows[-1][0][1] - op[1]) <= _LINE_TOL:
+            rows[-1].append(op)
+        else:
+            rows.append([op])
+
+    bands = _cluster([op[0] for op in page_ops], _X_TOL)
+    # a row is "tabular" if it populates >=2 column bands
+    row_bands = []
+    for row in rows:
+        used = {_band_of(op[0], bands, _X_TOL) for op in row}
+        used.discard(-1)
+        row_bands.append(used)
+
+    grids: List[List[List[Op]]] = []
+    rest: List[Op] = []
+    i = 0
+    while i < len(rows):
+        if len(row_bands[i]) >= 2:
+            # extend the region while consecutive rows share >=2 bands
+            j = i + 1
+            while j < len(rows) and len(row_bands[j] & row_bands[i]) >= 2:
+                j += 1
+            if j - i >= 2:
+                region_bands = sorted(set().union(*row_bands[i:j]))
+                grid = []
+                for row in rows[i:j]:
+                    cells: List[List[Op]] = [[] for _ in region_bands]
+                    for op in sorted(row, key=lambda t: t[0]):
+                        b = _band_of(op[0], bands, _X_TOL)
+                        k = region_bands.index(b) if b in region_bands else 0
+                        cells[k].append(op)
+                    grid.append(cells)
+                grids.append(grid)
+                i = j
+                continue
+        rest.extend(rows[i])
+        i += 1
+    return grids, rest
+
+
+def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
+    """Text lines + recognized tables from a born-digital PDF."""
+    if data[:5] != b"%PDF-":
+        raise ValueError("not a PDF")
+    page_start, page_stop = pages
+    file_hash = hashlib.md5(data).hexdigest()
+    lines: List[LineWithMeta] = []
+    tables: List[Table] = []
+    line_id = 0
+    page_id = 0
+    saw_text = False
+    for stream_m in _STREAM_RE.finditer(data):
+        payload = stream_m.group(1)
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            pass
+        blocks = _BT_RE.findall(payload)
+        if not blocks:
+            continue
+        if page_id < page_start or (page_stop is not None and page_id >= page_stop):
+            page_id += 1
+            saw_text = True
+            continue
+        page_ops: List[Op] = []
+        for block in blocks:
+            page_ops.extend(op for op in _iter_text_ops(block) if op[4])
+        grids, rest = detect_tables(page_ops)
+        for grid in grids:
+            cells = []
+            for row in grid:
+                out_row = []
+                for cell_ops in row:
+                    text = " ".join(op[4] for op in cell_ops)
+                    out_row.append(CellWithMeta([LineWithMeta(text)] if text else []))
+                cells.append(out_row)
+            tables.append(Table(cells, page_id=page_id, uid=f"tabby_{file_hash}_{len(tables)}",
+                                order=line_id))
+        for x, y, font, size, text in _group_lines(rest):
+            saw_text = True
+            annotations = [Annotation(0, len(text), AN.size, str(size))]
+            metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
+            lines.append(LineWithMeta(text + "\n", metadata=metadata, annotations=annotations,
+                                      uid=f"pdf_{file_hash}_{line_id}"))
+            line_id += 1
+        page_id += 1
+    if not saw_text and not tables:
+        raise ValueError("PDF has no text layer (OCR path not available)")
+    return UnstructuredDoc(lines=lines, tables=tables, warnings=[f"pdf pages: {page_id}"])

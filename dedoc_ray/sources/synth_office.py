@@ -365,8 +365,30 @@ def note_bytes(doc_id: int, text: str) -> bytes:
 
 _GENERATORS["note"] = note_bytes
 
+
+def pdf_table_bytes(doc_id: int, text: str) -> bytes:
+    """Text-layer PDF with a title line, a 3-column grid (one row per
+    ' the '-chunk, cell text '{doc_id}r{i}c{j}') and a footer line — the
+    tabby table-recognition corpus. Expected: 1 table,
+    1 header + len(chunks) rows x 3 cols; extracted_text = title + footer."""
+    ops = [f"BT /F1 12 Tf 72 760 Td (Table doc {doc_id}) Tj ET"]
+    n_rows = len(chunks_of(text))
+    for j, x in enumerate((72, 272, 472)):  # header row → grids always >=2 rows
+        ops.append(f"BT /F1 10 Tf {x} 740 Td (h{j}) Tj ET")
+    for i in range(n_rows):
+        y = 720 - 20 * i
+        for j, x in enumerate((72, 272, 472)):
+            ops.append(f"BT /F1 10 Tf {x} {y} Td ({doc_id}r{i}c{j}) Tj ET")
+    ops.append(f"BT /F1 12 Tf 72 {700 - 20 * n_rows} Td (footer {doc_id}) Tj ET")
+    content = "\n".join(ops).encode("latin-1")
+    return (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+            + b" >> stream\n" + content + b"\nendstream endobj\ntrailer\n%%EOF")
+
+
+_GENERATORS["pdf_table"] = pdf_table_bytes
+
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt",
-                 "article": "tei", "note": "note.pickle"}
+                 "article": "tei", "note": "note.pickle", "pdf_table": "pdf"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:
