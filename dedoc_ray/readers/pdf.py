@@ -171,9 +171,21 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool =
         # y desc inside a column (multi-column reading order);
         # is_one_column_document="true" forces a single column
         for col_ops in ([page_ops] if one_column else _split_columns(page_ops)):
-            for x, y, font, size, text in _group_lines(col_ops):
+            grouped = _group_lines(col_ops)
+            # per-column median baseline gap → spacing annotations
+            # (reference computes spacing/median line height in the OCR
+            # metadata pass — paragraph_features.py; here the text layer
+            # carries the baselines, so the same aggregate is available)
+            gaps = [round(a[1] - b[1]) for a, b in zip(grouped, grouped[1:])]
+            median_gap = sorted(gaps)[len(gaps) // 2] if gaps else 0
+            prev_y = None
+            for x, y, font, size, text in grouped:
                 saw_text = True
+                gap = round(prev_y - y) if prev_y is not None else median_gap
+                prev_y = y
                 annotations = [Annotation(0, len(text), AN.size, str(size))]
+                if median_gap:
+                    annotations.append(Annotation(0, len(text), AN.spacing, str(gap)))
                 if "bold" in font.lower():
                     annotations.append(Annotation(0, len(text), AN.bold, "True"))
                 # word-level bbox estimate: monospace-ish advance of 0.6 em
@@ -199,12 +211,42 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool =
     return UnstructuredDoc(lines=lines, warnings=[f"pdf pages: {page_id}"])
 
 
+def merge_partial_docs(first: UnstructuredDoc, second: UnstructuredDoc) -> UnstructuredDoc:
+    """PdfAuto first-page merge (reference pdf_auto_reader.py
+    ``__merge_documents``): ``first`` is the re-read first page, ``second``
+    the rest of the document. Second's page-0 tables are dropped (their
+    table annotations filtered out), lines renumbered in concatenation
+    order, attachments concatenated, metadata taken from ``second``."""
+    tables = list(first.tables)
+    dropped = set()
+    for table in second.tables:
+        if table.page_id != 0:
+            tables.append(table)
+        else:
+            dropped.add(table.uid)
+    lines = []
+    for line_id, line in enumerate(list(first.lines) + list(second.lines)):
+        line.metadata.line_id = line_id
+        line.annotations = [
+            a for a in line.annotations if not (a.name == AN.table and a.value in dropped)
+        ]
+        lines.append(line)
+    return UnstructuredDoc(
+        lines=lines,
+        tables=tables,
+        warnings=first.warnings + second.warnings,
+        attachments=first.attachments + second.attachments,
+        metadata=second.metadata,
+    )
+
+
 def read_pdf_auto(
     data: bytes,
     pages: tuple = (0, None),
     mode: str = "auto",
     fast_detection: bool = False,
     one_column: bool = False,
+    first_page_reader=None,
 ) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
     (pdf_auto_reader.py:7-153): extract the text layer, then the trained
@@ -256,4 +298,25 @@ def read_pdf_auto(
             lines=[],
             warnings=["pdf text layer classified incorrect: OCR stage stubbed (no tesseract in container)"],
         )
+    # correct layer, but a garbage FIRST page (cover scans glued onto
+    # born-digital bodies) re-reads page 0 separately and merges
+    # (reference __handle_correct_text_layer + __merge_documents,
+    # pdf_auto_reader.py:78-129). The default first-page source is the
+    # stubbed OCR route; tests inject a real reader to drive the merge.
+    first_text = "".join(line.line for line in doc.lines if line.metadata.page_id == 0)
+    if first_text and not TxtlayerClassifier().is_correct(first_text):
+        rest = UnstructuredDoc(
+            lines=[ln for ln in doc.lines if ln.metadata.page_id != 0],
+            tables=doc.tables,
+            warnings=doc.warnings,
+            metadata=doc.metadata,
+        )
+        if first_page_reader is not None:
+            first = first_page_reader(data)
+        else:
+            first = UnstructuredDoc(
+                lines=[],
+                warnings=["first page routed to OCR: stage stubbed (no tesseract in container)"],
+            )
+        return merge_partial_docs(first, rest)
     return doc
