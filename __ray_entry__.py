@@ -533,6 +533,16 @@ def q_url_stats(sf_dir: str):
     return url_stats(sf_dir)
 
 
+def q_lm_score(sf_dir: str):
+    """Char-trigram LM familiarity scoring: distributed model train on the
+    corpus train split (shuffle-reduced counts, broadcast once), vectorized
+    scoring of every doc — the CCNet perplexity-filter shape with exact
+    integer verification."""
+    from dedoc_ray.ops.lm_score import lm_score
+
+    return lm_score(sf_dir)
+
+
 def q_doc_stats(sf_dir: str):
     from dedoc_ray.ops.textstats import doc_stats
 
@@ -815,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fintoc": q_extract_fintoc,
         "top_urls": q_top_urls,
         "distinct_urls": q_distinct_urls,
+        "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "hash_split": q_hash_split,
@@ -956,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
+    from dedoc_ray.ops.lm_score import LM_SCORE_SQL
     from dedoc_ray.ops.webclean import HASH_SPLIT_SQL, PARAGRAPH_DEDUP_SQL, PII_REDACT_SQL, URL_STATS_SQL
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
@@ -1051,6 +1063,7 @@ FROM base WHERE cls <= 3
         # candidates and rolling-hash winnowing are not SQL-expressible;
         # extract_full spans the rich template class)
         "winnow_stats": winnow_stats_sql(),
+        "lm_score": LM_SCORE_SQL,
         "pii_redact": PII_REDACT_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "hash_split": HASH_SPLIT_SQL,

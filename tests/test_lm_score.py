@@ -1,0 +1,41 @@
+"""Tests: char-trigram LM train + score op."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dedoc_ray.ops.lm_score import _trigrams, train_trigram_model
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_trigrams_normalized():
+    g = _trigrams("AB  cd")
+    assert [x.decode() for x in g] == ["ab ", "b c", " cd"]
+    assert len(_trigrams("ab")) == 0
+
+
+def test_train_counts_match_local(ray_session):
+    import pyarrow.parquet as pq
+
+    model = train_trigram_model(SF)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    local: dict = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if doc_id % 10 == 0:
+            for g in _trigrams(text):
+                k = g.decode()
+                local[k] = local.get(k, 0) + 1
+    assert model == local
+    assert len(model) > 50  # real vocabulary, not a stub
+
+
+def test_scores_separate_in_domain_from_garbage(ray_session):
+    from dedoc_ray.ops.lm_score import lm_score
+
+    df = lm_score(SF).to_pandas().set_index("doc_id")
+    # train docs score themselves: every trigram known
+    train = df[df.index % 10 == 0]
+    assert (train["n_known"] == train["n_trigrams"]).all()
+    assert (df["model_hits"] >= df["n_known"]).all()
+    assert (df["n_trigrams"] > 0).all()
