@@ -50,9 +50,11 @@ class PipelineConfig:
     is_one_column_document: str = "auto"   # "auto" (x-gap clustering) | "true" (skip column split)
 
     # OCR-domain knobs (language / binarization / orientation / gost frame /
-    # table_type / need_pdf_table_analysis): the OCR stack is stubbed in this
-    # container (no Tesseract/torch) — fields accepted for API parity, the
-    # OCR route itself surfaces an explicit warning (readers/pdf.py)
+    # table_type): the OCR stack is stubbed in this container (no
+    # Tesseract/torch) — fields accepted for API parity, the OCR route
+    # itself surfaces an explicit warning (readers/pdf.py).
+    # need_pdf_table_analysis is REAL for the text-layer tabby route: false
+    # skips table recognition (reference pdf_txtlayer_reader.py:49).
     language: str = "rus+eng"
     need_pdf_table_analysis: bool = True
 

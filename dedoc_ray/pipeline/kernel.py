@@ -103,6 +103,7 @@ class ExtractKernel:
                 mode=self.config.pdf_with_text_layer,
                 fast_detection=self.config.fast_textual_layer_detection,
                 one_column=self.config.is_one_column_document == "true",
+                table_analysis=self.config.need_pdf_table_analysis,
             )
         if fmt == "docx":
             from dedoc_ray.readers.office import read_docx

@@ -178,6 +178,7 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool =
             # carries the baselines, so the same aggregate is available)
             gaps = [round(a[1] - b[1]) for a, b in zip(grouped, grouped[1:])]
             median_gap = sorted(gaps)[len(gaps) // 2] if gaps else 0
+            col_x0 = min((g[0] for g in grouped), default=0.0)
             prev_y = None
             for x, y, font, size, text in grouped:
                 saw_text = True
@@ -186,6 +187,11 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool =
                 annotations = [Annotation(0, len(text), AN.size, str(size))]
                 if median_gap:
                     annotations.append(Annotation(0, len(text), AN.spacing, str(gap)))
+                # indentation relative to the column edge, in twentieths of a
+                # point like docx (the layer-side ScanParagraphClassifier
+                # signal: indent delta marks paragraph starts)
+                if x - col_x0 >= 1.0:
+                    annotations.append(Annotation(0, len(text), AN.indentation, str(round(20 * (x - col_x0)))))
                 if "bold" in font.lower():
                     annotations.append(Annotation(0, len(text), AN.bold, "True"))
                 # word-level bbox estimate: monospace-ish advance of 0.6 em
@@ -247,6 +253,7 @@ def read_pdf_auto(
     fast_detection: bool = False,
     one_column: bool = False,
     first_page_reader=None,
+    table_analysis: bool = True,
 ) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
     (pdf_auto_reader.py:7-153): extract the text layer, then the trained
@@ -258,7 +265,7 @@ def read_pdf_auto(
     through."""
     from dedoc_ray.readers.txtlayer import TxtlayerClassifier
 
-    if mode in ("tabby", "auto_tabby"):
+    if mode in ("tabby", "auto_tabby") and table_analysis:
         # reference's tabby modes (pdf_auto_reader.py + pdf_tabby_reader.py):
         # text lines AND recognized tables from the born-digital layer
         from dedoc_ray.readers.pdf_tables import read_pdf_tabby
