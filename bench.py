@@ -121,10 +121,12 @@ def run_write_sink(sf_dir: str, repeat: int = 8) -> dict:
     return {"sec": round(elapsed, 3), "rows": rows, "docs_per_sec": round(rows / elapsed, 1)}
 
 
-def run_all(sf_dir: str, num_cpus: int) -> dict:
+def run_all(sf_dir: str, num_cpus: int, only=None) -> dict:
     import __ray_entry__ as e
 
     qs = e.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
@@ -134,8 +136,12 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # one broken query must not kill the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-    flag = run_flagship(sf_dir, repeat=16)
-    sink = run_write_sink(sf_dir)
+    if only:  # targeted perf runs skip the flagship/sink measurements
+        flag = {"sec": 0.0, "docs_per_sec": 0.0, "mb_per_sec": 0.0}
+        sink = {"sec": 0.0, "rows": 0, "docs_per_sec": 0.0}
+    else:
+        flag = run_flagship(sf_dir, repeat=16)
+        sink = run_write_sink(sf_dir)
     return {
         "metric": "total_pipeline_sec",
         "value": round(sum(timings.values()), 3),
@@ -261,6 +267,7 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--repeat", type=int, default=64, help="input multiplier for scaling runs")
+    ap.add_argument("--queries", default=None, help="comma-separated subset of queries to run")
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -276,7 +283,8 @@ def main() -> None:
 
     ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
     try:
-        print(json.dumps(run_all(args.sf_dir, args.cpus)))
+        only = set(args.queries.split(",")) if args.queries else None
+        print(json.dumps(run_all(args.sf_dir, args.cpus, only=only)))
     finally:
         ray.shutdown()
 
