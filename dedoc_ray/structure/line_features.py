@@ -90,3 +90,41 @@ def line_features(texts: List[str]) -> np.ndarray:
         f[22] = min(len(words), 30) / 30.0
         f[23] = 1.0 if stripped[:1].isupper() else 0.0
     return out
+
+
+# indicator subset carried into the prev/next windows (kw + list flags +
+# length classes) — the informative neighbors for line-type decisions
+_WINDOW_COLS = list(range(0, 11)) + [14, 15, 16]
+
+#: names for the windowed matrix (line_features_windowed)
+WINDOWED_FEATURE_NAMES = (
+    FEATURE_NAMES
+    + [f"prev_{FEATURE_NAMES[c]}" for c in _WINDOW_COLS]
+    + [f"next_{FEATURE_NAMES[c]}" for c in _WINDOW_COLS]
+    + ["len_pctile", "words_pctile"]
+)
+
+
+def line_features_windowed(texts: List[str]) -> np.ndarray:
+    """Per-line features ⊕ prev/next-line indicator windows ⊕ per-document
+    percentile ranks — the reference feature-extractor shape
+    (structure_extractors/feature_extractors/abstract_extractor.py:43-91:
+    prev_line_features/next_line_features + document-relative quantiles)."""
+    base = line_features(texts)
+    n = len(texts)
+    sub = base[:, _WINDOW_COLS]
+    prev = np.zeros_like(sub)
+    nxt = np.zeros_like(sub)
+    if n > 1:
+        prev[1:] = sub[:-1]
+        nxt[:-1] = sub[1:]
+    lens = np.array([len(t.strip()) for t in texts], dtype=np.float64)
+    words = np.array([len(t.split()) for t in texts], dtype=np.float64)
+
+    def pct(v: np.ndarray) -> np.ndarray:
+        if n <= 1:
+            return np.full(n, 0.5)
+        order = v.argsort(kind="stable").argsort(kind="stable")
+        return order / (n - 1)
+
+    return np.hstack([base, prev, nxt, pct(lens)[:, None], pct(words)[:, None]])

@@ -73,3 +73,34 @@ def test_law_ml_kernel_end_to_end():
     row = k.extract_row("https://x.test/a.txt", law_ml_bytes(3, "alpha the beta the gamma"))
     arts = [n for n in row["nodes"] if n["line_type"] == "article"]
     assert len(arts) == 3
+
+
+def test_windowed_features_shape_and_context():
+    import numpy as np
+
+    from dedoc_ray.structure.line_features import (
+        FEATURE_NAMES,
+        WINDOWED_FEATURE_NAMES,
+        line_features,
+        line_features_windowed,
+    )
+
+    texts = ["Chapter 1", "Article 2.", "plain body text of medium length here"]
+    F = line_features_windowed(texts)
+    assert F.shape == (3, len(WINDOWED_FEATURE_NAMES))
+    base = line_features(texts)
+    nb = len(FEATURE_NAMES)
+    assert np.allclose(F[:, :nb], base)
+    # prev window of line 1 carries line 0's chapter flag
+    kw_chapter = FEATURE_NAMES.index("kw_chapter")
+    prev_off = nb + [c for c in range(nb)].index(0)  # window cols start at base idx 0
+    from dedoc_ray.structure.line_features import _WINDOW_COLS
+
+    assert F[1, nb + _WINDOW_COLS.index(kw_chapter)] == 1.0
+    assert F[0, nb + _WINDOW_COLS.index(kw_chapter)] == 0.0  # no prev line
+    # next window of line 0 carries line 1's article flag
+    kw_article = FEATURE_NAMES.index("kw_article")
+    assert F[0, nb + len(_WINDOW_COLS) + _WINDOW_COLS.index(kw_article)] == 1.0
+    # percentile columns are last two, in [0, 1], longest line ranked 1.0
+    assert F[2, -2] == 1.0
+    assert (F[:, -2:] >= 0).all() and (F[:, -2:] <= 1).all()
