@@ -519,6 +519,14 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(sf_dir)
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """CCNet-style source-level boilerplate filtering: paragraphs repeated
+    across >=3 docs of the same source are dropped; two keyed shuffles."""
+    from dedoc_ray.ops.webclean import boilerplate_strip
+
+    return boilerplate_strip(sf_dir)
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic md5-based train/val/test tagging per doc."""
     from dedoc_ray.ops.webclean import hash_split
@@ -828,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
         "hash_split": q_hash_split,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
@@ -968,7 +977,13 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL
-    from dedoc_ray.ops.webclean import HASH_SPLIT_SQL, PARAGRAPH_DEDUP_SQL, PII_REDACT_SQL, URL_STATS_SQL
+    from dedoc_ray.ops.webclean import (
+        HASH_SPLIT_SQL,
+        PARAGRAPH_DEDUP_SQL,
+        PII_REDACT_SQL,
+        URL_STATS_SQL,
+        boilerplate_strip_sql,
+    )
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
     body = "replace(text, ' the ', chr(10)) || chr(10)"
@@ -1066,6 +1081,7 @@ FROM base WHERE cls <= 3
         "lm_score": LM_SCORE_SQL,
         "pii_redact": PII_REDACT_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+        "boilerplate_strip": boilerplate_strip_sql(),
         "hash_split": HASH_SPLIT_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,

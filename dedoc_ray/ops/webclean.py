@@ -193,6 +193,91 @@ QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1
 """
 
 
+# ------------------------------------------- boilerplate removal
+
+
+def boilerplate_strip(sf_dir: str, min_count: int = 3):
+    """Source-level boilerplate filtering (the CCNet paragraph-frequency
+    rule): a paragraph that repeats in >= ``min_count`` documents of the
+    SAME source is boilerplate (nav bars, footers, license blocks) and is
+    dropped from every document of that source.
+
+    Two keyed shuffles, both over (key, hash)-sized rows:
+    1. (source, para) partitions — count in place and tag each exploded row
+       kept/dropped (the boilerplate decision never leaves the partition,
+       so a hot boilerplate paragraph costs its own rows, nothing more);
+    2. doc_id partitions — per-document kept/dropped aggregate.
+    """
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # deterministic per-source footer (pure function of the documents
+        # view, replayed by the oracle): the planted boilerplate every page
+        # of a source shares — nav/footer/license analogue
+        df["para"] = df["text"].str.split(PARA_SEP) + df["source"].map(
+            lambda s: [f"(c) {s} all rights reserved"]
+        )
+        df = df[["doc_id", "source", "para"]].explode("para", ignore_index=True)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(df["doc_id"], "int64"),
+                "source": pa.array(df["source"], "string"),
+                "para": pa.array(df["para"], "string"),
+            }
+        )
+
+    paras = docs.map_batches(explode, batch_format="pyarrow", batch_size=1024)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "kept": pd.Series([], dtype="int64")})
+        # distinct docs per (source, para) — a paragraph repeated WITHIN one
+        # doc is not boilerplate evidence
+        freq = df.groupby(["source", "para"])["doc_id"].transform("nunique")
+        out = pd.DataFrame({"doc_id": df["doc_id"], "kept": (freq < min_count).astype("int64")})
+        return out
+
+    tagged = hash_partition_apply(paras, ["source", "para"], tag, num_parts=32)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_kept": pd.Series([], dtype="int64"),
+                 "n_dropped": pd.Series([], dtype="int64")}
+            )
+        g = df.groupby("doc_id")["kept"].agg(n_kept="sum", n_dropped=lambda s: (1 - s).sum()).reset_index()
+        g["n_kept"] = g["n_kept"].astype("int64")
+        g["n_dropped"] = g["n_dropped"].astype("int64")
+        return g
+
+    return hash_partition_apply(tagged, ["doc_id"], per_doc, num_parts=16)
+
+
+def boilerplate_strip_sql(min_count: int = 3) -> str:
+    return f"""
+WITH exploded AS (
+    SELECT doc_id, source,
+           unnest(list_append(str_split(text, '{PARA_SEP}'),
+                              '(c) ' || source || ' all rights reserved')) AS para
+    FROM documents
+), counts AS (
+    SELECT source, para, count(DISTINCT doc_id) AS n_docs
+    FROM exploded GROUP BY source, para
+)
+SELECT e.doc_id,
+       CAST(sum(CASE WHEN c.n_docs < {min_count} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN c.n_docs >= {min_count} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM exploded e JOIN counts c USING (source, para)
+GROUP BY e.doc_id
+"""
+
+
 # ------------------------------------------------------------- splits
 
 

@@ -117,3 +117,18 @@ def test_url_stats_exts(ray_session):
     # template classes 0-6 are html → 70% of the corpus
     total = sum(got.values())
     assert got["html"] == pytest.approx(0.7 * total, rel=0.1)
+
+
+# ------------------------------------------------- boilerplate strip
+
+
+def test_boilerplate_strip_drops_planted_footer(ray_session):
+    from dedoc_ray.ops.webclean import boilerplate_strip
+
+    df = boilerplate_strip(SF).to_pandas()
+    # every doc carries exactly one planted per-source footer paragraph,
+    # and each source has 25 docs >= min_count → at least 1 dropped per doc
+    assert (df["n_dropped"] >= 1).all()
+    # body paragraphs are word-soup-unique → most are kept
+    assert (df["n_kept"] >= 1).all()
+    assert len(df) == 500
