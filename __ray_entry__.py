@@ -610,6 +610,16 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return minhash_lsh_pairs(sf_dir)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pair clustering: distributed min-label propagation over the
+    jaccard pair graph → (doc_id, cluster_id = min doc of component). The
+    canonical-document step of corpus dedup; DuckDB oracle is a recursive
+    transitive closure over the same pairs."""
+    from dedoc_ray.ops.cc import dedup_clusters
+
+    return dedup_clusters(sf_dir)
+
+
 def q_simhash(sf_dir: str):
     from dedoc_ray.ops.dedup import simhash_fingerprints
 
@@ -845,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_stats": q_winnow_stats,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -975,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         range_join_sql,
     )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
+    from dedoc_ray.ops.cc import dedup_clusters_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL
     from dedoc_ray.ops.webclean import (
@@ -1089,6 +1101,7 @@ FROM base WHERE cls <= 3
         "gopher_quality": GOPHER_QUALITY_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": jaccard_pairs_sql(),
+        "dedup_clusters": dedup_clusters_sql(),
         "simhash": simhash_sql(),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),
