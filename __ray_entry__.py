@@ -620,6 +620,30 @@ def q_dedup_clusters(sf_dir: str):
     return dedup_clusters(sf_dir)
 
 
+def q_dedup_keep(sf_dir: str):
+    """Dedup survivor decision: corpus LEFT-join against the cluster labels
+    (keep unless clustered under a smaller canonical doc)."""
+    from dedoc_ray.ops.cc import dedup_keep
+
+    return dedup_keep(sf_dir)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic top-k eval draw (md5 order, combiner
+    pre-truncation before the one keyed shuffle)."""
+    from dedoc_ray.ops.webclean import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization: case/port/tracking-param/trailing-slash rules
+    as vectorized RE2 kernel passes over deterministically-messied urls."""
+    from dedoc_ray.ops.webclean import url_normalize
+
+    return url_normalize(sf_dir)
+
+
 def q_simhash(sf_dir: str):
     from dedoc_ray.ops.dedup import simhash_fingerprints
 
@@ -856,6 +880,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
+        "stratified_sample": q_stratified_sample,
+        "url_normalize": q_url_normalize,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -986,15 +1013,17 @@ def oracle_sql() -> dict[str, str]:
         range_join_sql,
     )
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
-    from dedoc_ray.ops.cc import dedup_clusters_sql
+    from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
         PARAGRAPH_DEDUP_SQL,
         PII_REDACT_SQL,
+        URL_NORMALIZE_SQL,
         URL_STATS_SQL,
         boilerplate_strip_sql,
+        stratified_sample_sql,
     )
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
@@ -1102,6 +1131,9 @@ FROM base WHERE cls <= 3
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": jaccard_pairs_sql(),
         "dedup_clusters": dedup_clusters_sql(),
+        "dedup_keep": dedup_keep_sql(),
+        "stratified_sample": stratified_sample_sql(),
+        "url_normalize": URL_NORMALIZE_SQL,
         "simhash": simhash_sql(),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),

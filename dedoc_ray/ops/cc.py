@@ -143,6 +143,58 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
     return connected_components(pairs)
 
 
+def dedup_keep(sf_dir: str, threshold: float = 0.5):
+    """The survivor decision: every corpus doc tagged keep=1 unless it sits
+    in a near-dup cluster under a smaller canonical doc_id.
+
+    The cluster label table is a hash-partitioned LEFT ANTI-style join
+    against the full corpus (labels co-partition with doc ids; no
+    broadcast needed, though at real scale the label table is usually
+    small enough to broadcast instead)."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    labels = dedup_clusters(sf_dir, threshold=threshold)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    lab_rows = labels.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "cluster_id": t["cluster_id"],
+             "is_doc": pa.array(np.zeros(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    doc_rows = docs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"doc_id": t["doc_id"], "cluster_id": t["doc_id"],
+             "is_doc": pa.array(np.ones(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _int64_frame(doc_id=[], keep=[])
+        docs_part = df[df["is_doc"] == 1][["doc_id"]]
+        lab_part = df[df["is_doc"] == 0][["doc_id", "cluster_id"]]
+        m = docs_part.merge(lab_part, on="doc_id", how="left")
+        keep = (m["cluster_id"].isna() | (m["cluster_id"] == m["doc_id"])).astype("int64")
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"), "keep": keep})
+
+    return hash_partition_apply(doc_rows.union(lab_rows), ["doc_id"], decide, num_parts=16)
+
+
+def dedup_keep_sql(threshold: float = 0.5) -> str:
+    clusters = dedup_clusters_sql(threshold)
+    return f"""
+WITH clusters AS ({clusters})
+SELECT d.doc_id,
+       CAST(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
 def dedup_clusters_sql(threshold: float = 0.5) -> str:
     """Recursive-CTE transitive closure over the SAME pair SQL the
     jaccard_pairs oracle uses: min reachable doc per doc."""

@@ -314,6 +314,122 @@ FROM documents
 """
 
 
+# ---------------------------------------------------- stratified sample
+
+
+def stratified_sample(sf_dir: str, k: int = 10):
+    """Deterministic per-language sample: the k docs of each lang with the
+    smallest md5(doc_id) — the stratified eval-set draw (stable under
+    resharding and corpus growth of OTHER strata).
+
+    One keyed shuffle on lang; the per-stratum top-k runs vectorized inside
+    each key-complete partition. Hot strata cost only (lang, doc_id, h)
+    triples; per-batch PRE-truncation to k keeps the shuffle payload
+    bounded at batches x k per stratum regardless of corpus size."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        t = batch.append_column("h", pa.array(h, "string"))
+        # combiner: only each batch's k smallest per lang can survive
+        df = t.to_pandas().sort_values(["lang", "h"]).groupby("lang").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow", batch_size=4096)
+
+    def top_k(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype="object")}
+            )
+        out = df.sort_values(["lang", "h"]).groupby("lang").head(k)
+        return out[["doc_id", "lang"]]
+
+    return hash_partition_apply(hashed, ["lang"], top_k, num_parts=8)
+
+
+def stratified_sample_sql(k: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) <= {k}
+"""
+
+
+# -------------------------------------------------- url canonicalization
+
+
+def messy_url_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL injection (pure function of doc_id/source):
+    scheme/host case, default port, tracking params, trailing slash."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sources = batch["source"].to_pylist()
+    urls = []
+    for doc_id, source in zip(ids, sources):
+        m = doc_id % 4
+        if m == 0:
+            urls.append(f"HTTPS://Synth.Test:443/{source}/{doc_id}.html?utm_source=feed&utm_campaign=x")
+        elif m == 1:
+            urls.append(f"https://synth.test/{source}/{doc_id}.html/")
+        elif m == 2:
+            urls.append(f"http://SYNTH.test:80/{source}/{doc_id}.html?id={doc_id}&utm_medium=social")
+        else:
+            urls.append(f"https://synth.test/{source}/{doc_id}.html")
+    return pa.Table.from_pydict({"doc_id": batch["doc_id"], "raw_url": pa.array(urls, "string")})
+
+
+class UrlNormalizeKernel:
+    """raw_url → canonical url, fully vectorized RE2 kernel passes:
+    lowercase scheme+host, strip default ports, drop utm_* params (and a
+    then-empty query), strip one trailing slash."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["raw_url"]
+        # lowercase the scheme://host[:port] prefix only
+        prefix = pc.extract_regex(col, r"^(?P<p>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
+        rest = pc.replace_substring_regex(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+        low = pc.utf8_lower(pc.struct_field(prefix, "p"))
+        low = pc.replace_substring_regex(low, r":443$|:80$", "")
+        url = pc.binary_join_element_wise(low, rest, "")
+        url = pc.replace_substring_regex(url, r"([?&])utm_[a-z]+=[^&]*", "\\1")
+        url = pc.replace_substring_regex(url, r"[?&]+$", "")
+        url = pc.replace_substring_regex(url, r"\?&", "?")
+        url = pc.replace_substring_regex(url, r"/$", "")
+        return pa.Table.from_pydict({"doc_id": batch["doc_id"], "url": url})
+
+
+def url_normalize(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    messy = docs.map_batches(messy_url_batch, batch_format="pyarrow", batch_size=2048)
+    return messy.map_batches(UrlNormalizeKernel, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
+
+
+URL_NORMALIZE_SQL = """
+WITH messy AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://Synth.Test:443/' || source || '/' || doc_id || '.html?utm_source=feed&utm_campaign=x'
+      WHEN 1 THEN 'https://synth.test/' || source || '/' || doc_id || '.html/'
+      WHEN 2 THEN 'http://SYNTH.test:80/' || source || '/' || doc_id || '.html?id=' || doc_id || '&utm_medium=social'
+      ELSE 'https://synth.test/' || source || '/' || doc_id || '.html'
+    END AS raw_url
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+      || regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+    , ':443/|:80/', '/'), '([?&])utm_[a-z]+=[^&]*', '\\1', 'g'), '[?&]+$', ''), '/$', '') AS url
+FROM messy
+"""
+
+
 # ----------------------------------------------------------- url stats
 
 _EXT_RE = r"\.(?P<ext>[a-z0-9]+)$"

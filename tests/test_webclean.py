@@ -132,3 +132,58 @@ def test_boilerplate_strip_drops_planted_footer(ray_session):
     # body paragraphs are word-soup-unique → most are kept
     assert (df["n_kept"] >= 1).all()
     assert len(df) == 500
+
+
+# ------------------------------------ stratified sample / url normalize
+
+
+def test_stratified_sample_per_lang_topk(ray_session):
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from dedoc_ray.ops.webclean import stratified_sample
+
+    df = stratified_sample(SF, k=5).to_pandas()
+    assert (df.groupby("lang").size() <= 5).all()
+    # matches the local md5-order draw exactly
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    docs["h"] = docs["doc_id"].map(lambda i: _h.md5(str(int(i)).encode()).hexdigest())
+    want = docs.sort_values(["lang", "h"]).groupby("lang").head(5)
+    assert set(zip(df["doc_id"], df["lang"])) == set(zip(want["doc_id"], want["lang"]))
+
+
+def test_url_normalize_kernel_rules():
+    from dedoc_ray.ops.webclean import UrlNormalizeKernel
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], "int64"),
+            "raw_url": pa.array(
+                [
+                    "HTTPS://Example.COM:443/Path/Page.html?utm_source=x&utm_medium=y",
+                    "http://host.test:80/a?id=7&utm_campaign=z",
+                    "https://ok.test/clean",
+                    "https://t.test/dir/",
+                ],
+                "string",
+            ),
+        }
+    )
+    got = UrlNormalizeKernel()(batch)["url"].to_pylist()
+    assert got == [
+        "https://example.com/Path/Page.html",
+        "http://host.test/a?id=7",
+        "https://ok.test/clean",
+        "https://t.test/dir",
+    ]
+
+
+def test_dedup_keep_survivors(ray_session):
+    from dedoc_ray.ops.cc import dedup_clusters, dedup_keep
+
+    keep = dedup_keep(SF).to_pandas().set_index("doc_id")["keep"]
+    clusters = dedup_clusters(SF).to_pandas()
+    losers = set(clusters[clusters["doc_id"] != clusters["cluster_id"]]["doc_id"])
+    assert (keep.loc[sorted(losers)] == 0).all()
+    assert keep.drop(index=sorted(losers)).eq(1).all()
