@@ -551,6 +551,14 @@ def q_lm_score(sf_dir: str):
     return lm_score(sf_dir)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing: greedy contiguous fill of <=512-token
+    sequences per source shard (embarrassingly parallel across shards)."""
+    from dedoc_ray.ops.lm_score import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def q_doc_stats(sf_dir: str):
     from dedoc_ray.ops.textstats import doc_stats
 
@@ -868,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_urls": q_top_urls,
         "distinct_urls": q_distinct_urls,
         "lm_score": q_lm_score,
+        "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_strip": q_boilerplate_strip,
@@ -1015,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
     from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
-    from dedoc_ray.ops.lm_score import LM_SCORE_SQL
+    from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
         PARAGRAPH_DEDUP_SQL,
@@ -1120,6 +1129,7 @@ FROM base WHERE cls <= 3
         # extract_full spans the rich template class)
         "winnow_stats": winnow_stats_sql(),
         "lm_score": LM_SCORE_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
         "pii_redact": PII_REDACT_SQL,
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "boilerplate_strip": boilerplate_strip_sql(),

@@ -137,6 +137,101 @@ def lm_score(sf_dir: str):
     )
 
 
+# ------------------------------------------------------ sequence packing
+
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+class PackKernel:
+    """Contiguous-fill sequence packing inside one source shard: docs in
+    doc_id order fill sequences of <= PACK_BUDGET whitespace tokens; a doc
+    larger than the budget gets its own sequence (never split).
+
+    seq_id = budget-floor of the EXCLUSIVE prefix sum after clamping each
+    doc to the budget — deterministic, vectorized, and replayable by a SQL
+    window cumsum. Packing never crosses shard boundaries, so shards pack
+    in parallel with no coordination (the property that matters at 10^12
+    docs: packing is embarrassingly parallel per shard)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "source": pd.Series([], dtype="object"),
+                 "n_tokens": pd.Series([], dtype="int64"), "seq_id": pd.Series([], dtype="int64")}
+            )
+        df = df.sort_values(["source", "doc_id"], kind="stable").reset_index(drop=True)
+        out = []
+        for source, g in df.groupby("source", sort=False):
+            toks = g["n_tokens"].clip(upper=PACK_BUDGET).to_numpy()
+            csum = np.concatenate([[0], np.cumsum(toks)[:-1]])  # exclusive
+            # greedy contiguous fill: a doc starts a new sequence when its
+            # clamped tokens would overflow the current one
+            seq = np.zeros(len(toks), dtype=np.int64)
+            cur_seq, cur_fill = 0, 0
+            for i, t in enumerate(toks):
+                if cur_fill + t > PACK_BUDGET and cur_fill > 0:
+                    cur_seq += 1
+                    cur_fill = 0
+                seq[i] = cur_seq
+                cur_fill += t
+            out.append(pd.DataFrame(
+                {"doc_id": g["doc_id"].to_numpy(), "source": source,
+                 "n_tokens": g["n_tokens"].to_numpy(), "seq_id": seq}
+            ))
+        res = pd.concat(out, ignore_index=True)
+        res["doc_id"] = res["doc_id"].astype("int64")
+        res["n_tokens"] = res["n_tokens"].astype("int64")
+        res["seq_id"] = res["seq_id"].astype("int64")
+        return res
+
+
+def pack_sequences(sf_dir: str):
+    """Token counts (whitespace tokens, clamped) → per-shard greedy
+    contiguous packing. One keyed shuffle on source; packing is pure
+    vectorized work inside each key-complete partition."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.list_value_length(pc.split_pattern_regex(batch["text"], r"[ \t\n\f\r]+"))
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"], "source": batch["source"], "n_tokens": pc.cast(n, "int64")}
+        )
+
+    counted = docs.map_batches(count_tokens, batch_format="pyarrow", batch_size=2048)
+    return hash_partition_apply(counted, ["source"], PackKernel(), num_parts=8)
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS n_tokens,
+         least(len(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')), {PACK_BUDGET}) AS t
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens, t,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM counted
+),
+-- replay the greedy contiguous-fill rule with a per-source recursive scan
+scan(doc_id, source, n_tokens, t, rn, seq_id, fill) AS (
+  SELECT doc_id, source, n_tokens, t, rn, CAST(0 AS BIGINT), CAST(t AS BIGINT)
+  FROM packed WHERE rn = 1
+  UNION ALL
+  SELECT p.doc_id, p.source, p.n_tokens, p.t, p.rn,
+         CASE WHEN s.fill + p.t > {PACK_BUDGET} AND s.fill > 0 THEN s.seq_id + 1 ELSE s.seq_id END,
+         CASE WHEN s.fill + p.t > {PACK_BUDGET} AND s.fill > 0 THEN CAST(p.t AS BIGINT) ELSE s.fill + p.t END
+  FROM scan s JOIN packed p ON p.source = s.source AND p.rn = s.rn + 1
+)
+SELECT doc_id, source, n_tokens, seq_id FROM scan
+"""
+
+
 LM_SCORE_SQL = f"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t

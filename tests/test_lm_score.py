@@ -39,3 +39,23 @@ def test_scores_separate_in_domain_from_garbage(ray_session):
     assert (train["n_known"] == train["n_trigrams"]).all()
     assert (df["model_hits"] >= df["n_known"]).all()
     assert (df["n_trigrams"] > 0).all()
+
+
+def test_pack_sequences_budget_and_order(ray_session):
+    from dedoc_ray.ops.lm_score import PACK_BUDGET, pack_sequences
+
+    df = pack_sequences(SF).to_pandas()
+    assert len(df) == 500
+    # within each (source, seq): clamped token sum fits the budget unless
+    # the sequence is a single oversized doc
+    g = df.copy()
+    g["t"] = g["n_tokens"].clip(upper=PACK_BUDGET)
+    sums = g.groupby(["source", "seq_id"])["t"].agg(["sum", "count"])
+    over = sums[sums["sum"] > PACK_BUDGET]
+    assert (over["count"] == 1).all()
+    # seq ids are contiguous from 0 per source, docs in id order
+    for _, grp in g.sort_values("doc_id").groupby("source"):
+        seqs = grp["seq_id"].to_numpy()
+        assert seqs[0] == 0
+        assert ((seqs[1:] - seqs[:-1]) >= 0).all()
+        assert ((seqs[1:] - seqs[:-1]) <= 1).all()
