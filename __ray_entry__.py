@@ -780,6 +780,14 @@ def q_audio_frames(sf_dir: str):
     return audio_frames(sf_dir)
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling stage (fps decimation + sampled checksum;
+    codec is the documented synthetic-container stub, plumbing real)."""
+    from dedoc_ray.ops.multimodal import video_frames
+
+    return video_frames(sf_dir)
+
+
 def q_language_id(sf_dir: str):
     from dedoc_ray.ops.langid import language_id
 
@@ -903,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "image_thumbnails": q_image_thumbnails,
         "audio_frames": q_audio_frames,
+        "video_frames": q_video_frames,
         "language_id": q_language_id,
         "lineitem_pricing": q_lineitem_pricing,
         "events_hourly": q_events_hourly,
@@ -1011,7 +1020,7 @@ FROM documents
 def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql, simhash_pairs_sql, simhash_sql
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
-    from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL
+    from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
     from dedoc_ray.ops.relational import (
         ASOF_EVENTS_ORDERS_SQL,
         EVENTS_HOURLY_SQL,
@@ -1153,6 +1162,7 @@ FROM base WHERE cls <= 3
         "image_thumbnails": _IMAGE_THUMBNAILS_SQL,
         "image_features": IMAGE_FEATURES_SQL,
         "audio_frames": AUDIO_FRAMES_SQL,
+        "video_frames": VIDEO_FRAMES_SQL,
         "lineitem_pricing": LINEITEM_PRICING_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sliding": events_sliding_sql(),

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 IMG_MAGIC = b"FIMG"
 AUD_MAGIC = b"FAUD"
+VID_MAGIC = b"FVID"
 
 try:  # real-codec path — absent in this container, kept for deployment
     from PIL import Image  # noqa: F401
@@ -49,14 +50,24 @@ def audio_payload(doc_id: int) -> bytes:
     return AUD_MAGIC + struct.pack("<I", n) + bytes([doc_id % 256]) * n
 
 
+def video_payload(doc_id: int) -> bytes:
+    """Synthetic video container: magic + frame count + dims + one mean
+    byte per frame ((doc_id + i) % 256 — deterministic, SQL-replayable)."""
+    n = 24 + doc_id % 48
+    w, h = 8 + doc_id % 8, 8
+    frames = bytes((doc_id + i) % 256 for i in range(n))
+    return VID_MAGIC + struct.pack("<IHH", n, w, h) + frames
+
+
 def media_batch(batch: pa.Table) -> pa.Table:
-    """documents rows → media rows (doc_id, image binary, audio binary)."""
+    """documents rows → media rows (doc_id, image/audio/video binary)."""
     doc_ids = batch["doc_id"].to_pylist()
     return pa.Table.from_pydict(
         {
             "doc_id": batch["doc_id"],
             "image": pa.array([image_payload(d) for d in doc_ids], "binary"),
             "audio": pa.array([audio_payload(d) for d in doc_ids], "binary"),
+            "video": pa.array([video_payload(d) for d in doc_ids], "binary"),
         }
     )
 
@@ -158,27 +169,75 @@ class AudioFrameKernel:
         )
 
 
+class VideoFrameSampleKernel:
+    """Actor: fps-decimated frame sampling (every ``stride``-th frame) with
+    a sampled-frame checksum — the video analogue of AudioFrameKernel;
+    a real deployment swaps the container parse for ffmpeg keyframe pulls
+    (absent here; plumbing — small batches, binary column, per-frame
+    stats — is the real contract)."""
+
+    def __init__(self, stride: int = 6) -> None:
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, n_sampled, checksum = [], [], []
+        for data in batch["video"].to_pylist():
+            if data[:4] != VID_MAGIC:
+                raise ValueError("unknown video container")
+            n, w, h = struct.unpack("<IHH", data[4:12])
+            frames = np.frombuffer(data[12:12 + n], dtype=np.uint8)
+            sampled = frames[:: self.stride]
+            n_frames.append(n)
+            n_sampled.append(len(sampled))
+            checksum.append(int(sampled.sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_frames": pa.array(n_frames, "int64"),
+                "n_sampled": pa.array(n_sampled, "int64"),
+                "checksum": pa.array(checksum, "int64"),
+            }
+        )
+
+
 # ------------------------------------------------------------- pipelines
 
 
 def image_features(sf_dir: str):
-    return media_corpus(sf_dir).drop_columns(["audio"]).map_batches(
+    return media_corpus(sf_dir).drop_columns(["audio", "video"]).map_batches(
         ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
     )
 
 
 def image_thumbnails(sf_dir: str, target: int = 8):
-    return media_corpus(sf_dir).drop_columns(["audio"]).map_batches(
+    return media_corpus(sf_dir).drop_columns(["audio", "video"]).map_batches(
         ThumbnailKernel, fn_constructor_kwargs={"target": target},
         batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1,
     )
 
 
 def audio_frames(sf_dir: str, frame_len: int = 400):
-    return media_corpus(sf_dir).drop_columns(["image"]).map_batches(
+    return media_corpus(sf_dir).drop_columns(["image", "video"]).map_batches(
         AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
+
+
+def video_frames(sf_dir: str, stride: int = 6):
+    return media_corpus(sf_dir).drop_columns(["image", "audio"]).map_batches(
+        VideoFrameSampleKernel, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+VIDEO_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(24 + doc_id % 48 AS BIGINT) AS n_frames,
+       CAST((24 + doc_id % 48 + 5) // 6 AS BIGINT) AS n_sampled,
+       CAST(list_sum(list_transform(range(0, 24 + doc_id % 48, 6),
+                                    i -> (doc_id + i) % 256)) AS BIGINT) AS checksum
+FROM documents
+"""
 
 
 IMAGE_FEATURES_SQL = """

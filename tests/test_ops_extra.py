@@ -227,3 +227,15 @@ def test_embedding_lsh_precision_and_recall(ray_session, tmp_path):
     assert len(se) > 50  # clusters really produce high-cosine pairs
     assert sa <= se, f"false positives: {sa - se}"
     assert len(sa & se) / len(se) >= 0.7, f"recall {len(sa & se)}/{len(se)}"
+
+
+def test_video_frame_sampling():
+    from dedoc_ray.ops.multimodal import VideoFrameSampleKernel, media_batch
+
+    media = media_batch(pa.Table.from_pydict({"doc_id": pa.array([0, 7, 250], "int64")}))
+    out = VideoFrameSampleKernel(stride=6)(media)
+    for i, d in enumerate([0, 7, 250]):
+        n = 24 + d % 48
+        assert out["n_frames"][i].as_py() == n
+        assert out["n_sampled"][i].as_py() == (n + 5) // 6
+        assert out["checksum"][i].as_py() == sum((d + j) % 256 for j in range(0, n, 6))
