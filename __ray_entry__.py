@@ -167,6 +167,29 @@ def q_docx_attachments(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_docx_footnotes(sf_dir: str):
+    """Footnote references → linked_text annotations (reference
+    footnote_extractor.py + line_with_meta_converter.py:40-41)."""
+    ds = _office_extract(sf_dir, "docx")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        anns = batch["annotations"].to_pylist()
+        n_notes, first = [], []
+        for an in anns:
+            notes = [a["value"] for a in an if a["name"] == "linked_text"]
+            n_notes.append(len(notes))
+            first.append(notes[0] if notes else "")
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_footnotes": pa.array(n_notes, "int64"),
+                "note_text": pa.array(first, "string"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_pdf_layout(sf_dir: str):
     """Multi-column PDF reading order: two-column synthetic corpus whose ops
     are emitted interleaved — only column-aware layout (columns left→right,
@@ -863,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "docx_attachments": q_docx_attachments,
+        "docx_footnotes": q_docx_footnotes,
         "extract_odt": q_extract_odt,
         "extract_rtf": q_extract_rtf,
         "extract_xlsx": q_extract_xlsx,
@@ -1054,6 +1078,9 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
         "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                               f"{body} AS extracted_text FROM documents",
+        "docx_footnotes": f"SELECT {office_url.format(ext='docx')} AS url, "
+                          f"CAST(1 AS BIGINT) AS n_footnotes, "
+                          f"'note for doc ' || doc_id AS note_text FROM documents",
         "docx_attachments": f"SELECT {office_url.format(ext='docx')} AS url, "
                             f"CAST(1 AS BIGINT) AS n_attachments, "
                             f"CAST(doc_id % 7 + 3 AS BIGINT) AS total_size FROM documents",

@@ -66,12 +66,33 @@ def _cell_lines(text: str) -> List[LineWithMeta]:
 # --------------------------------------------------------------------- docx
 
 
+def _docx_notes(zf: zipfile.ZipFile, part: str) -> Dict[str, str]:
+    """word/footnotes.xml / word/endnotes.xml → {id: joined w:t text}
+    (reference footnote_extractor.py:8-21)."""
+    notes: Dict[str, str] = {}
+    try:
+        root = _xml(zf, part)
+    except BadOfficeFile:
+        return notes
+    if root is None:
+        return notes
+    local = part.rsplit("/", 1)[-1].replace("s.xml", "")  # footnote | endnote
+    for note in root.iter(f"{W}{local}"):
+        note_id = note.get(f"{W}id")
+        text = " ".join(t.text for t in note.iter(f"{W}t") if t.text)
+        if note_id and text:
+            notes[note_id] = text
+    return notes
+
+
 def _docx_paragraph(
     p: ElementTree.Element,
     page_id: int,
     line_id: int,
     numbering: Optional["NumberingEngine"] = None,
     styles: Optional["StylesDb"] = None,
+    footnotes: Optional[Dict[str, str]] = None,
+    endnotes: Optional[Dict[str, str]] = None,
 ) -> LineWithMeta:
     """One w:p → LineWithMeta with run-level style annotations and, for list
     paragraphs, the rendered numbering prefix ("1.\\t", "a)\\t", bullets —
@@ -138,6 +159,15 @@ def _docx_paragraph(
     # paragraph-level unit → trailing newline, like the HTML kernel's
     # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
     text = prefix + "".join(texts) + "\n"
+    # footnote/endnote references → linked_text annotations spanning the
+    # paragraph (reference paragraph.py:88-93 + line_with_meta_converter.py:40-41)
+    for ref_tag, id2note in ((f"{W}footnoteReference", footnotes), (f"{W}endnoteReference", endnotes)):
+        if not id2note:
+            continue
+        for ref in p.iter(ref_tag):
+            note = id2note.get(ref.get(f"{W}id", ""))
+            if note:
+                annotations.append(Annotation(0, max(len(text) - 1, 0), "linked_text", note))
     # paragraph-level alignment/indentation annotations (reference
     # docx_reader/properties_extractor.py: w:jc → alignment, w:ind →
     # indentation in twentieths of a point)
@@ -265,12 +295,17 @@ def read_docx(data: bytes) -> UnstructuredDoc:
         styles = _cached_styles(styles_bytes) if styles_bytes else StylesDb(None)
     except ElementTree.ParseError as e:
         raise BadOfficeFile(f"bad xml in word/styles.xml: {e}") from e
+    footnotes = _docx_notes(zf, "word/footnotes.xml")
+    endnotes = _docx_notes(zf, "word/endnotes.xml")
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = 0
     for child in body:
         if child.tag == f"{W}p":
-            lines.append(_docx_paragraph(child, page_id=0, line_id=line_id, numbering=numbering, styles=styles))
+            lines.append(
+                _docx_paragraph(child, page_id=0, line_id=line_id, numbering=numbering,
+                                styles=styles, footnotes=footnotes, endnotes=endnotes)
+            )
             line_id += 1
         elif child.tag == f"{W}tbl":
             tbl = _docx_table(child, page_id=0, uid=f"table_{len(tables)}")

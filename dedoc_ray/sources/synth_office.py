@@ -88,15 +88,21 @@ def docx_bytes(doc_id: int, text: str) -> bytes:
     properties. Expected extracted text:
     'Document {id}\n' + replace(text,' the ','\n') + '\n' + DOCX_LIST_TEXT."""
     paras = [f'<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t xml:space="preserve">Document {doc_id}</w:t></w:r></w:p>']
-    for c in chunks_of(text):
-        paras.append(f'<w:p><w:r><w:t xml:space="preserve">{escape(c)}</w:t></w:r></w:p>')
+    for i, c in enumerate(chunks_of(text)):
+        # the first body paragraph carries a footnote reference
+        ref = '<w:r><w:footnoteReference w:id="1"/></w:r>' if i == 0 else ""
+        paras.append(f'<w:p><w:r><w:t xml:space="preserve">{escape(c)}</w:t></w:r>{ref}</w:p>')
     paras.extend(_docx_list_paras())
     xml = f'<?xml version="1.0"?><w:document {_W}><w:body>{"".join(paras)}</w:body></w:document>'
+    footnotes = (f'<?xml version="1.0"?><w:footnotes {_W}>'
+                 f'<w:footnote w:id="1"><w:p><w:r><w:t>note for doc {doc_id}</w:t></w:r></w:p></w:footnote>'
+                 f"</w:footnotes>")
     return _zip_bytes(
         [
             ("word/document.xml", xml),
             ("word/numbering.xml", _DOCX_NUMBERING),
             ("word/styles.xml", _DOCX_STYLES),
+            ("word/footnotes.xml", footnotes),
             ("docProps/core.xml", _docx_core_xml(doc_id)),
             # embedded image → exercises the docx attachment manifest
             ("word/media/image1.png", b"P" * (doc_id % 7 + 3)),

@@ -118,3 +118,16 @@ def test_docx_alignment_indent_annotations():
     anns = {(a.name, a.value) for a in doc.lines[0].annotations}
     assert ("alignment", "center") in anns
     assert ("indentation", "708") in anns
+
+
+def test_docx_footnotes_linked_text():
+    from dedoc_ray.readers.office import read_docx
+    from dedoc_ray.sources.synth_office import docx_bytes
+
+    doc = read_docx(docx_bytes(9, "alpha the beta"))
+    notes = [a for l in doc.lines for a in l.annotations if a.name == "linked_text"]
+    assert [a.value for a in notes] == ["note for doc 9"]
+    # annotation sits on the first BODY paragraph, spans its pre-newline text
+    line = next(l for l in doc.lines if any(a.name == "linked_text" for a in l.annotations))
+    assert line.line == "alpha\n"
+    assert (notes[0].start, notes[0].end) == (0, len("alpha"))
