@@ -5,7 +5,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def _cc(pairs, ray_session=None):
+def _cc(pairs, small_graph_edges=5_000_000):
     import ray.data as rd
 
     from dedoc_ray.ops.cc import connected_components
@@ -18,7 +18,7 @@ def _cc(pairs, ray_session=None):
             }
         )
     )
-    df = connected_components(ds).to_pandas()
+    df = connected_components(ds, small_graph_edges=small_graph_edges).to_pandas()
     return dict(zip(df["doc_id"], df["cluster_id"]))
 
 
@@ -37,3 +37,10 @@ def test_long_chain_needs_multiple_rounds(ray_session):
 def test_cluster_id_is_min_doc(ray_session):
     got = _cc([(100, 3), (3, 50), (50, 2)])
     assert set(got.values()) == {2}
+
+
+def test_iterative_path_matches_unionfind(ray_session):
+    pairs = [(5, 9), (9, 7), (20, 21)] + [(i, i + 1) for i in range(30, 39)]
+    fast = _cc(pairs)
+    iterative = _cc(pairs, small_graph_edges=0)  # force the shuffle rounds
+    assert fast == iterative
