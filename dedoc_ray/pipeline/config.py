@@ -37,6 +37,8 @@ class PipelineConfig:
     # readers (api_args.py: delimiter / encoding / handle_invisible_table / pages)
     handle_invisible_table: bool = False
     need_content_analysis: bool = False    # parse archive members recursively
+    with_attachments: bool = True          # emit the attachment manifest (reference defaults to false; the corpus queries consume manifests, so ours defaults on)
+    return_base64: bool = False            # attachment payloads as base64 in the manifest (api_args return_base)
     recursion_deep_attachments: int = 10   # nested-attachment parse depth (api_args.py:19)
     need_header_footer_analysis: bool = False  # cross-page running header/footer drop (pdf)
     delimiter: Optional[str] = None        # csv
@@ -56,6 +58,10 @@ class PipelineConfig:
     # need_pdf_table_analysis is REAL for the text-layer tabby route: false
     # skips table recognition (reference pdf_txtlayer_reader.py:49).
     language: str = "rus+eng"
+    table_type: str = ""
+    document_orientation: str = "auto"
+    need_binarization: bool = False
+    need_gost_frame_analysis: bool = False
     need_pdf_table_analysis: bool = True
 
     # execution (ours: map_batches sizing — the reference has no corpus axis)

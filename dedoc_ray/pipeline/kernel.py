@@ -227,7 +227,16 @@ class ExtractKernel:
             flat = flatten_tree(root)
             out.update(flat)
             out["warnings"] = doc.warnings
-            out["attachments"] = [{"name": n, "size": s} for n, s in doc.attachments]
+            if self.config.with_attachments:
+                import base64 as _b64
+
+                out["attachments"] = [
+                    {"name": t[0], "size": t[1],
+                     "base64": (_b64.b64encode(t[2]).decode() if self.config.return_base64 and len(t) > 2 else "")}
+                    for t in doc.attachments
+                ]
+            else:  # reference default: attachments only on request (api_args.py with_attachments)
+                out["attachments"] = []
             out["metadata"] = doc.metadata
             out["tables"] = [
                 {

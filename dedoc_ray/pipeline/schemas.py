@@ -58,6 +58,8 @@ ATTACHMENT_TYPE = pa.struct(
     [
         ("name", pa.string()),
         ("size", pa.int64()),
+        # filled only under return_base64 (reference api_args return_base)
+        ("base64", pa.string()),
     ]
 )
 

@@ -62,7 +62,7 @@ def read_archive(
     warnings: List[str] = []
     analyzed = 0
     for idx, (name, payload) in enumerate(_iter_members(data)):
-        attachments.append((name, len(payload)))
+        attachments.append((name, len(payload), payload))
         if read_member is None or analyzed >= MAX_ANALYZED_MEMBERS:
             continue
         try:

@@ -77,7 +77,7 @@ def read_eml(data: bytes) -> UnstructuredDoc:
             part_id += 1
         else:
             payload = _decode_part(part)
-            attachments.append((filename or f"part_{part_id}", len(payload)))
+            attachments.append((filename or f"part_{part_id}", len(payload), payload))
     doc = UnstructuredDoc(
         lines=lines,
         tables=tables,
@@ -119,7 +119,7 @@ def read_mhtml(data: bytes) -> UnstructuredDoc:
             found_html = True
         else:
             name = part.get_filename() or part.get("Content-Location", "") or f"part_{page_id}"
-            attachments.append((str(name), len(_decode_part(part))))
+            attachments.append((str(name), len(_decode_part(part)), _decode_part(part)))
     if not found_html and not attachments:
         raise BadMailFile("no html parts in mhtml")
     doc = UnstructuredDoc(lines=lines, tables=tables)

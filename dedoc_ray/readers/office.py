@@ -315,7 +315,7 @@ def read_docx(data: bytes) -> UnstructuredDoc:
     # attachments_handler/attachments_handler.py:1-91 + docx
     # attachments_extractor; rows carry (name, size) instead of temp files)
     attachments = [
-        (name.rsplit("/", 1)[-1], zf.getinfo(name).file_size)
+        (name.rsplit("/", 1)[-1], zf.getinfo(name).file_size, zf.read(name))
         for name in zf.namelist()
         if name.startswith(("word/media/", "word/embeddings/"))
     ]

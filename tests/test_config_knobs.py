@@ -80,3 +80,27 @@ def test_return_format_validation():
     with pytest.raises(ValueError):
         PipelineConfig(pdf_with_text_layer="maybe").validate()
     PipelineConfig(return_format="plain_text").validate()
+
+
+def test_with_attachments_and_base64(ray_session):
+    import base64
+
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    sf = "/root/testdata/sf0.001"
+    # default: manifest rows present, base64 empty
+    rows = extract_pages(office_corpus(sf, "zip"), concurrency=2).take(2)
+    assert rows[0]["attachments"] and rows[0]["attachments"][0]["base64"] == ""
+    # return_base64: payloads round-trip
+    rows = extract_pages(
+        office_corpus(sf, "zip"), concurrency=2, config=PipelineConfig(return_base64=True)
+    ).take(2)
+    att = rows[0]["attachments"][0]
+    assert len(base64.b64decode(att["base64"])) == att["size"]
+    # with_attachments=False: manifest suppressed (the reference default)
+    rows = extract_pages(
+        office_corpus(sf, "zip"), concurrency=2, config=PipelineConfig(with_attachments=False)
+    ).take(2)
+    assert rows[0]["attachments"] == []

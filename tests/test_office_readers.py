@@ -140,7 +140,7 @@ def test_eml_subject_plain_and_attachment():
     assert doc.lines[0].line == "Greetings\n"
     assert doc.lines[0].metadata.tag_hierarchy_level.line_type == "header"
     assert [l.line for l in doc.lines[1:]] == ["hello\n", "world\n"]
-    assert doc.attachments == [("data.bin", 6)]
+    assert doc.attachments == [("data.bin", 6, b"BINBIN")]
 
 
 def test_eml_html_part_delegates_to_html_reader():
@@ -157,7 +157,7 @@ def test_mhtml_html_parts():
              b"--MM\r\nContent-Type: image/png\r\nContent-Location: http://a/i.png\r\n\r\nPNGPNG\r\n--MM--\r\n")
     doc = read_mhtml(mhtml)
     assert any("first page" in l.line for l in doc.lines)
-    assert doc.attachments == [("http://a/i.png", 6)]
+    assert doc.attachments == [("http://a/i.png", 6, b"PNGPNG")]
 
 
 # ----------------------------------------------------------------- archive
@@ -166,7 +166,7 @@ def test_mhtml_html_parts():
 def test_archive_zip_and_tar_members():
     z = zip_bytes([("a.txt", "xx"), ("dir/b.txt", "yyy")])
     doc = read_archive(z)
-    assert doc.attachments == [("a.txt", 2), ("dir/b.txt", 3)]
+    assert [(n, sz) for n, sz, _ in doc.attachments] == [("a.txt", 2), ("dir/b.txt", 3)]
     assert doc.lines == [] and doc.tables == []
 
     buf = io.BytesIO()
@@ -175,7 +175,7 @@ def test_archive_zip_and_tar_members():
         info.size = 4
         tf.addfile(info, io.BytesIO(b"abcd"))
     doc = read_archive(buf.getvalue())
-    assert doc.attachments == [("m.txt", 4)]
+    assert [(n, sz) for n, sz, _ in doc.attachments] == [("m.txt", 4)]
 
 
 def test_archive_rar_stubbed():
