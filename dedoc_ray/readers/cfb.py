@@ -49,8 +49,13 @@ class CfbFile:
         self.data = data
         (self.sector_shift,) = struct.unpack_from("<H", data, 30)
         (self.mini_shift,) = struct.unpack_from("<H", data, 32)
+        # [MS-CFB]: v3 files use 512-byte sectors, v4 4096; mini sectors 64.
+        # Anything else is corruption — fail closed before any arithmetic.
+        if self.sector_shift not in (9, 12) or self.mini_shift != 6:
+            raise BadCfbFile(f"invalid sector shifts {self.sector_shift}/{self.mini_shift}")
         self.sector_size = 1 << self.sector_shift
         self.mini_size = 1 << self.mini_shift
+        self._max_sid = max((len(data) - 512) // self.sector_size, 0)
         (self.n_fat_sectors,) = struct.unpack_from("<I", data, 44)
         (self.first_dir_sector,) = struct.unpack_from("<I", data, 48)
         (self.mini_cutoff,) = struct.unpack_from("<I", data, 56)
@@ -66,6 +71,9 @@ class CfbFile:
     # ------------------------------------------------------------ sectors
 
     def _sector(self, sid: int) -> bytes:
+        if sid >= self._max_sid + 1 or sid < 0:
+            # corrupt chain pointing past EOF: fail soft with a zero sector
+            return b"\x00" * self.sector_size
         off = 512 + sid * self.sector_size
         if off + self.sector_size > len(self.data):
             # tolerate a truncated final sector (common in the wild)
