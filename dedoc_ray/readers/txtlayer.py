@@ -27,36 +27,51 @@ _VOWELS = set("aeiouAEIOUаеёиоуыэюяАЕЁИОУЫЭЮЯ")
 def txtlayer_features(text: str) -> List[float]:
     """10 char-class features mirroring the reference extractor's families:
     class proportions, case/symbol transitions, word-length stats, trash
-    chars (control / C1 / U+FFFD), char-ord dispersion."""
+    chars (control / C1 / U+FFFD), char-ord dispersion.
+
+    Vectorized via the unique-codepoint trick: per-char class membership is
+    evaluated once per UNIQUE character (tens, not thousands) and scattered
+    back through np.unique's inverse index — exact Python str semantics
+    (isupper/islower) at numpy speed. This sits on the hot path of every
+    PDF row (read_pdf_auto routing)."""
+    import numpy as np
+
     n = max(len(text), 1)
-    n_en = n_ru = n_dig = n_spec = n_trash = n_vowel = 0
-    case_changes = 0
-    ords: List[int] = []
-    prev_lower = False
-    for ch in text:
-        o = ord(ch)
-        ords.append(min(o, 2048))
-        if ch in _LETTERS_EN:
-            n_en += 1
-        elif ch in _LETTERS_RU:
-            n_ru += 1
-        elif ch in _DIGITS:
-            n_dig += 1
-        elif ch in _SPECIAL:
-            n_spec += 1
-        if o < 9 or 11 <= o <= 31 or 127 <= o <= 159 or 160 <= o <= 879 or ch == "�":
-            n_trash += 1
-        if ch in _VOWELS:
-            n_vowel += 1
-        is_upper = ch.isupper()
-        if prev_lower and is_upper:
-            case_changes += 1
-        prev_lower = ch.islower()
+    if not text:
+        cp = np.zeros(0, dtype=np.uint32)
+    else:
+        cp = np.frombuffer(text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    uniq, inv = np.unique(cp, return_inverse=True)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    chars = [chr(int(u)) for u in uniq]
+    in_en = np.fromiter((c in _LETTERS_EN for c in chars), bool, len(chars))
+    in_ru = np.fromiter((c in _LETTERS_RU for c in chars), bool, len(chars))
+    in_dig = np.fromiter((c in _DIGITS for c in chars), bool, len(chars))
+    in_spec = np.fromiter((c in _SPECIAL for c in chars), bool, len(chars))
+    # elif-chain semantics: later classes only count chars not already matched
+    in_ru &= ~in_en
+    in_dig &= ~(in_en | in_ru)
+    in_spec &= ~(in_en | in_ru | in_dig)
+    in_vowel = np.fromiter((c in _VOWELS for c in chars), bool, len(chars))
+    u = uniq.astype(np.int64)
+    in_trash = (u < 9) | ((u >= 11) & (u <= 31)) | ((u >= 127) & (u <= 879)) | (u == 0xFFFD)
+    n_en = int(counts[in_en].sum())
+    n_ru = int(counts[in_ru].sum())
+    n_dig = int(counts[in_dig].sum())
+    n_spec = int(counts[in_spec].sum())
+    n_trash = int(counts[in_trash].sum())
+    n_vowel = int(counts[in_vowel].sum())
+    upper_u = np.fromiter((c.isupper() for c in chars), bool, len(chars))
+    lower_u = np.fromiter((c.islower() for c in chars), bool, len(chars))
+    upper = upper_u[inv]
+    lower = lower_u[inv]
+    case_changes = int(np.sum(lower[:-1] & upper[1:])) if len(cp) > 1 else 0
     n_letters = n_en + n_ru
     words = text.split()
     mean_wl = sum(len(w) for w in words) / len(words) if words else 0.0
-    mean_ord = sum(ords) / n
-    var_ord = sum((o - mean_ord) ** 2 for o in ords) / n
+    ords = np.minimum(cp, 2048).astype(np.float64)
+    mean_ord = float(ords.sum()) / n
+    var_ord = float(((ords - mean_ord) ** 2).sum()) / n
     return [
         n_letters / n,                         # letters_proportion
         n_dig / n,                             # digits_proportion
