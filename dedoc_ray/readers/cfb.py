@@ -217,6 +217,6 @@ def read_summary_info(cfb: CfbFile) -> Dict[str, str]:
 
                 dt = datetime(1601, 1, 1, tzinfo=timezone.utc) + timedelta(microseconds=ticks // 10)
                 meta[key] = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
-    except struct.error:
+    except (struct.error, OverflowError):  # corrupt offsets / FILETIME ticks
         pass
     return meta

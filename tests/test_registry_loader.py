@@ -32,7 +32,7 @@ def test_docx_media_attachments():
     from dedoc_ray.sources.synth_office import docx_bytes
 
     doc = read_docx(docx_bytes(10, "a the b"))
-    assert doc.attachments == [("image1.png", 10 % 7 + 3)]
+    assert doc.attachments == [("image1.png", 10 % 7 + 3, b"P" * (10 % 7 + 3))]
 
 
 def test_langchain_loader_end_to_end(ray_session, tmp_path):
