@@ -58,6 +58,7 @@ def extract_pages(
     giant_row_bytes: Optional[int] = None,
     config=None,
     readers=None,
+    converters=None,
 ):
     """pages Dataset → extracted Dataset (lazy, streaming).
 
@@ -75,6 +76,8 @@ def extract_pages(
     fn_kwargs = {"config": config} if config is not None else {"handle_invisible_table": handle_invisible_table}
     if readers is not None:  # pluggable reader registry (manager_config analogue)
         fn_kwargs["readers"] = readers
+    if converters is not None:  # pluggable converter registry (ConverterComposition analogue)
+        fn_kwargs["converters"] = converters
 
     if giant_row_bytes is None:
         return pages_ds.map_batches(

@@ -41,12 +41,18 @@ class ExtractKernel:
         patterns: Optional[PatternComposition] = None,
         config: Optional[PipelineConfig] = None,
         readers: Optional[Dict[str, object]] = None,
+        converters: Optional[Dict[str, object]] = None,
     ) -> None:
         # pluggable reader registry (reference manager_config composition,
         # manager_config docs + dedoc_manager.py): map format → callable
         # bytes → UnstructuredDoc; entries override the built-in dispatch.
         # Callables must be module-level (pickled into each pool actor).
         self.readers: Dict[str, object] = dict(readers) if readers else {}
+        # pluggable converter registry (reference ConverterComposition,
+        # converter_composition.py:6-42): sniffed format → callable
+        # bytes → (new_format, new_bytes), applied BEFORE reading — the
+        # hook where a deployment plugs soffice/ddjvu when available.
+        self.converters: Dict[str, object] = dict(converters) if converters else {}
         if config is None:
             config = PipelineConfig(handle_invisible_table=handle_invisible_table)
         self.config = config.validate()
@@ -179,6 +185,8 @@ class ExtractKernel:
 
     def extract_row(self, url: str, data: bytes) -> Dict[str, object]:
         fmt = sniff_format(url, data)
+        if fmt in self.converters:
+            fmt, data = self.converters[fmt](data)
         out: Dict[str, object] = {
             "status": "ok",
             "format": fmt,

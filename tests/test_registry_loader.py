@@ -56,3 +56,27 @@ def test_langchain_loader_end_to_end(ray_session, tmp_path):
     by_url = {d.metadata["url"]: d for d in docs}
     assert all(d.metadata["status"] == "ok" for d in docs)
     assert any("alpha" in d.page_content for d in docs)
+
+
+def _rtf_to_txt_converter(data: bytes):
+    """Converter for the registry test: rtf bytes → plain text bytes."""
+    from dedoc_ray.readers.rtf import read_rtf
+
+    text = "".join(l.line for l in read_rtf(data).lines)
+    return "txt", text.encode()
+
+
+def test_converter_registry():
+    """ConverterComposition analogue: the converter runs BEFORE reading and
+    rewrites (format, bytes) — here an RTF row re-routed through the txt
+    reader (the hook a deployment points at soffice). Kernel-level like the
+    reader-registry tests (module-level callables pickle into pool actors
+    the same way readers do)."""
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+    from dedoc_ray.sources.synth_office import rtf_bytes
+
+    k = ExtractKernel(converters={"rtf": _rtf_to_txt_converter})
+    row = k.extract_row("https://x.test/7.rtf", rtf_bytes(7, "alpha the beta"))
+    assert row["format"] == "txt"
+    assert row["status"] == "ok"
+    assert row["extracted_text"].startswith("Document 7")
