@@ -387,6 +387,52 @@ def q_extract_csv(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def _domain_count_query(sf_dir: str, fmt: str, document_type: str, line_type: str,
+                        out_col: str, use_ml: bool = False):
+    """Shared shape for the domain extractors: count one node line_type."""
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(
+        office_corpus(sf_dir, fmt),
+        config=PipelineConfig(document_type=document_type, use_ml_line_classifier=use_ml),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nodes = batch["nodes"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                out_col: pa.array(
+                    [sum(1 for n in ns if n["line_type"] == line_type) for ns in nodes], "int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_tz(sf_dir: str):
+    """document_type="tz": requirement-section count (regex skeleton)."""
+    return _domain_count_query(sf_dir, "tz", "tz", "section", "n_sections")
+
+
+def q_extract_tz_ml(sf_dir: str):
+    """Trained TzLineClassifier over header variants the regexes miss."""
+    return _domain_count_query(sf_dir, "tz_ml", "tz", "section", "n_sections", use_ml=True)
+
+
+def q_extract_diploma(sf_dir: str):
+    """document_type="diploma": chapter count (regex skeleton)."""
+    return _domain_count_query(sf_dir, "diploma", "diploma", "chapter", "n_chapters")
+
+
+def q_extract_diploma_ml(sf_dir: str):
+    """Trained DiplomaLineClassifier over chapter/named variants."""
+    return _domain_count_query(sf_dir, "diploma_ml", "diploma", "chapter", "n_chapters", use_ml=True)
+
+
 def q_extract_law(sf_dir: str):
     """document_type="law" over a synthetic legal-text corpus: article count
     per url (domain pattern composition, SURVEY.md §2.10)."""
@@ -904,6 +950,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_csv": q_extract_csv,
         "extract_law": q_extract_law,
         "extract_law_ml": q_extract_law_ml,
+        "extract_tz": q_extract_tz,
+        "extract_tz_ml": q_extract_tz_ml,
+        "extract_diploma": q_extract_diploma,
+        "extract_diploma_ml": q_extract_diploma_ml,
         "extract_fintoc": q_extract_fintoc,
         "top_urls": q_top_urls,
         "distinct_urls": q_distinct_urls,
@@ -1151,6 +1201,14 @@ FROM base WHERE cls <= 3
                           f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
         "extract_fintoc": f"SELECT {office_url.format(ext='txt')} AS url, "
                           f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_titles FROM documents",
+        "extract_tz": f"SELECT {office_url.format(ext='txt')} AS url, "
+                      f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_sections FROM documents",
+        "extract_tz_ml": f"SELECT {office_url.format(ext='txt')} AS url, "
+                         f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_sections FROM documents",
+        "extract_diploma": f"SELECT {office_url.format(ext='txt')} AS url, "
+                           f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_chapters FROM documents",
+        "extract_diploma_ml": f"SELECT {office_url.format(ext='txt')} AS url, "
+                              f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_chapters FROM documents",
         "distinct_urls": f"SELECT {_URL_SQL} AS url FROM documents",
     }
     return {

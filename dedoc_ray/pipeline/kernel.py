@@ -86,6 +86,14 @@ class ExtractKernel:
             from dedoc_ray.structure.ml_classifier import LawLineClassifier
 
             self.law_ml = LawLineClassifier()
+        elif config.use_ml_line_classifier and config.document_type.startswith("tz"):
+            from dedoc_ray.structure.ml_classifier import TzLineClassifier
+
+            self.law_ml = TzLineClassifier()
+        elif config.use_ml_line_classifier and config.document_type == "diploma":
+            from dedoc_ray.structure.ml_classifier import DiplomaLineClassifier
+
+            self.law_ml = DiplomaLineClassifier()
 
     # --- per-document ------------------------------------------------------
 

@@ -372,6 +372,60 @@ def note_bytes(doc_id: int, text: str) -> bytes:
 _GENERATORS["note"] = note_bytes
 
 
+def tz_bytes(doc_id: int, text: str) -> bytes:
+    """Technical-specification text: root line + one numbered requirement
+    section per chunk (regex-skeleton path; 'text:' bodies never match)."""
+    lines = [f"Technical specification {doc_id}"]
+    for i, c in enumerate(chunks_of(text), 1):
+        lines.append(f"{i}. requirement")
+        lines.append(f"text: {c}")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+_TZ_SEC_FORMS = ["Req. {i}:", "ТРЕБОВАНИЯ {i}", "Requirements {i}", "Раздел требований {i}",
+                 "Section {i} requirements"]
+
+
+def tz_ml_bytes(doc_id: int, text: str) -> bytes:
+    """TZ text whose section headers rotate through variants the strict
+    regexes do NOT match — the trained TzLineClassifier recovers them."""
+    lines = ["ТЕХНИЧЕСКОЕ ЗАДАНИЕ"]
+    for i, c in enumerate(chunks_of(text), 1):
+        lines.append(_TZ_SEC_FORMS[(doc_id + i) % len(_TZ_SEC_FORMS)].format(i=i))
+        lines.append(f"the provision body text reads {c} as specified in this clause")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def diploma_bytes(doc_id: int, text: str) -> bytes:
+    """Thesis-like text: Introduction + one chapter per chunk + Conclusion
+    (regex-skeleton path)."""
+    lines = ["Introduction"]
+    for i, c in enumerate(chunks_of(text), 1):
+        lines.append(f"Chapter {i}")
+        lines.append(f"text: {c}")
+    lines.append("Conclusion")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+_DIPLOMA_CHAP_FORMS = ["Гл. {i}", "CHAPTER {i}", "Chap. {i}.", "ГЛАВА {i}."]
+
+
+def diploma_ml_bytes(doc_id: int, text: str) -> bytes:
+    """Diploma text with chapter/named-part variants beyond the regexes."""
+    lines = ["ВВЕДЕНИЕ"]
+    for i, c in enumerate(chunks_of(text), 1):
+        lines.append(_DIPLOMA_CHAP_FORMS[(doc_id + i) % len(_DIPLOMA_CHAP_FORMS)].format(i=i))
+        lines.append(f"the narrative body of this chapter discusses {c} in further detail")
+    lines.append("ЗАКЛЮЧЕНИЕ.")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+_GENERATORS["tz"] = tz_bytes
+_GENERATORS["tz_ml"] = tz_ml_bytes
+_GENERATORS["diploma"] = diploma_bytes
+_GENERATORS["diploma_ml"] = diploma_ml_bytes
+
+
 def pdf_table_bytes(doc_id: int, text: str) -> bytes:
     """Text-layer PDF with a title line, a 3-column grid (one row per
     ' the '-chunk, cell text '{doc_id}r{i}c{j}') and a footer line — the
@@ -394,7 +448,8 @@ def pdf_table_bytes(doc_id: int, text: str) -> bytes:
 _GENERATORS["pdf_table"] = pdf_table_bytes
 
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt",
-                 "article": "tei", "note": "note.pickle", "pdf_table": "pdf"}
+                 "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
+                 "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:

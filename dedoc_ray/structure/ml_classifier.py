@@ -104,3 +104,71 @@ class FintocTitleClassifier:
             else:
                 ln.metadata.hierarchy_level = HierarchyLevel.create_raw_text()
         return lines
+
+
+# ---------------------------------------------------- tz / diploma layers
+
+TZ_CLASSES = ["raw_text", "root", "section", "item"]
+_TZ_LEVELS = {
+    "root": (0, 0, False),
+    "section": (1, 1, False),
+    "item": (2, 1, False),
+    "raw_text": (None, None, True),
+}
+DIPLOMA_CLASSES = ["raw_text", "named_item", "chapter", "section"]
+_DIPLOMA_LEVELS = {
+    "named_item": (1, 1, False),
+    "chapter": (1, 2, False),
+    "section": (2, 1, False),
+    "raw_text": (None, None, True),
+}
+
+_TZ_W = [
+    [0.00000, -1.56407, 0.00000, 0.00000, 0.00000, -1.44396, 0.00000, 0.00000, -7.40161, 0.00000, 0.00000, -0.84387, -2.73013, -0.38941, -2.39889, 2.29421, 2.78068, -0.16194, 0.00000, -0.43109, 2.05166, -1.47691, 2.64743, -3.49846],
+    [0.00000, -2.41507, 0.00000, 0.00000, 0.00000, -2.44530, 0.00000, 0.00000, -0.95650, 0.00000, 0.00000, 0.28127, 2.69748, -1.51047, 1.36226, -0.98521, -0.63249, -5.37111, 0.00000, -5.73088, -4.31949, -2.24238, -0.52178, 5.07348],
+    [0.00000, 4.51852, 0.00000, 0.00000, 0.00000, 4.35390, 0.00000, 0.00000, -1.49136, 0.00000, 0.00000, 0.96004, 1.10980, 1.74931, 1.85402, -1.58543, -1.35300, 5.63697, 0.00000, 6.46891, 1.89722, 4.18868, -1.48400, -0.06390],
+    [0.00000, -0.53937, 0.00000, 0.00000, 0.00000, -0.46464, 0.00000, 0.00000, 9.84947, 0.00000, 0.00000, -0.39745, -1.07715, 0.15057, -0.81739, 0.27643, -0.79518, -0.10392, 0.00000, -0.30694, 0.37062, -0.46939, -0.64165, -1.51113],
+]
+_TZ_B = [2.67601, -0.25544, -1.08441, -1.33615]
+_DIPLOMA_W = [
+    [0.00000, 0.00000, -0.38521, 0.00000, -0.07780, -6.86854, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000, -0.89337, -3.68396, -0.67415, -1.39209, 2.43212, 2.53192, 0.00000, -0.14192, -0.12746, 1.88664, -0.38521, 3.26105, -5.81913],
+    [0.00000, 0.00000, -1.35221, 0.00000, 0.39902, -1.05639, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000, 1.21342, 10.93179, -3.30915, 2.10960, -4.95088, -0.73451, 0.00000, -2.76306, -2.93573, 3.17739, -1.35221, -3.15855, -1.27910],
+    [0.00000, 0.00000, 2.01332, 0.00000, -0.27395, -1.70437, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000, 0.08344, -5.83140, 3.39413, -0.66999, 1.87822, -0.74782, 0.00000, 3.04275, 3.18508, -4.83391, 2.01332, 0.92378, 9.13971],
+    [0.00000, 0.00000, -0.27590, 0.00000, -0.04727, 9.62931, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000, -0.40350, -1.41643, 0.58918, -0.04753, 0.64054, -1.04958, 0.00000, -0.13777, -0.12189, -0.23012, -0.27590, -1.02628, -2.04148],
+]
+_DIPLOMA_B = [3.57195, -3.57579, 0.46041, -0.45656]
+
+
+class DomainLineClassifier:
+    """Generic trained line-type layer — tz/diploma instantiations of the
+    same multinomial machinery as LawLineClassifier (reference pickled
+    per-domain classifiers, abstract_pickled_classifier.py:16-77).
+    Held-out accuracy 1.00 on the format-varied synthetic corpora
+    (scripts/train_line_types.py)."""
+
+    def __init__(self, classes, levels, W, b) -> None:
+        self.classes = classes
+        self.levels = levels
+        self.W = np.array(W)
+        self.b = np.array(b)
+
+    def predict(self, texts: List[str]) -> List[str]:
+        if not texts:
+            return []
+        scores = line_features(texts) @ self.W.T + self.b
+        return [self.classes[i] for i in scores.argmax(axis=1)]
+
+    def apply(self, lines: List[LineWithMeta]) -> List[LineWithMeta]:
+        preds = self.predict([ln.line for ln in lines])
+        for ln, line_type in zip(lines, preds):
+            l1, l2, multiline = self.levels[line_type]
+            ln.metadata.hierarchy_level = HierarchyLevel(l1, l2, multiline, line_type)
+        return lines
+
+
+def TzLineClassifier() -> DomainLineClassifier:
+    return DomainLineClassifier(TZ_CLASSES, _TZ_LEVELS, _TZ_W, _TZ_B)
+
+
+def DiplomaLineClassifier() -> DomainLineClassifier:
+    return DomainLineClassifier(DIPLOMA_CLASSES, _DIPLOMA_LEVELS, _DIPLOMA_W, _DIPLOMA_B)

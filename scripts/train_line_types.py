@@ -92,6 +92,56 @@ def fintoc_doc(rng) -> tuple:
     return lines, labels
 
 
+TZ_CLASSES = ["raw_text", "root", "section", "item"]
+
+
+def tz_doc(rng) -> tuple:
+    """Technical-specification doc → (lines, labels). Section headers rotate
+    through abbreviation/case variants the tz regex skeleton does NOT match
+    ("Req. N:", "ТРЕБОВАНИЯ...") — the trained layer's robustness target."""
+    lines, labels = [], []
+    root_forms = ["Техническое задание", "ТЕХНИЧЕСКОЕ ЗАДАНИЕ", "Technical Specification",
+                  "TECHNICAL SPECIFICATION", "ТЗ на разработку"]
+    sec_forms = ["Требования {n}", "ТРЕБОВАНИЯ {n}", "Requirements {n}", "Req. {n}:",
+                 "Раздел требований {n}", "Section {n} requirements", "{n}. Requirements"]
+    lines.append(root_forms[rng.randint(len(root_forms))])
+    labels.append("root")
+    for s in range(1, rng.randint(3, 6)):
+        lines.append(sec_forms[rng.randint(len(sec_forms))].format(n=s))
+        labels.append("section")
+        for i in range(1, rng.randint(2, 5)):
+            lines.append(f"{i}) {_body(rng, rng.randint(4, 9))}")
+            labels.append("item")
+        lines.append(_body(rng))
+        labels.append("raw_text")
+    return lines, labels
+
+
+DIPLOMA_CLASSES = ["raw_text", "named_item", "chapter", "section"]
+
+
+def diploma_doc(rng) -> tuple:
+    """Diploma/thesis doc → (lines, labels) with named-part and chapter
+    variants beyond the strict regexes ("ВВЕДЕНИЕ.", "Гл. 2", "Chap. 3")."""
+    lines, labels = [], []
+    named = ["Введение", "ВВЕДЕНИЕ", "Introduction", "Заключение", "ЗАКЛЮЧЕНИЕ.",
+             "Conclusion", "Список литературы", "References", "Приложение А", "Appendix B", "Abstract"]
+    chap_forms = ["Глава {n}", "Гл. {n}", "ГЛАВА {n}.", "Chapter {n}", "Chap. {n}.", "CHAPTER {n}"]
+    lines.append(named[rng.randint(3)])
+    labels.append("named_item")
+    for c in range(1, rng.randint(2, 4)):
+        lines.append(_maybe_title(rng, chap_forms[rng.randint(len(chap_forms))].format(n=c)))
+        labels.append("chapter")
+        for s in range(1, rng.randint(2, 4)):
+            lines.append(f"{c}.{s} {_body(rng, rng.randint(3, 6))}")
+            labels.append("section")
+            lines.append(_body(rng))
+            labels.append("raw_text")
+    lines.append(named[3 + rng.randint(len(named) - 3)])
+    labels.append("named_item")
+    return lines, labels
+
+
 def _train_softmax(X, y, n_classes, epochs=12000, lr=2.0):
     n, d = X.shape
     W = np.zeros((n_classes, d))
@@ -142,8 +192,25 @@ def main() -> None:
         print("]")
         print(f"{name}_B = [" + ", ".join(f"{v:.5f}" for v in b) + "]")
 
+    for name, gen, classes, n_docs in (("_TZ", tz_doc, TZ_CLASSES, 80),
+                                       ("_DIPLOMA", diploma_doc, DIPLOMA_CLASSES, 80)):
+        dlines, dlabels = [], []
+        for _ in range(n_docs):
+            ls, lb = gen(rng)
+            dlines.append(ls)
+            dlabels.append(lb)
+        DX = np.vstack([line_features(ls) for ls in dlines])
+        dy = np.array([classes.index(t) for lb in dlabels for t in lb])
+        dn = int(0.8 * len(dy))
+        DW, Db = _train_softmax(DX[:dn], dy[:dn], len(classes))
+        dacc = ((DX[dn:] @ DW.T + Db).argmax(axis=1) == dy[dn:]).mean()
+        print(f"{name[1:].lower()} heldout acc: {dacc:.4f}  ({len(dy)} lines)")
+        globals()[f"{name}_RESULT"] = (DW, Db)
+
     dump("_LAW", W, b)
     dump("_FINTOC", FW, Fb)
+    dump("_TZ", globals()["_TZ_RESULT"][0], globals()["_TZ_RESULT"][1])
+    dump("_DIPLOMA", globals()["_DIPLOMA_RESULT"][0], globals()["_DIPLOMA_RESULT"][1])
 
 
 if __name__ == "__main__":

@@ -104,3 +104,20 @@ def test_windowed_features_shape_and_context():
     # percentile columns are last two, in [0, 1], longest line ranked 1.0
     assert F[2, -2] == 1.0
     assert (F[:, -2:] >= 0).all() and (F[:, -2:] <= 1).all()
+
+
+def test_tz_diploma_classifiers_on_variants():
+    from dedoc_ray.structure.ml_classifier import DiplomaLineClassifier, TzLineClassifier
+
+    tz = TzLineClassifier()
+    assert tz.predict([
+        "ТЕХНИЧЕСКОЕ ЗАДАНИЕ", "Req. 2:", "Requirements 5", "Раздел требований 1",
+        "1) provide the data", "the provision applies to all parties as described",
+    ]) == ["root", "section", "section", "section", "item", "raw_text"]
+
+    dp = DiplomaLineClassifier()
+    assert dp.predict([
+        "ВВЕДЕНИЕ", "Гл. 2", "CHAPTER 3", "2.1 methods described here",
+        "the narrative body of this chapter discusses results in detail",
+        "ЗАКЛЮЧЕНИЕ.",
+    ]) == ["named_item", "chapter", "chapter", "section", "raw_text", "named_item"]
