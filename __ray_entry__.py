@@ -721,6 +721,15 @@ def q_url_normalize(sf_dir: str):
     return url_normalize(sf_dir)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: benchmark-slice n-gram set built
+    distributed and broadcast once (bounded small side), every corpus doc
+    scored map-only for overlap — the GPT-3/Dolma decontamination shape."""
+    from dedoc_ray.ops.webclean import decontaminate
+
+    return decontaminate(sf_dir)
+
+
 def q_simhash(sf_dir: str):
     from dedoc_ray.ops.dedup import simhash_fingerprints
 
@@ -974,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": q_dedup_keep,
         "stratified_sample": q_stratified_sample,
         "url_normalize": q_url_normalize,
+        "decontaminate": q_decontaminate,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1112,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         HASH_SPLIT_SQL,
         PARAGRAPH_DEDUP_SQL,
         PII_REDACT_SQL,
+        DECONTAMINATE_SQL,
         URL_NORMALIZE_SQL,
         URL_STATS_SQL,
         boilerplate_strip_sql,
@@ -1238,6 +1249,7 @@ FROM base WHERE cls <= 3
         "dedup_keep": dedup_keep_sql(),
         "stratified_sample": stratified_sample_sql(),
         "url_normalize": URL_NORMALIZE_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
         "simhash": simhash_sql(),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),

@@ -472,3 +472,131 @@ SELECT CASE WHEN doc_id % 10 <= 6 THEN 'html'
 FROM documents
 GROUP BY 1
 """
+
+
+# ------------------------------------------------- benchmark decontamination
+
+DECON_MOD = 97
+DECON_REM = 3
+
+
+def _bench_mask(ids: np.ndarray) -> np.ndarray:
+    return ids % DECON_MOD == DECON_REM
+
+
+def benchmark_gram_hashes(sf_dir: str, n: int = 3) -> np.ndarray:
+    """Distinct shingle hashes of the benchmark slice (doc_id % 97 == 3).
+
+    The benchmark side of decontamination is SMALL AND FIXED by nature (an
+    eval suite, not the corpus): its n-gram set is bounded regardless of
+    corpus scale, so collecting the per-batch distinct partials and
+    broadcasting the union is the correct 100 TB shape — the corpus side
+    then streams map-only with zero shuffle (the GPT-3 §C / Dolma
+    decontamination pattern)."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.dedup import shingle_hashes
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.nonzero(_bench_mask(ids))[0]
+        texts = batch["text"].take(pa.array(keep)).to_pylist()
+        gs = [shingle_hashes(t, n) for t in texts]
+        flat = np.unique(np.concatenate(gs)) if gs else np.empty(0, np.uint64)
+        return pa.Table.from_pydict({"g": pa.array(flat.view(np.int64), "int64")})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", batch_size=2048).to_pandas()
+    return np.unique(parts["g"].to_numpy().view(np.uint64))
+
+
+class DecontaminateKernel:
+    """Per-doc benchmark n-gram overlap, vectorized against the broadcast
+    sorted benchmark-hash array (searchsorted membership — no Python set).
+
+    Emits integer columns only so the DuckDB oracle (string n-grams, same
+    window semantics as ``jaccard_pairs_sql``) verifies counts exactly;
+    hash values never leave the stage."""
+
+    def __init__(self, bench_ref, n: int = 3) -> None:
+        import ray
+
+        self.bench = ray.get(bench_ref)  # sorted uint64
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dedoc_ray.ops.dedup import shingle_hashes
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        bench = self.bench
+        n_grams, n_overlap = [], []
+        for t in texts:
+            g = shingle_hashes(t, self.n)
+            n_grams.append(len(g))
+            if len(g) and len(bench):
+                idx = np.searchsorted(bench, g)
+                idx_c = np.minimum(idx, len(bench) - 1)
+                n_overlap.append(int((bench[idx_c] == g).sum()))
+            else:
+                n_overlap.append(0)
+        no = np.asarray(n_overlap, np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams, "int64"),
+                "n_overlap": pa.array(no, "int64"),
+                "contaminated": pa.array((no > 0).astype(np.int64), "int64"),
+                "is_benchmark": pa.array(_bench_mask(ids).astype(np.int64), "int64"),
+            }
+        )
+
+
+def decontaminate(sf_dir: str, n: int = 3):
+    """Benchmark decontamination: flag corpus docs sharing any n-gram with
+    the held-out benchmark slice.
+
+    Two stages, no shuffle: (1) benchmark n-gram set built distributed and
+    union-collected (bounded — see ``benchmark_gram_hashes``), ``ray.put``
+    ONCE; (2) every doc scored by an actor pool that reads the broadcast
+    array in ``__init__`` — nothing re-ships per batch."""
+    import ray
+    import ray.data as rd
+
+    bench_ref = ray.put(benchmark_gram_hashes(sf_dir, n))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        DecontaminateKernel,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+
+# Same shingling as jaccard_pairs_sql: 3-word windows over [a-z0-9]+ tokens
+# of the lowercased text, whole-text window when fewer than 3 tokens.
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN [] ELSE list_distinct(
+           [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(length(t) - 2, 1) + 1)]
+         ) END AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % {DECON_MOD} = {DECON_REM}
+),
+per AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+ov AS (SELECT per.doc_id, count(*) AS n_overlap FROM per JOIN bench USING (g) GROUP BY 1)
+SELECT s.doc_id,
+       CAST(length(s.gs) AS BIGINT) AS n_grams,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN coalesce(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+       CAST(CASE WHEN s.doc_id % {DECON_MOD} = {DECON_REM} THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark
+FROM sh s LEFT JOIN ov ON s.doc_id = ov.doc_id
+"""

@@ -187,3 +187,39 @@ def test_dedup_keep_survivors(ray_session):
     losers = set(clusters[clusters["doc_id"] != clusters["cluster_id"]]["doc_id"])
     assert (keep.loc[sorted(losers)] == 0).all()
     assert keep.drop(index=sorted(losers)).eq(1).all()
+
+
+# ---------------------------------------------------- decontamination
+
+
+def test_decontaminate_flags_benchmark_and_overlaps(ray_session):
+    import numpy as np
+
+    from dedoc_ray.ops.webclean import DECON_MOD, DECON_REM, decontaminate
+
+    df = decontaminate(SF).to_pandas().set_index("doc_id").sort_index()
+    # every doc scored exactly once
+    assert len(df) == 500
+    bench = df[df.index % DECON_MOD == DECON_REM]
+    assert (bench["is_benchmark"] == 1).all() and len(bench) > 0
+    # benchmark docs trivially overlap themselves entirely
+    nz = bench[bench["n_grams"] > 0]
+    assert (nz["n_overlap"] == nz["n_grams"]).all()
+    assert (nz["contaminated"] == 1).all()
+    # contamination flag consistent with overlap count everywhere
+    assert ((df["n_overlap"] > 0).astype(int) == df["contaminated"]).all()
+    # non-benchmark docs are not all contaminated (the filter discriminates)
+    non = df[df["is_benchmark"] == 0]
+    assert (non["contaminated"] == 0).any()
+
+
+def test_benchmark_gram_set_bounded_and_sorted(ray_session):
+    import numpy as np
+
+    from dedoc_ray.ops.webclean import benchmark_gram_hashes
+
+    g = benchmark_gram_hashes(SF)
+    assert g.dtype == np.uint64
+    assert (np.diff(g.view(np.int64).astype(object)) != 0).all() or len(g) < 2
+    assert (np.sort(g) == g).all()
+    assert len(g) > 0
