@@ -646,6 +646,14 @@ def q_gopher_quality(sf_dir: str):
     return gopher_quality(sf_dir)
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition rules (top n-gram / duplicate n-gram char
+    fractions), vectorized rolling-hash windows; exact integer oracle."""
+    from dedoc_ray.ops.textstats import gopher_repetition
+
+    return gopher_repetition(sf_dir)
+
+
 def q_winnow_stats(sf_dir: str):
     """Winnowing fingerprints per doc (count; fingerprint values are
     rows-only — rolling-hash selection isn't SQL-expressible)."""
@@ -976,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "winnow_stats": q_winnow_stats,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1114,7 +1123,12 @@ def oracle_sql() -> dict[str, str]:
         events_sliding_sql,
         range_join_sql,
     )
-    from dedoc_ray.ops.textstats import DOC_QUALITY_SQL, DOC_STATS_SQL, GOPHER_QUALITY_SQL
+    from dedoc_ray.ops.textstats import (
+        DOC_QUALITY_SQL,
+        DOC_STATS_SQL,
+        GOPHER_QUALITY_SQL,
+        GOPHER_REPETITION_SQL,
+    )
     from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
@@ -1243,6 +1257,7 @@ FROM base WHERE cls <= 3
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "gopher_quality": GOPHER_QUALITY_SQL,
+        "gopher_repetition": GOPHER_REPETITION_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "jaccard_pairs": jaccard_pairs_sql(),
         "dedup_clusters": dedup_clusters_sql(),

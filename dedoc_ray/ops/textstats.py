@@ -218,3 +218,134 @@ SELECT doc_id,
              THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM r
 """
+
+
+class GopherRepetitionKernel:
+    """Gopher repetition-family rules (Rae et al. 2021 §A1.1), pinned to
+    integer definitions so DuckDB replays them exactly:
+
+      top{2,3,4}_x1000: chars of the most frequent word n-gram (count ×
+        chars of the joined gram) as a fraction ×1000 of the doc's joined
+        word chars; tie-break = the max-count gram occurring FIRST.
+      dup5_x1000: chars of repeated occurrences (count-1 per unique
+        duplicated 5-gram) as a fraction ×1000.
+      passes: top2<=200, top3<=180, top4<=160, dup5<=150 (Gopher's 0.20 /
+        0.18 / 0.16 / 0.15 thresholds).
+
+    Vectorized per doc: one siphash over the word array, rolling-polynomial
+    window hashes (shared with ops.dedup), np.unique for mode/counts —
+    gram strings are never re-materialized, and hash values never leave
+    the stage (only counts are compared; same argument as jaccard_pairs).
+    """
+
+    def __init__(self) -> None:
+        self.ws_re = WS_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        from dedoc_ray.ops.dedup import _shingles_of_hashes
+
+        texts = batch["text"].to_pylist()
+        cols = {k: [] for k in ("top2_x1000", "top3_x1000", "top4_x1000", "dup5_x1000", "passes")}
+        for text in texts:
+            words = [w for w in self.ws_re.split(text) if w]
+            L = len(words)
+            lens = np.fromiter((len(w) for w in words), np.int64, L)
+            cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+            norm = int(cum[-1]) + max(L - 1, 0)
+            h = (
+                pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+                if L
+                else np.empty(0, np.uint64)
+            )
+            vals = {"dup5_x1000": 0}
+            for n in (2, 3, 4, 5):
+                key = f"top{n}_x1000"
+                if L < n:
+                    if n < 5:
+                        vals[key] = 0
+                    continue
+                gh = _shingles_of_hashes(h, n)
+                chars = cum[n:] - cum[:-n] + (n - 1)
+                uniq, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
+                if n < 5:
+                    cmax = int(cnt.max())
+                    pos = int(np.nonzero(cnt[inv] == cmax)[0][0])
+                    vals[key] = cmax * int(chars[pos]) * 1000 // norm
+                else:
+                    first_pos = np.full(len(uniq), L, np.int64)
+                    np.minimum.at(first_pos, inv, np.arange(len(gh)))
+                    dmask = cnt >= 2
+                    vals["dup5_x1000"] = (
+                        int(((cnt[dmask] - 1) * chars[first_pos[dmask]]).sum()) * 1000 // norm
+                    )
+            p = int(
+                vals["top2_x1000"] <= 200
+                and vals["top3_x1000"] <= 180
+                and vals["top4_x1000"] <= 160
+                and vals["dup5_x1000"] <= 150
+            )
+            for k in ("top2_x1000", "top3_x1000", "top4_x1000", "dup5_x1000"):
+                cols[k].append(vals[k])
+            cols["passes"].append(p)
+        out = {"doc_id": batch["doc_id"]}
+        out.update({k: pa.array(v, "int64") for k, v in cols.items()})
+        return pa.Table.from_pydict(out)
+
+
+def gopher_repetition(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(GopherRepetitionKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4))
+
+
+def _rep_cte(n: int) -> str:
+    """Per-n CTE trio: windows with positions, per-gram counts, ranked top."""
+    return f"""
+g{n} AS (
+  SELECT doc_id, norm,
+         unnest([{{'i': i, 'g': array_to_string(t[i:i+{n - 1}], ' ')}}
+                 for i in range(1, greatest(L - {n} + 1, 0) + 1)]) AS u
+  FROM base WHERE L >= {n}
+),
+c{n} AS (
+  SELECT doc_id, min(norm) AS norm, u.g AS g, count(*) AS c, min(u.i) AS fp,
+         length(u.g) AS gc
+  FROM g{n} GROUP BY doc_id, u.g
+),
+t{n} AS (
+  SELECT doc_id, (c * gc * 1000) // norm AS v,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fp ASC) AS rn
+  FROM c{n}
+)"""
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS L, length(array_to_string(t, ' ')) AS norm FROM w
+),{_rep_cte(2)},{_rep_cte(3)},{_rep_cte(4)},{_rep_cte(5)},
+d5 AS (
+  SELECT doc_id, (sum((c - 1) * gc) * 1000) // min(norm) AS v
+  FROM c5 WHERE c >= 2 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(t2s.v, 0) AS BIGINT) AS top2_x1000,
+       CAST(coalesce(t3s.v, 0) AS BIGINT) AS top3_x1000,
+       CAST(coalesce(t4s.v, 0) AS BIGINT) AS top4_x1000,
+       CAST(coalesce(d5.v, 0) AS BIGINT) AS dup5_x1000,
+       CAST(CASE WHEN coalesce(t2s.v, 0) <= 200 AND coalesce(t3s.v, 0) <= 180
+                  AND coalesce(t4s.v, 0) <= 160 AND coalesce(d5.v, 0) <= 150
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM base b
+LEFT JOIN (SELECT doc_id, v FROM t2 WHERE rn = 1) t2s ON b.doc_id = t2s.doc_id
+LEFT JOIN (SELECT doc_id, v FROM t3 WHERE rn = 1) t3s ON b.doc_id = t3s.doc_id
+LEFT JOIN (SELECT doc_id, v FROM t4 WHERE rn = 1) t4s ON b.doc_id = t4s.doc_id
+LEFT JOIN d5 ON b.doc_id = d5.doc_id
+"""

@@ -233,3 +233,37 @@ def test_extract_row_never_raises(payload, ext):
 from dedoc_ray.pipeline.kernel import ExtractKernel as _EK  # noqa: E402
 
 _FUZZ_KERNEL = _EK()
+
+
+def test_gopher_repetition_kernel_matches_sql_on_adversarial_texts():
+    """Kernel vs the DuckDB oracle on texts that exercise every branch:
+    heavy top-gram repetition, duplicated 5-grams, short docs, empties."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from dedoc_ray.ops.textstats import GOPHER_REPETITION_SQL, GopherRepetitionKernel
+
+    texts = [
+        "spam spam spam spam spam spam",                     # one 2-gram dominates
+        "a b c d e a b c d e a b c d e",                     # duplicated 5-grams
+        "one two three four",                                # L < 5: dup5 = 0
+        "w",                                                 # single word
+        "",                                                  # empty
+        " ".join(f"word{i}" for i in range(40)),             # all unique, long
+        "x y x y x y z q r s t u v w a b c d e f",           # mixed
+    ]
+    batch = pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), "int64"), "text": pa.array(texts, "string")}
+    )
+    got = GopherRepetitionKernel()(batch).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", batch.to_pandas())
+    exp = con.execute(GOPHER_REPETITION_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+    # the adversarial texts must actually trip the rules
+    assert got.loc[0, "passes"] == 0 and got.loc[0, "top2_x1000"] > 200
+    assert got.loc[1, "dup5_x1000"] > 150 and got.loc[1, "passes"] == 0
+    assert got.loc[2, "dup5_x1000"] == 0
+    assert got.loc[5, "passes"] == 1
