@@ -574,6 +574,25 @@ def q_extract_archive(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_pdf_attachments(sf_dir: str):
+    """PDF embedded-file manifest per url (root /EmbeddedFiles name tree +
+    page-level /FileAttachment annots — reference PDFAttachmentsExtractor
+    routes, FlateDecode-decoded sizes)."""
+    ds = _office_extract(sf_dir, "pdf_attach")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        atts = batch["attachments"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_attachments": pa.array([len(a) for a in atts], "int64"),
+                "total_size": pa.array([sum(x["size"] for x in a) for a in atts], "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction pass (emails/phones/IPv4 → typed placeholders)."""
     from dedoc_ray.ops.webclean import pii_redact
@@ -949,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "docx_attachments": q_docx_attachments,
+        "pdf_attachments": q_pdf_attachments,
         "docx_footnotes": q_docx_footnotes,
         "extract_odt": q_extract_odt,
         "extract_rtf": q_extract_rtf,
@@ -1156,6 +1176,11 @@ def oracle_sql() -> dict[str, str]:
         "docx_footnotes": f"SELECT {office_url.format(ext='docx')} AS url, "
                           f"CAST(1 AS BIGINT) AS n_footnotes, "
                           f"'note for doc ' || doc_id AS note_text FROM documents",
+        "pdf_attachments": f"SELECT {office_url.format(ext='pdf')} AS url, "
+                           f"CAST(2 AS BIGINT) AS n_attachments, "
+                           f"CAST(15 + length(CAST(doc_id AS VARCHAR)) "
+                           f"+ 3 * (6 + length(CAST(doc_id AS VARCHAR))) AS BIGINT) AS total_size "
+                           f"FROM documents",
         "docx_attachments": f"SELECT {office_url.format(ext='docx')} AS url, "
                             f"CAST(1 AS BIGINT) AS n_attachments, "
                             f"CAST(doc_id % 7 + 3 AS BIGINT) AS total_size FROM documents",

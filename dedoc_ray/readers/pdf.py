@@ -214,7 +214,16 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool =
         page_id += 1
     if not saw_text:
         raise ValueError("PDF has no text layer (OCR path not available)")
-    return UnstructuredDoc(lines=lines, warnings=[f"pdf pages: {page_id}"])
+    # embedded files / FileAttachment annots → row-carried attachment
+    # tuples (reference PDFAttachmentsExtractor; kernel filters by the
+    # with_attachments knob like every other reader)
+    from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
+
+    return UnstructuredDoc(
+        lines=lines,
+        warnings=[f"pdf pages: {page_id}"],
+        attachments=extract_pdf_attachments(data),
+    )
 
 
 def merge_partial_docs(first: UnstructuredDoc, second: UnstructuredDoc) -> UnstructuredDoc:

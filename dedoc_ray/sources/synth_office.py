@@ -471,3 +471,35 @@ def office_corpus(sf_dir: str, fmt: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(lambda b: office_pages_batch(b, fmt), batch_format="pyarrow")
+
+
+def pdf_attach_bytes(doc_id: int, text: str) -> bytes:
+    """Text-layer PDF carrying TWO embedded files through the reference's
+    two routes: a root /Names → /EmbeddedFiles entry (raw stream) and a
+    page-level /FileAttachment annotation (FlateDecode stream). Payload
+    sizes are pure functions of doc_id so the manifest oracle is SQL:
+    'report for doc {id}' and 3x'note {id};'."""
+    import zlib as _z
+
+    content = f"BT /F1 12 Tf 72 760 Td (Document {doc_id}) Tj ET".encode("latin-1")
+    p1 = f"report for doc {doc_id}".encode()
+    p2_raw = f"note {doc_id};".encode() * 3
+    p2 = _z.compress(p2_raw)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Names << /EmbeddedFiles << /Names "
+        + f"[(report-{doc_id}.txt) 5 0 R] >> >> /Pages 2 0 R >> endobj".encode(),
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Annots [6 0 R] /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n" + content + b"\nendstream endobj",
+        f"5 0 obj << /Type /Filespec /F (report-{doc_id}.txt) /UF (report-{doc_id}.txt) "
+        f"/EF << /F 7 0 R >> >> endobj".encode(),
+        b"6 0 obj << /Type /Annot /Subtype /FileAttachment /Rect [10 10 20 20] /FS 8 0 R >> endobj",
+        b"7 0 obj << /Length " + str(len(p1)).encode() + b" >> stream\n" + p1 + b"\nendstream endobj",
+        f"8 0 obj << /Type /Filespec /UF (note-{doc_id}.bin) /EF << /F 9 0 R >> >> endobj".encode(),
+        b"9 0 obj << /Length " + str(len(p2)).encode() + b" /Filter /FlateDecode >> stream\n" + p2 + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+_GENERATORS["pdf_attach"] = pdf_attach_bytes
+_EXT_OVERRIDE["pdf_attach"] = "pdf"

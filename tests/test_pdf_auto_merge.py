@@ -72,3 +72,56 @@ def test_spacing_annotations_from_baselines():
     assert len(spac) == 5
     # uniform 14pt baselines → every gap (and the first line's median) is 14
     assert {a.value for a in spac} == {"14"}
+
+
+# ------------------------------------------------ pdf attachments
+
+
+def _pdf_with(objs: list) -> bytes:
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def test_pdf_attachments_two_routes_and_flate():
+    from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
+    from dedoc_ray.sources.synth_office import pdf_attach_bytes
+
+    atts = extract_pdf_attachments(pdf_attach_bytes(7, "a the b"))
+    assert [(a[0], a[1]) for a in atts] == [("report-7.txt", 16), ("note-7.bin", 21)]
+    assert atts[0][2] == b"report for doc 7"
+    assert atts[1][2] == b"note 7;" * 3
+
+
+def test_pdf_attachments_dedupes_shared_filespec():
+    from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
+
+    data = _pdf_with(
+        [
+            b"1 0 obj << /Names << /EmbeddedFiles << /Names [(f.txt) 5 0 R] >> >> >> endobj",
+            b"6 0 obj << /Subtype /FileAttachment /FS 5 0 R >> endobj",
+            b"5 0 obj << /Type /Filespec /UF (f.txt) /EF << /F 7 0 R >> >> endobj",
+            b"7 0 obj << /Length 2 >> stream\nhi\nendstream endobj",
+        ]
+    )
+    atts = extract_pdf_attachments(data)
+    assert [(a[0], a[2]) for a in atts] == [("f.txt", b"hi")]
+
+
+def test_pdf_attachments_corrupt_flate_fails_closed():
+    from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
+
+    data = _pdf_with(
+        [
+            b"5 0 obj << /Type /Filespec /UF (x\\(1\\).bin) /EF << /F 7 0 R >> >> endobj",
+            b"6 0 obj << /Subtype /FileAttachment /FS 5 0 R >> endobj",
+            b"7 0 obj << /Length 4 /Filter /FlateDecode >> stream\nnope\nendstream endobj",
+        ]
+    )
+    atts = extract_pdf_attachments(data)
+    assert atts == [("x(1).bin", 0, b"")]
+
+
+def test_pdf_attachments_none_on_plain_pdf():
+    from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
+    from dedoc_ray.sources.synth_office import pdf_table_bytes
+
+    assert extract_pdf_attachments(pdf_table_bytes(1, "a the b")) == []
