@@ -149,6 +149,22 @@ def q_extract_rtf(sf_dir: str):
     return _office_extract(sf_dir, "rtf").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_pdf_paragraphs(sf_dir: str):
+    """Trained paragraph-continuation merge over text-layer geometry
+    (ScanParagraphClassifier analogue): wrapped visual lines rejoin into
+    one line per paragraph, byte-exact oracle."""
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(
+        office_corpus(sf_dir, "pdf_para"),
+        concurrency=None,
+        config=PipelineConfig(need_paragraph_analysis=True),
+    )
+    return ds.select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -967,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docx": q_extract_docx,
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
+        "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "docx_attachments": q_docx_attachments,
         "pdf_attachments": q_pdf_attachments,
         "docx_footnotes": q_docx_footnotes,
@@ -1173,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
         "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                               f"{body} AS extracted_text FROM documents",
+        "extract_pdf_paragraphs": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                                  f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "docx_footnotes": f"SELECT {office_url.format(ext='docx')} AS url, "
                           f"CAST(1 AS BIGINT) AS n_footnotes, "
                           f"'note for doc ' || doc_id AS note_text FROM documents",

@@ -63,6 +63,10 @@ class PipelineConfig:
     need_binarization: bool = False
     need_gost_frame_analysis: bool = False
     need_pdf_table_analysis: bool = True
+    # trained paragraph-continuation merge over text-layer line geometry
+    # (reference runs ScanParagraphClassifierExtractor inside the OCR
+    # pipeline; here the text layer carries the same geometry)
+    need_paragraph_analysis: bool = False
 
     # execution (ours: map_batches sizing — the reference has no corpus axis)
     batch_size: int = 64

@@ -118,6 +118,7 @@ class ExtractKernel:
                 fast_detection=self.config.fast_textual_layer_detection,
                 one_column=self.config.is_one_column_document == "true",
                 table_analysis=self.config.need_pdf_table_analysis,
+                merge_paragraphs=self.config.need_paragraph_analysis,
             )
         if fmt == "docx":
             from dedoc_ray.readers.office import read_docx

@@ -139,7 +139,9 @@ def _group_lines(ops: List[Tuple[float, float, str, float, str]], line_margin: f
     return lines
 
 
-def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool = False) -> UnstructuredDoc:
+def read_pdf_textlayer(
+    data: bytes, pages: tuple = (0, None), one_column: bool = False, merge_paragraphs: bool = False
+) -> UnstructuredDoc:
     """``pages``: (start, stop) 0-based page slice — the reference's
     ``pages="first:last"`` knob (parameter_utils.py:111-129, applied
     pdf_base_reader.py:108-124)."""
@@ -172,6 +174,13 @@ def read_pdf_textlayer(data: bytes, pages: tuple = (0, None), one_column: bool =
         # is_one_column_document="true" forces a single column
         for col_ops in ([page_ops] if one_column else _split_columns(page_ops)):
             grouped = _group_lines(col_ops)
+            if merge_paragraphs and len(grouped) > 1:
+                # trained paragraph-continuation classifier over the line
+                # geometry (reference ScanParagraphClassifierExtractor runs
+                # the same decision over OCR bboxes before tree construction)
+                from dedoc_ray.readers.paragraph import merge_paragraph_lines
+
+                grouped = merge_paragraph_lines(grouped)
             # per-column median baseline gap → spacing annotations
             # (reference computes spacing/median line height in the OCR
             # metadata pass — paragraph_features.py; here the text layer
@@ -263,6 +272,7 @@ def read_pdf_auto(
     one_column: bool = False,
     first_page_reader=None,
     table_analysis: bool = True,
+    merge_paragraphs: bool = False,
 ) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
     (pdf_auto_reader.py:7-153): extract the text layer, then the trained
@@ -294,7 +304,7 @@ def read_pdf_auto(
             warnings=["pdf routed to OCR by pdf_with_text_layer=false: OCR stage stubbed (no tesseract in container)"],
         )
     try:
-        doc = read_pdf_textlayer(data, pages=pages, one_column=one_column)
+        doc = read_pdf_textlayer(data, pages=pages, one_column=one_column, merge_paragraphs=merge_paragraphs)
     except ValueError as e:
         if "no text layer" not in str(e):
             raise

@@ -503,3 +503,31 @@ def pdf_attach_bytes(doc_id: int, text: str) -> bytes:
 
 _GENERATORS["pdf_attach"] = pdf_attach_bytes
 _EXT_OVERRIDE["pdf_attach"] = "pdf"
+
+
+def pdf_para_bytes(doc_id: int, text: str) -> bytes:
+    """Text-layer PDF with wrapped paragraphs: a flush-left title line
+    (anchors the column x0), then one paragraph per ' the '-chunk — first
+    visual line INDENTED 18pt with a 26pt leading, continuation line flush
+    left with a 13pt leading. Correct paragraph merging reproduces
+    'Document {id}\\n' + replace(text,' the ','\\n') + '\\n' byte-exactly;
+    a reader without the classifier emits one line per VISUAL line and
+    fails the oracle."""
+    ops = [f"BT /F1 12 Tf 72 780 Td (Document {doc_id}) Tj ET"]
+    y = 780.0
+    for chunk in chunks_of(text):
+        words = chunk.split(" ")
+        k = (len(words) + 1) // 2
+        first, second = words[:k], words[k:]
+        y -= 26
+        ops.append(f"BT /F1 10 Tf 90 {y:.0f} Td ({_pdf_escape(' '.join(first))}) Tj ET")
+        if second:
+            y -= 13
+            ops.append(f"BT /F1 10 Tf 72 {y:.0f} Td ({_pdf_escape(' '.join(second))}) Tj ET")
+    content = "\n".join(ops).encode("latin-1", errors="replace")
+    return (b"%PDF-1.4\n1 0 obj << /Length " + str(len(content)).encode()
+            + b" >> stream\n" + content + b"\nendstream endobj\ntrailer\n%%EOF")
+
+
+_GENERATORS["pdf_para"] = pdf_para_bytes
+_EXT_OVERRIDE["pdf_para"] = "pdf"

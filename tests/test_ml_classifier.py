@@ -121,3 +121,54 @@ def test_tz_diploma_classifiers_on_variants():
         "the narrative body of this chapter discusses results in detail",
         "ЗАКЛЮЧЕНИЕ.",
     ]) == ["named_item", "chapter", "chapter", "section", "raw_text", "named_item"]
+
+
+def test_paragraph_classifier_heldout_accuracy():
+    """Committed weights hold ≥0.95 on a fresh synthetic layout corpus
+    (different seed than training) — same bar as the other classifiers."""
+    import numpy as np
+
+    from dedoc_ray.readers.paragraph import ParagraphClassifier
+    from scripts.train_paragraph import synth_doc
+
+    rng = np.random.RandomState(123)
+    clf = ParagraphClassifier()
+    correct = total = 0
+    for _ in range(100):
+        lines, labels = synth_doc(rng)
+        preds = clf.predict_starts(lines)
+        correct += int((preds == np.array(labels)).sum())
+        total += len(labels)
+    assert correct / total >= 0.95, f"paragraph acc {correct / total:.3f}"
+
+
+def test_paragraph_merge_joins_continuations():
+    from dedoc_ray.readers.paragraph import merge_paragraph_lines
+
+    grouped = [
+        (72.0, 780.0, "F1", 12.0, "Title line"),
+        (90.0, 754.0, "F1", 10.0, "first paragraph starts"),
+        (72.0, 741.0, "F1", 10.0, "and wraps onto this line"),
+        (90.0, 715.0, "F1", 10.0, "second paragraph"),
+        (72.0, 702.0, "F1", 10.0, "also wrapped"),
+    ]
+    merged = merge_paragraph_lines(grouped)
+    assert [t[4] for t in merged] == [
+        "Title line",
+        "first paragraph starts and wraps onto this line",
+        "second paragraph also wrapped",
+    ]
+    # start line's geometry is kept
+    assert merged[1][:2] == (90.0, 754.0)
+
+
+def test_paragraph_merge_off_by_default():
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+    from dedoc_ray.sources.synth_office import pdf_para_bytes
+
+    data = pdf_para_bytes(5, "alpha beta the gamma delta")
+    plain = read_pdf_textlayer(data)
+    merged = read_pdf_textlayer(data, merge_paragraphs=True)
+    assert len(plain.lines) == 5  # title + 2 paragraphs x 2 visual lines
+    assert len(merged.lines) == 3
+    assert "".join(l.line for l in merged.lines) == "Document 5\nalpha beta\ngamma delta\n"
