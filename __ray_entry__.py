@@ -638,6 +638,14 @@ def q_hash_split(sf_dir: str):
     return hash_split(sf_dir)
 
 
+def q_global_shuffle(sf_dir: str):
+    """Deterministic pre-training shuffle: md5-derived (shard, pos) per
+    doc, one keyed shuffle of id triples, vectorized in-shard ranking."""
+    from dedoc_ray.ops.webclean import global_shuffle
+
+    return global_shuffle(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1017,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_strip": q_boilerplate_strip,
         "hash_split": q_hash_split,
+        "global_shuffle": q_global_shuffle,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1174,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         PARAGRAPH_DEDUP_SQL,
         PII_REDACT_SQL,
         DECONTAMINATE_SQL,
+        GLOBAL_SHUFFLE_SQL,
         URL_NORMALIZE_SQL,
         URL_STATS_SQL,
         boilerplate_strip_sql,
@@ -1297,6 +1307,7 @@ FROM base WHERE cls <= 3
         "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
         "boilerplate_strip": boilerplate_strip_sql(),
         "hash_split": HASH_SPLIT_SQL,
+        "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -600,3 +600,68 @@ SELECT s.doc_id,
        CAST(CASE WHEN s.doc_id % {DECON_MOD} = {DECON_REM} THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark
 FROM sh s LEFT JOIN ov ON s.doc_id = ov.doc_id
 """
+
+
+# ---------------------------------------------------- global shuffle
+
+SHUF_SHARDS = 16
+
+
+def global_shuffle(sf_dir: str, n_shards: int = SHUF_SHARDS):
+    """Deterministic global training-order shuffle: every doc gets a
+    (shard, pos) — shard from md5('shuf:'+doc_id) mod n_shards, pos = the
+    doc's rank in md5 order within its shard.
+
+    The standard pre-training randomization, made reproducible: the order
+    is a pure function of doc_id (re-runs and resharded inputs agree), and
+    the only movement is ONE keyed shuffle of (doc_id, shard, sortkey)
+    triples — the text never moves; a downstream writer joins payloads per
+    shard. Within-partition ranking is a vectorized sort, so skewless
+    n_shards partitions scale linearly with corpus size."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sortkey = [hashlib.md5(f"shuf:{int(i)}".encode()).hexdigest() for i in ids]
+        shard = np.array([int(k[:8], 16) % n_shards for k in sortkey], np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "shard": pa.array(shard, "int64"),
+                "sortkey": pa.array(sortkey, "string"),
+            }
+        )
+
+    keyed = docs.map_batches(keys, batch_format="pyarrow", batch_size=4096)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "shard": pd.Series([], dtype="int64"),
+                 "pos": pd.Series([], dtype="int64")}
+            )
+        df = df.sort_values(["shard", "sortkey", "doc_id"])
+        df["pos"] = df.groupby("shard").cumcount().astype("int64")
+        return df[["doc_id", "shard", "pos"]]
+
+    return hash_partition_apply(keyed, ["shard"], rank, num_parts=min(n_shards, 16))
+
+
+GLOBAL_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS sortkey
+  FROM documents
+),
+s AS (
+  SELECT doc_id, sortkey,
+         CAST('0x' || substr(sortkey, 1, 8) AS BIGINT) % {SHUF_SHARDS} AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY sortkey, doc_id) - 1 AS BIGINT) AS pos
+FROM s
+"""
