@@ -646,6 +646,15 @@ def q_global_shuffle(sf_dir: str):
     return global_shuffle(sf_dir)
 
 
+def q_dup_passages(sf_dir: str):
+    """Substring-level duplicate-passage stats (suffix-dedup family): k-gram
+    rolling hashes, one hash shuffle for cross-doc df, one doc_id shuffle
+    for vectorized interval-union byte coverage."""
+    from dedoc_ray.ops.passage import duplicate_passages
+
+    return duplicate_passages(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q_boilerplate_strip,
         "hash_split": q_hash_split,
         "global_shuffle": q_global_shuffle,
+        "dup_passages": q_dup_passages,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1177,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
+    from dedoc_ray.ops.passage import duplicate_passages_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1308,6 +1319,7 @@ FROM base WHERE cls <= 3
         "boilerplate_strip": boilerplate_strip_sql(),
         "hash_split": HASH_SPLIT_SQL,
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
+        "dup_passages": duplicate_passages_sql(),
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

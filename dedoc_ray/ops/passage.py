@@ -1,0 +1,192 @@
+"""Substring-level duplicate-passage detection (suffix-dedup family).
+
+Reference point: "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., ACL 2022) removes exact substrings of length >= L
+that occur more than once in the corpus, via a corpus-wide suffix array.
+A suffix array is a single global data structure — the wrong shape for a
+streaming 100 TB Ray pipeline. The distributed equivalent used here:
+
+  1. every k-byte gram of the normalized text gets a Rabin-Karp rolling
+     hash (vectorized, the same fold as ``ops/fingerprint.py``);
+  2. ONE keyed shuffle co-locates equal hashes; a gram is *duplicated*
+     iff its hash occurs in >= 2 distinct documents (a shared substring
+     of length >= k covers >= 1 shared gram, so recall for passages of
+     length >= k is 1 up to 2^-64 hash collisions);
+  3. the duplicated (doc_id, pos) pairs — integers only, the text never
+     moves — shuffle ONCE by doc_id and a vectorized interval-union
+     computes per-document duplicated-byte coverage.
+
+Scale notes: stage 1's exploded table is O(corpus bytes) rows of three
+ints — the same amplification a suffix array pays, but it streams through
+the object store in blocks instead of needing a global sort; the two
+shuffles move only int64 triples. Skew guard: a boilerplate gram shared
+by millions of docs lands in one hash partition but contributes O(rows)
+vectorized work, no per-key Python. No stage materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dedoc_ray.ops.fingerprint import _BASE, _normalize, rolling_hashes
+
+K_DEFAULT = 24
+
+
+class PassageGramKernel:
+    """doc -> exploded (hash, doc_id, pos) rows, one per k-gram."""
+
+    def __init__(self, k: int = K_DEFAULT) -> None:
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, ids, ps = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            h = rolling_hashes(_normalize(text), self.k)
+            hs.append(h)
+            ids.append(np.full(len(h), doc_id, dtype=np.int64))
+            ps.append(np.arange(len(h), dtype=np.int64))
+        empty_h = np.zeros(0, dtype=np.uint64)
+        empty_i = np.zeros(0, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "hash": pa.array(np.concatenate(hs) if hs else empty_h, "uint64"),
+                "doc_id": pa.array(np.concatenate(ids) if ids else empty_i, "int64"),
+                "pos": pa.array(np.concatenate(ps) if ps else empty_i, "int64"),
+            }
+        )
+
+
+class GramCountKernel:
+    """doc -> (doc_id, tag=0, val=n_grams); unioned with the dup positions."""
+
+    def __init__(self, k: int = K_DEFAULT) -> None:
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = [
+            max(len(_normalize(t)) - self.k + 1, 0)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast("int64"),
+                "tag": pa.array([0] * len(n), "int64"),
+                "val": pa.array(n, "int64"),
+            }
+        )
+
+
+def _filter_dup_grams(df: pd.DataFrame) -> pd.DataFrame:
+    """Within a hash-complete partition: keep gram rows whose hash occurs
+    in >= 2 distinct documents; emit union-schema (doc_id, tag=1, val=pos)."""
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "tag": pd.Series([], dtype="int64"),
+                "val": pd.Series([], dtype="int64"),
+            }
+        )
+    ndocs = df.groupby("hash")["doc_id"].transform("nunique")
+    out = df.loc[ndocs >= 2, ["doc_id", "pos"]].rename(columns={"pos": "val"})
+    out.insert(1, "tag", np.int64(1))
+    return out.astype({"doc_id": "int64", "tag": "int64", "val": "int64"})
+
+
+def _finalize_factory(k: int):
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        """Doc-complete partition: tag 0 rows carry n_grams, tag 1 rows carry
+        duplicated gram positions; interval-union with width k gives the
+        duplicated-byte coverage (vectorized via per-doc shifted gaps)."""
+        base = df[df["tag"] == 0][["doc_id", "val"]].rename(columns={"val": "n_grams"})
+        dups = df[df["tag"] == 1][["doc_id", "val"]].rename(columns={"val": "pos"})
+        if dups.empty:
+            agg = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_dup_grams": pd.Series([], dtype="int64"),
+                    "n_dup_bytes": pd.Series([], dtype="int64"),
+                }
+            )
+        else:
+            dups = dups.sort_values(["doc_id", "pos"], kind="stable")
+            prev = dups.groupby("doc_id")["pos"].shift()
+            contrib = np.where(
+                prev.isna(), k, np.minimum(dups["pos"].to_numpy() - prev.to_numpy(), k)
+            ).astype(np.int64)
+            agg = (
+                pd.DataFrame({"doc_id": dups["doc_id"].to_numpy(), "c": contrib})
+                .groupby("doc_id", as_index=False)
+                .agg(n_dup_grams=("c", "size"), n_dup_bytes=("c", "sum"))
+            )
+        out = base.merge(agg, on="doc_id", how="left")
+        out[["n_dup_grams", "n_dup_bytes"]] = (
+            out[["n_dup_grams", "n_dup_bytes"]].fillna(0).astype("int64")
+        )
+        return out.astype({"doc_id": "int64", "n_grams": "int64"})
+
+    return finalize
+
+
+def duplicate_passages(sf_dir: str, k: int = K_DEFAULT, num_parts: int = 32):
+    """Per-document duplicated-passage stats: (doc_id, n_grams, n_dup_grams,
+    n_dup_bytes). A gram counts as duplicated iff its k-byte normalized
+    substring occurs in >= 2 distinct documents."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = docs.map_batches(
+        PassageGramKernel, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    )
+    dup_pos = hash_partition_apply(grams, ["hash"], _filter_dup_grams, num_parts=num_parts)
+    counts = docs.map_batches(
+        GramCountKernel, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    )
+    return hash_partition_apply(
+        counts.union(dup_pos), ["doc_id"], _finalize_factory(k), num_parts=num_parts
+    )
+
+
+def duplicate_passages_sql(k: int = K_DEFAULT) -> str:
+    """DuckDB replay: the same Rabin-Karp fold as ``winnow_stats_sql``
+    (acc*base + byte mod 2^64), parallel-unnest zip for (hash, pos),
+    df >= 2 over distinct doc_ids, and exact byte coverage via
+    count(DISTINCT b) over generate_series(pos, pos+k-1)."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - {k} + 2, 1)),
+      i -> list_reduce(
+             list_transform(range(i, i + {k}), j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS UBIGINT)),
+             (acc, c) -> CAST((CAST(acc AS HUGEINT) * {int(_BASE)} + c) % 18446744073709551616 AS UBIGINT)
+           )) AS h,
+    CAST(greatest(length(t) - {k} + 1, 0) AS BIGINT) AS n_grams
+  FROM norm
+), g2 AS (
+  SELECT doc_id, unnest(h) AS hash, unnest(range(0, len(h))) AS pos FROM grams
+), dup AS (
+  SELECT hash FROM g2 GROUP BY hash HAVING count(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (hash)
+), cov AS (
+  SELECT dp.doc_id,
+         count(DISTINCT dp.pos) AS n_dup_grams,
+         count(DISTINCT u.b) AS n_dup_bytes
+  FROM dp, UNNEST(generate_series(dp.pos, dp.pos + {k} - 1)) AS u(b)
+  GROUP BY dp.doc_id
+)
+SELECT g.doc_id, g.n_grams,
+       CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(c.n_dup_bytes, 0) AS BIGINT) AS n_dup_bytes
+FROM grams g LEFT JOIN cov c USING (doc_id)
+"""
