@@ -655,6 +655,14 @@ def q_dup_passages(sf_dir: str):
     return duplicate_passages(sf_dir)
 
 
+def q_passage_strip(sf_dir: str):
+    """Lee et al.-style substring-dedup rewrite: foreign-duplicated k-gram
+    coverage deleted from the normalized text, canonical min-doc keeps."""
+    from dedoc_ray.ops.passage import passage_strip
+
+    return passage_strip(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1036,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "global_shuffle": q_global_shuffle,
         "dup_passages": q_dup_passages,
+        "passage_strip": q_passage_strip,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1187,7 +1196,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
-    from dedoc_ray.ops.passage import duplicate_passages_sql
+    from dedoc_ray.ops.passage import duplicate_passages_sql, passage_strip_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1320,6 +1329,7 @@ FROM base WHERE cls <= 3
         "hash_split": HASH_SPLIT_SQL,
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "dup_passages": duplicate_passages_sql(),
+        "passage_strip": passage_strip_sql(),
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

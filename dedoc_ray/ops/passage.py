@@ -154,6 +154,144 @@ def duplicate_passages(sf_dir: str, k: int = K_DEFAULT, num_parts: int = 32):
     )
 
 
+class DocTextKernel:
+    """doc -> (doc_id, tag=0, pos=-1, text) union-schema rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"].cast("int64"),
+                "tag": pa.array([0] * n, "int64"),
+                "pos": pa.array([-1] * n, "int64"),
+                "text": batch["text"].cast("string"),
+            }
+        )
+
+
+def _filter_foreign_grams(df: pd.DataFrame) -> pd.DataFrame:
+    """Within a hash-complete partition: gram positions whose hash also
+    occurs in a SMALLER doc_id (the canonical owner keeps its copy);
+    emit union-schema (doc_id, tag=1, pos, text=None)."""
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "tag": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "text": pd.Series([], dtype="string"),
+            }
+        )
+    owner = df.groupby("hash")["doc_id"].transform("min")
+    out = df.loc[df["doc_id"] > owner, ["doc_id", "pos"]].copy()
+    out.insert(1, "tag", np.int64(1))
+    out["text"] = pd.array([None] * len(out), dtype="string")
+    return out.astype({"doc_id": "int64", "tag": "int64", "pos": "int64"})
+
+
+def _strip_factory(k: int):
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        """Doc-complete partition: remove every byte of the normalized text
+        covered by a foreign-duplicated k-gram (numpy mask per doc)."""
+        base = df[df["tag"] == 0]
+        dups = df[df["tag"] == 1]
+        pos_by_doc = {d: g["pos"].to_numpy() for d, g in dups.groupby("doc_id")}
+        ids, texts, removed = [], [], []
+        for doc_id, text in zip(base["doc_id"], base["text"]):
+            data = _normalize(text)
+            ps = pos_by_doc.get(doc_id)
+            if ps is None:
+                mask = np.ones(len(data), dtype=bool)
+            else:
+                # interval union via a +1/-1 difference array (vectorized)
+                diff = np.zeros(len(data) + 1, dtype=np.int64)
+                np.add.at(diff, ps, 1)
+                np.add.at(diff, np.minimum(ps + k, len(data)), -1)
+                mask = np.cumsum(diff[:-1]) == 0
+            buf = np.frombuffer(data, dtype=np.uint8)
+            ids.append(doc_id)
+            texts.append(buf[mask].tobytes().decode("utf-8", "replace"))
+            removed.append(int(len(data) - mask.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "clean_text": pd.Series(texts, dtype="object"),
+                "n_removed_bytes": pd.Series(removed, dtype="int64"),
+            }
+        )
+
+    return strip
+
+
+def passage_strip(sf_dir: str, k: int = K_DEFAULT, num_parts: int = 32):
+    """Lee et al.-style substring dedup REWRITE: per document, delete every
+    byte covered by a k-gram whose hash also occurs in a smaller doc_id
+    (that smaller document is the canonical owner and keeps its copy).
+    Output: (doc_id, clean_text, n_removed_bytes), byte-exact.
+
+    Same two-shuffle shape as ``duplicate_passages``; the text travels
+    exactly once (into its doc_id partition for the rewrite)."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = docs.map_batches(
+        PassageGramKernel, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    )
+    foreign = hash_partition_apply(grams, ["hash"], _filter_foreign_grams, num_parts=num_parts)
+    tagged = docs.map_batches(
+        DocTextKernel, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+    return hash_partition_apply(
+        tagged.union(foreign), ["doc_id"], _strip_factory(k), num_parts=num_parts
+    )
+
+
+def passage_strip_sql(k: int = K_DEFAULT) -> str:
+    """DuckDB replay of the rewrite: foreign-dup positions (hash's min
+    doc_id < this doc_id), byte coverage via generate_series, surviving
+    chars re-joined with an ordered string_agg."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - {k} + 2, 1)),
+      i -> list_reduce(
+             list_transform(range(i, i + {k}), j -> CAST(ascii(substr(t, CAST(j AS INTEGER), 1)) AS UBIGINT)),
+             (acc, c) -> CAST((CAST(acc AS HUGEINT) * {int(_BASE)} + c) % 18446744073709551616 AS UBIGINT)
+           )) AS h
+  FROM norm
+), g2 AS (
+  SELECT doc_id, unnest(h) AS hash, unnest(range(0, len(h))) AS pos FROM grams
+), own AS (
+  SELECT hash, min(doc_id) AS owner FROM g2 GROUP BY hash
+), dp AS (
+  SELECT g2.doc_id, g2.pos FROM g2 JOIN own USING (hash) WHERE g2.doc_id > own.owner
+), cov AS (
+  SELECT DISTINCT dp.doc_id, u.b FROM dp, UNNEST(generate_series(dp.pos, dp.pos + {k} - 1)) AS u(b)
+), chars AS (
+  SELECT doc_id, unnest(range(0, length(t))) AS i, unnest(string_split(t, '')) AS c FROM norm
+), clean AS (
+  SELECT chars.doc_id, string_agg(chars.c, '' ORDER BY chars.i) AS clean_text
+  FROM chars LEFT JOIN cov ON chars.doc_id = cov.doc_id AND chars.i = cov.b
+  WHERE cov.b IS NULL
+  GROUP BY chars.doc_id
+), removed AS (
+  SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id
+)
+SELECT n2.doc_id,
+       coalesce(cl.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_removed_bytes
+FROM norm n2
+LEFT JOIN clean cl USING (doc_id)
+LEFT JOIN removed r USING (doc_id)
+"""
+
+
 def duplicate_passages_sql(k: int = K_DEFAULT) -> str:
     """DuckDB replay: the same Rabin-Karp fold as ``winnow_stats_sql``
     (acc*base + byte mod 2^64), parallel-unnest zip for (hash, pos),

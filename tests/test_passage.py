@@ -76,6 +76,57 @@ def test_coverage_interval_union_exact():
     assert (out.n_dup_bytes == n).all()
 
 
+def _strip_local(texts: dict[int, str], k: int) -> pd.DataFrame:
+    from dedoc_ray.ops.passage import (
+        DocTextKernel,
+        PassageGramKernel,
+        _filter_foreign_grams,
+        _strip_factory,
+    )
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(list(texts), "int64"),
+            "text": pa.array(list(texts.values()), "string"),
+        }
+    )
+    grams = PassageGramKernel(k)(batch).to_pandas()
+    foreign = _filter_foreign_grams(grams)
+    tagged = DocTextKernel()(batch).to_pandas()
+    return (
+        _strip_factory(k)(pd.concat([tagged, foreign], ignore_index=True))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_strip_keeps_canonical_removes_copy():
+    from dedoc_ray.ops.fingerprint import _normalize
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: f"intro alpha. {shared} outro one.",
+        2: f"different beginning text! {shared} and a different tail.",
+    }
+    out = _strip_local(texts, k=24)
+    r1, r2 = out[out.doc_id == 1].iloc[0], out[out.doc_id == 2].iloc[0]
+    # canonical doc 1 keeps its bytes
+    assert r1.clean_text == _normalize(texts[1]).decode()
+    assert r1.n_removed_bytes == 0
+    # doc 2 loses the shared passage but keeps its unique head and tail
+    assert shared not in r2.clean_text
+    assert r2.clean_text.startswith("different beginning text!")
+    assert r2.clean_text.endswith("different tail.")
+    assert r2.n_removed_bytes >= len(shared)
+
+
+def test_strip_identical_docs_second_emptied():
+    t = "exactly the same words in both documents end to end, long enough"
+    out = _strip_local({7: t, 9: t}, k=24)
+    assert out[out.doc_id == 7].iloc[0].n_removed_bytes == 0
+    assert out[out.doc_id == 9].iloc[0].clean_text == ""
+
+
 def test_end_to_end_matches_local(ray_session):
     from dedoc_ray.ops.passage import duplicate_passages
 
