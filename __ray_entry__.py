@@ -663,6 +663,14 @@ def q_passage_strip(sf_dir: str):
     return passage_strip(sf_dir)
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-k: per-batch (token, tf, df) combiners, one
+    token shuffle, per-partition truncation before the tiny final merge."""
+    from dedoc_ray.ops.vocab import vocab_topk
+
+    return vocab_topk(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1045,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": q_global_shuffle,
         "dup_passages": q_dup_passages,
         "passage_strip": q_passage_strip,
+        "vocab_topk": q_vocab_topk,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1197,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.passage import duplicate_passages_sql, passage_strip_sql
+    from dedoc_ray.ops.vocab import vocab_topk_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1330,6 +1340,7 @@ FROM base WHERE cls <= 3
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "dup_passages": duplicate_passages_sql(),
         "passage_strip": passage_strip_sql(),
+        "vocab_topk": vocab_topk_sql(),
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,
