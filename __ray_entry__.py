@@ -671,6 +671,14 @@ def q_vocab_topk(sf_dir: str):
     return vocab_topk(sf_dir)
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR hashed-bigram importance weights: bounded bucket model trained
+    distributed on the target split, broadcast, vectorized lookup scoring."""
+    from dedoc_ray.ops.dsir import dsir_scores
+
+    return dsir_scores(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1054,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": q_dup_passages,
         "passage_strip": q_passage_strip,
         "vocab_topk": q_vocab_topk,
+        "dsir_scores": q_dsir_scores,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1207,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
     from dedoc_ray.ops.passage import duplicate_passages_sql, passage_strip_sql
     from dedoc_ray.ops.vocab import vocab_topk_sql
+    from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1341,6 +1351,7 @@ FROM base WHERE cls <= 3
         "dup_passages": duplicate_passages_sql(),
         "passage_strip": passage_strip_sql(),
         "vocab_topk": vocab_topk_sql(),
+        "dsir_scores": DSIR_SCORES_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

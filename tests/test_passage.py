@@ -127,28 +127,6 @@ def test_strip_identical_docs_second_emptied():
     assert out[out.doc_id == 9].iloc[0].clean_text == ""
 
 
-def test_vocab_topk_combiner_and_truncation():
-    from dedoc_ray.ops.vocab import TokenPartialKernel, _topk_factory
-
-    batch = pa.Table.from_pydict(
-        {"text": pa.array(["a b a c", "b b d", "A a"], "string")}
-    )
-    part = TokenPartialKernel()(batch).to_pandas()
-    got = dict(zip(part.token, zip(part.tf, part.df)))
-    assert got["a"] == (4, 2) and got["b"] == (3, 2) and got["d"] == (1, 1)
-    top = _topk_factory(2)(part)
-    assert list(top.token) == ["a", "b"]
-
-
-def test_vocab_topk_end_to_end(ray_session):
-    from dedoc_ray.ops.vocab import vocab_topk
-
-    df = vocab_topk("/root/testdata/sf0.001", k=10).to_pandas()
-    assert len(df) == 10
-    # deterministic order: tf desc, token asc
-    assert list(df.tf) == sorted(df.tf, reverse=True)
-
-
 def test_end_to_end_matches_local(ray_session):
     from dedoc_ray.ops.passage import duplicate_passages
 

@@ -1,0 +1,75 @@
+"""Tests: data-selection ops — vocabulary top-k and DSIR importance weights."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# ------------------------------------------------------------- vocab
+
+
+def test_vocab_topk_combiner_and_truncation():
+    from dedoc_ray.ops.vocab import TokenPartialKernel, _topk_factory
+
+    batch = pa.Table.from_pydict(
+        {"text": pa.array(["a b a c", "b b d", "A a"], "string")}
+    )
+    part = TokenPartialKernel()(batch).to_pandas()
+    got = dict(zip(part.token, zip(part.tf, part.df)))
+    assert got["a"] == (4, 2) and got["b"] == (3, 2) and got["d"] == (1, 1)
+    top = _topk_factory(2)(part)
+    assert list(top.token) == ["a", "b"]
+
+
+def test_vocab_topk_end_to_end(ray_session):
+    from dedoc_ray.ops.vocab import vocab_topk
+
+    df = vocab_topk("/root/testdata/sf0.001", k=10).to_pandas()
+    assert len(df) == 10
+    # deterministic order: tf desc, token asc
+    assert list(df.tf) == sorted(df.tf, reverse=True)
+
+
+# -------------------------------------------------------------- dsir
+
+
+def test_bigram_buckets_deterministic_and_bounded():
+    from dedoc_ray.ops.dsir import N_BUCKETS, _bigram_buckets
+
+    b1 = _bigram_buckets("the quick brown fox")
+    b2 = _bigram_buckets("the quick brown fox")
+    assert np.array_equal(b1, b2) and len(b1) == 3
+    assert (b1 >= 0).all() and (b1 < N_BUCKETS).all()
+    assert len(_bigram_buckets("single")) == 0
+
+
+def test_partial_counts_target_subset_of_raw():
+    from dedoc_ray.ops.dsir import _partial_counts
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([0, 1, 10], "int64"),  # 0 and 10 are target
+            "text": pa.array(
+                ["alpha beta gamma", "alpha beta delta", "alpha beta gamma"], "string"
+            ),
+        }
+    )
+    part = _partial_counts(batch).to_pandas()
+    assert (part.ct <= part.cr).all()
+    # "alpha beta" occurs in all 3 docs, 2 of them target
+    assert part.cr.max() >= 3 and part.ct.max() >= 2
+
+
+def test_dsir_end_to_end_target_docs_score_high(ray_session):
+    from dedoc_ray.ops.dsir import TARGET_MOD, dsir_scores
+
+    df = dsir_scores("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert (df.target_hits <= df.raw_hits).all()
+    with_bg = df[df.n_bigrams > 0]
+    # target-split docs contain their own bigrams → their target hit RATE
+    # should on average beat the non-target docs'
+    tgt = with_bg[with_bg.doc_id % TARGET_MOD == 0]
+    oth = with_bg[with_bg.doc_id % TARGET_MOD != 0]
+    assert (tgt.target_hits / tgt.raw_hits).mean() > (oth.target_hits / oth.raw_hits).mean()
