@@ -679,6 +679,14 @@ def q_dsir_scores(sf_dir: str):
     return dsir_scores(sf_dir)
 
 
+def q_length_quantiles(sf_dir: str):
+    """Exact global rank + quantile bucket without a global sort: score
+    histogram via combiner shuffle, driver prefix sums, one keyed shuffle."""
+    from dedoc_ray.ops.rank import length_quantiles
+
+    return length_quantiles(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1063,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_strip": q_passage_strip,
         "vocab_topk": q_vocab_topk,
         "dsir_scores": q_dsir_scores,
+        "length_quantiles": q_length_quantiles,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1217,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.passage import duplicate_passages_sql, passage_strip_sql
     from dedoc_ray.ops.vocab import vocab_topk_sql
     from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
+    from dedoc_ray.ops.rank import length_quantiles_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1352,6 +1362,7 @@ FROM base WHERE cls <= 3
         "passage_strip": passage_strip_sql(),
         "vocab_topk": vocab_topk_sql(),
         "dsir_scores": DSIR_SCORES_SQL,
+        "length_quantiles": length_quantiles_sql(),
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -61,6 +61,24 @@ def test_partial_counts_target_subset_of_raw():
     assert part.cr.max() >= 3 and part.ct.max() >= 2
 
 
+# -------------------------------------------------------------- rank
+
+
+def test_length_quantiles_exact_rank(ray_session):
+    import pandas as pd
+
+    from dedoc_ray.ops.rank import length_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = length_quantiles(sf, q=4).to_pandas().sort_values("rank").reset_index(drop=True)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    want = docs.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got["rank"]) == list(range(len(docs)))
+    # 4 buckets, each exactly N/4 docs for N divisible by 4
+    assert got.bucket.value_counts().nunique() == 1
+
+
 def test_dsir_end_to_end_target_docs_score_high(ray_session):
     from dedoc_ray.ops.dsir import TARGET_MOD, dsir_scores
 
