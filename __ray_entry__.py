@@ -687,6 +687,16 @@ def q_length_quantiles(sf_dir: str):
     return length_quantiles(sf_dir)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge training: corpus collapsed once to a word-count
+    table, then R rounds of pair-count combiners + tiny shuffle + driver
+    argmax + broadcast. Rows-only by nature (iterative argmax feedback);
+    pytest asserts exact equality with a single-process reference trainer."""
+    from dedoc_ray.ops.bpe import bpe_merges
+
+    return bpe_merges(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1072,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "dsir_scores": q_dsir_scores,
         "length_quantiles": q_length_quantiles,
+        "bpe_merges": q_bpe_merges,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,

@@ -61,6 +61,36 @@ def test_partial_counts_target_subset_of_raw():
     assert part.cr.max() >= 3 and part.ct.max() >= 2
 
 
+# --------------------------------------------------------------- bpe
+
+
+def test_apply_merges_order_and_exhaustive():
+    from dedoc_ray.ops.bpe import _apply_merges
+
+    assert _apply_merges(tuple("aaab"), [("a", "a")]) == ("aa", "a", "b")
+    assert _apply_merges(tuple("aaab"), [("a", "a"), ("aa", "a")]) == ("aaa", "b")
+    assert _apply_merges(tuple("abab"), [("a", "b")]) == ("ab", "ab")
+
+
+def test_bpe_merges_match_reference(ray_session):
+    import pandas as pd
+
+    from dedoc_ray.ops.bpe import bpe_merges, bpe_merges_reference
+    from dedoc_ray.ops.textstats import TOKEN_RE
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merges(sf, n_merges=6).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    tf: Counter = Counter()
+    for t in docs.text:
+        tf.update(TOKEN_RE.findall(t.lower()))
+    want = bpe_merges_reference(dict(tf), n_merges=6)
+    assert list(zip(got.left, got.right)) == want
+    assert len(want) == 6
+
+
 # -------------------------------------------------------------- rank
 
 
