@@ -697,6 +697,14 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(sf_dir)
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization: one user_id shuffle, vectorized per-partition
+    scan (sort + mark + cumsum); sessions never straddle partitions."""
+    from dedoc_ray.ops.session import sessionize_events
+
+    return sessionize_events(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1083,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": q_dsir_scores,
         "length_quantiles": q_length_quantiles,
         "bpe_merges": q_bpe_merges,
+        "sessionize": q_sessionize,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1238,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.vocab import vocab_topk_sql
     from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
     from dedoc_ray.ops.rank import length_quantiles_sql
+    from dedoc_ray.ops.session import sessionize_sql
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1374,6 +1384,7 @@ FROM base WHERE cls <= 3
         "vocab_topk": vocab_topk_sql(),
         "dsir_scores": DSIR_SCORES_SQL,
         "length_quantiles": length_quantiles_sql(),
+        "sessionize": sessionize_sql(),
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -109,6 +109,44 @@ def test_length_quantiles_exact_rank(ray_session):
     assert got.bucket.value_counts().nunique() == 1
 
 
+# ---------------------------------------------------------- session
+
+
+def test_sessionize_gap_and_user_boundaries():
+    import pandas as pd
+
+    from dedoc_ray.ops.session import _sessionize_factory
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 7, 9, 9],
+            "ts": [t0, t0 + 5 * m, t0 + 40 * m, t0 + 45 * m, t0, t0 + 31 * m],
+        }
+    )
+    out = _sessionize_factory(30)(df).set_index("event_id")
+    # user 7: events 1,2 in session 0; 35-min gap → 3,4 in session 1
+    assert list(out.loc[[1, 2, 3, 4], "session_id"]) == [0, 0, 1, 1]
+    assert list(out.loc[[1, 2, 3, 4], "session_event_idx"]) == [0, 1, 0, 1]
+    # user 9 restarts at session 0; 31-min gap splits
+    assert list(out.loc[[5, 6], "session_id"]) == [0, 1]
+
+
+def test_sessionize_exact_30min_gap_same_session():
+    import pandas as pd
+
+    from dedoc_ray.ops.session import _sessionize_factory
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [1, 1], "ts": [t0, t0 + pd.Timedelta(minutes=30)]}
+    )
+    out = _sessionize_factory(30)(df)
+    assert list(out.session_id) == [0, 0]  # gap > threshold splits, == does not
+
+
 def test_dsir_end_to_end_target_docs_score_high(ray_session):
     from dedoc_ray.ops.dsir import TARGET_MOD, dsir_scores
 
