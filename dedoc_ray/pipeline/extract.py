@@ -189,6 +189,7 @@ def run_extract_resumable(
             "input_path": path,
             "shard": shard_name,
             "parser_version": PARSER_VERSION,
+            "row_range": [0, n_docs],
             "docs": n_docs,
             "bytes": n_bytes,
             "parse_failures": n_fail,
