@@ -705,6 +705,14 @@ def q_sessionize(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def q_corpus_funnel(sf_dir: str):
+    """Composed curation funnel raw → gopher-quality → exact-dedup with
+    exact per-stage doc/token totals; one corpus map + one tiny shuffle."""
+    from dedoc_ray.ops.funnel import corpus_funnel
+
+    return corpus_funnel(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1092,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q_length_quantiles,
         "bpe_merges": q_bpe_merges,
         "sessionize": q_sessionize,
+        "corpus_funnel": q_corpus_funnel,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1248,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
     from dedoc_ray.ops.rank import length_quantiles_sql
     from dedoc_ray.ops.session import sessionize_sql
+    from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1385,6 +1395,7 @@ FROM base WHERE cls <= 3
         "dsir_scores": DSIR_SCORES_SQL,
         "length_quantiles": length_quantiles_sql(),
         "sessionize": sessionize_sql(),
+        "corpus_funnel": CORPUS_FUNNEL_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

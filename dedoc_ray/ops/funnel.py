@@ -1,0 +1,163 @@
+"""Corpus curation funnel — the composed raw → quality → dedup report.
+
+Real training-data pipelines chain the ops this repo ships individually
+(quality filter, then exact dedup, then packing); the number every run
+reports is the FUNNEL: how many documents/tokens survive each stage.
+This op composes the existing kernels end-to-end and aggregates the
+per-stage totals, exactly:
+
+  raw      all documents
+  quality  documents passing the Gopher rule set (ops/textstats.py —
+           the same GopherQualityKernel instance computes `passes`, so
+           the funnel can never drift from the standalone filter)
+  dedup    quality documents surviving first-doc_id-wins exact dedup on
+           the md5 fingerprint (ops/dedup.py semantics)
+
+Movement: one streaming map over the corpus emitting per-doc
+(n_words, passes, fingerprint); raw/quality totals come from per-batch
+combiners (no shuffle); only the quality survivors' (fingerprint,
+doc_id, n_words) triples shuffle once for the dedup count. Output: 3
+rows, however large the corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dedoc_ray.ops.textstats import WS_RE, GopherQualityKernel
+
+
+class FunnelDocKernel:
+    """doc -> (doc_id, n_words, passes, fingerprint); `passes` is computed
+    by the actual GopherQualityKernel, fingerprint by the exact-dedup
+    recipe."""
+
+    def __init__(self) -> None:
+        self.gq = GopherQualityKernel()
+        self.ws_re = WS_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        passes = self.gq(batch)["passes"]
+        n_words, fps = [], []
+        for text in batch["text"].to_pylist():
+            n_words.append(len([w for w in self.ws_re.split(text) if w]))
+            normalized = self.ws_re.sub(" ", text.lower()).strip(" ")
+            fps.append(hashlib.md5(normalized.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, "int64"),
+                "passes": passes,
+                "fingerprint": pa.array(fps, "string"),
+            }
+        )
+
+
+def _stage_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: raw + quality totals (no shuffle needed)."""
+    n = batch["n_words"].to_numpy(zero_copy_only=False)
+    p = batch["passes"].to_numpy(zero_copy_only=False).astype(bool)
+    return pa.Table.from_pydict(
+        {
+            "stage": pa.array(["raw", "quality"], "string"),
+            "n_docs": pa.array([len(n), int(p.sum())], "int64"),
+            "n_tokens": pa.array([int(n.sum()), int(n[p].sum())], "int64"),
+        }
+    )
+
+
+def _dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Fingerprint-complete partition: first-doc_id survivor per print."""
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "stage": pd.Series([], dtype="string"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    surv = df.sort_values(["fingerprint", "doc_id"], kind="stable").groupby(
+        "fingerprint", as_index=False
+    ).first()
+    return pd.DataFrame(
+        {
+            "stage": pd.Series(["dedup"], dtype="string"),
+            "n_docs": pd.Series([len(surv)], dtype="int64"),
+            "n_tokens": pd.Series([int(surv["n_words"].sum())], dtype="int64"),
+        }
+    )
+
+
+def _sum_stages(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "stage": pd.Series([], dtype="string"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        df.groupby("stage", as_index=False)[["n_docs", "n_tokens"]]
+        .sum()
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+    )
+
+
+def corpus_funnel(sf_dir: str, num_parts: int = 16):
+    """(stage, n_docs, n_tokens) for raw / quality / dedup."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    perdoc = docs.map_batches(
+        FunnelDocKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+    raw_quality = perdoc.map_batches(_stage_partials, batch_format="pyarrow", batch_size=4096)
+
+    def quality_only(batch: pa.Table) -> pa.Table:
+        keep = batch["passes"].to_numpy(zero_copy_only=False).astype(bool)
+        return batch.select(["fingerprint", "doc_id", "n_words"]).filter(pa.array(keep))
+
+    dedup = hash_partition_apply(
+        perdoc.map_batches(quality_only, batch_format="pyarrow", batch_size=4096),
+        ["fingerprint"], _dedup_partial, num_parts=num_parts,
+    )
+    return hash_partition_apply(raw_quality.union(dedup), ["stage"], _sum_stages, num_parts=4)
+
+
+CORPUS_FUNNEL_SQL = """
+WITH m AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS tot_chars,
+         regexp_split_to_array(text, chr(10)) AS lines,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, fingerprint,
+         CASE WHEN n BETWEEN 50 AND 100000
+               AND (CASE WHEN n = 0 THEN 0 ELSE (tot_chars * 10) // n END) BETWEEN 30 AND 100
+               AND (length(text) - length(replace(text, '#', ''))) * 10 <= n
+               AND len(list_filter(lines, x -> ltrim(x, ' ' || chr(9)) LIKE '-%'
+                                            OR ltrim(x, ' ' || chr(9)) LIKE '*%')) * 10 <= 9 * len(lines)
+               AND (len(lines) - len(list_distinct(lines))) * 10 <= 3 * len(lines)
+              THEN 1 ELSE 0 END AS passes
+  FROM m
+),
+q AS (SELECT * FROM g WHERE passes = 1),
+d AS (
+  SELECT * FROM q
+  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+)
+SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens FROM g
+UNION ALL
+SELECT 'quality', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n), 0) AS BIGINT) FROM q
+UNION ALL
+SELECT 'dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n), 0) AS BIGINT) FROM d
+"""

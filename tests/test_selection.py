@@ -109,6 +109,27 @@ def test_length_quantiles_exact_rank(ray_session):
     assert got.bucket.value_counts().nunique() == 1
 
 
+# ----------------------------------------------------------- funnel
+
+
+def test_corpus_funnel_monotone_and_consistent(ray_session):
+    import pandas as pd
+
+    from dedoc_ray.ops.funnel import corpus_funnel
+    from dedoc_ray.ops.textstats import GopherQualityKernel
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_funnel(sf).to_pandas().set_index("stage")
+    assert out.loc["raw", "n_docs"] == 500
+    assert out.loc["quality", "n_docs"] <= out.loc["raw", "n_docs"]
+    assert out.loc["dedup", "n_docs"] <= out.loc["quality", "n_docs"]
+    assert out.loc["dedup", "n_tokens"] <= out.loc["quality", "n_tokens"]
+    # quality stage agrees with the standalone gopher filter
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    gq = GopherQualityKernel()(pa.Table.from_pandas(docs)).to_pandas()
+    assert out.loc["quality", "n_docs"] == int(gq.passes.sum())
+
+
 # ---------------------------------------------------------- session
 
 
