@@ -713,6 +713,14 @@ def q_corpus_funnel(sf_dir: str):
     return corpus_funnel(sf_dir)
 
 
+def q_term_search(sf_dir: str):
+    """Keyword retrieval: broadcast derived query set, per-batch partial
+    top-k combiners, one tiny qid shuffle for the exact final top-k."""
+    from dedoc_ray.ops.retrieval import term_search
+
+    return term_search(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1101,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "sessionize": q_sessionize,
         "corpus_funnel": q_corpus_funnel,
+        "term_search": q_term_search,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1258,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.rank import length_quantiles_sql
     from dedoc_ray.ops.session import sessionize_sql
     from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL
+    from dedoc_ray.ops.retrieval import TERM_SEARCH_SQL
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1396,6 +1406,7 @@ FROM base WHERE cls <= 3
         "length_quantiles": length_quantiles_sql(),
         "sessionize": sessionize_sql(),
         "corpus_funnel": CORPUS_FUNNEL_SQL,
+        "term_search": TERM_SEARCH_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

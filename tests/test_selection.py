@@ -109,6 +109,34 @@ def test_length_quantiles_exact_rank(ray_session):
     assert got.bucket.value_counts().nunique() == 1
 
 
+# -------------------------------------------------------- retrieval
+
+
+def test_term_search_partial_topk_kernel():
+    from dedoc_ray.ops.retrieval import TermScoreKernel
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], "int64"),
+            "text": pa.array(["cat cat dog", "dog dog dog", "bird"], "string"),
+        }
+    )
+    out = TermScoreKernel([(0, ["cat", "dog"])], k=2)(batch).to_pandas()
+    # doc1: 2+1=3, doc2: 0+3=3, doc3: 0 (dropped); tie → doc_id asc
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.score) == [3, 3]
+
+
+def test_term_search_self_retrieval(ray_session):
+    from dedoc_ray.ops.retrieval import QUERY_STRIDE, term_search
+
+    df = term_search("/root/testdata/sf0.001").to_pandas()
+    # each query is drawn from doc qid*STRIDE's own prefix → that doc must
+    # appear in its query's hit list
+    for qid, grp in df.groupby("qid"):
+        assert qid * QUERY_STRIDE in set(grp.doc_id) or len(grp) == 5
+
+
 # ----------------------------------------------------------- funnel
 
 
