@@ -721,6 +721,14 @@ def q_term_search(sf_dir: str):
     return term_search(sf_dir)
 
 
+def q_delta_dedup(sf_dir: str):
+    """Incremental-crawl anti-join dedup: new docs admitted against the
+    existing corpus, one fingerprint shuffle, neither side broadcast."""
+    from dedoc_ray.ops.dedup import delta_dedup
+
+    return delta_dedup(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1110,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "corpus_funnel": q_corpus_funnel,
         "term_search": q_term_search,
+        "delta_dedup": q_delta_dedup,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1241,7 +1250,13 @@ FROM documents
 
 
 def oracle_sql() -> dict[str, str]:
-    from dedoc_ray.ops.dedup import EXACT_DEDUP_SQL, jaccard_pairs_sql, simhash_pairs_sql, simhash_sql
+    from dedoc_ray.ops.dedup import (
+        DELTA_DEDUP_SQL,
+        EXACT_DEDUP_SQL,
+        jaccard_pairs_sql,
+        simhash_pairs_sql,
+        simhash_sql,
+    )
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
     from dedoc_ray.ops.relational import (
@@ -1407,6 +1422,7 @@ FROM base WHERE cls <= 3
         "sessionize": sessionize_sql(),
         "corpus_funnel": CORPUS_FUNNEL_SQL,
         "term_search": TERM_SEARCH_SQL,
+        "delta_dedup": DELTA_DEDUP_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -639,3 +639,60 @@ SELECT d.doc_id,
        CAST((coalesce(sh.simhash, 0) // 281474976710656) % 65536 AS INT) AS band3
 FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
 """
+
+
+# ------------------------------------------------------------- delta dedup
+
+
+def delta_dedup(sf_dir: str, num_parts: int = 32):
+    """Incremental-crawl dedup: which NEW documents does the corpus admit?
+
+    Recurring crawls re-fetch most of the web; the production question is
+    not "dedup this corpus" but "dedup this delta AGAINST the corpus".
+    The deterministic split here models it (odd doc_ids = the new crawl,
+    even = the existing corpus); the shape is the part that matters:
+
+    ONE fingerprint-keyed shuffle of tagged (fingerprint, doc_id, is_new)
+    int/hash triples co-locates each print's old and new carriers; inside
+    a partition the anti-join is vectorized (drop new prints seen in the
+    old corpus, then first-doc_id-wins within the delta). Neither side's
+    text ever moves, and the old corpus streams — it is never collected
+    or broadcast, so a 100 TB base corpus costs the same per-byte scan as
+    the delta."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+    from dedoc_ray.ops.textstats import DocStatsKernel
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = docs.map_batches(
+        DocStatsKernel, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    ).select_columns(["doc_id", "fingerprint"])
+
+    def admit(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "fingerprint": pd.Series([], dtype="object")}
+            )
+        is_new = df["doc_id"] % 2 == 1
+        old_fps = set(df.loc[~is_new, "fingerprint"])
+        new = df[is_new & ~df["fingerprint"].isin(old_fps)]
+        return new.groupby("fingerprint", as_index=False)["doc_id"].min()[
+            ["doc_id", "fingerprint"]
+        ]
+
+    return hash_partition_apply(hashed, ["fingerprint"], admit, num_parts=num_parts)
+
+
+DELTA_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         doc_id % 2 AS is_new
+  FROM documents
+)
+SELECT doc_id, fingerprint FROM f
+WHERE is_new = 1
+  AND fingerprint NOT IN (SELECT fingerprint FROM f WHERE is_new = 0)
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""

@@ -124,3 +124,30 @@ def test_minhash_lsh_dup_heavy_distributed(ray_session, tmp_path):
     dup_pairs = {(i, i + 60) for i in range(60)}
     assert dup_pairs <= got_pairs, f"missed exact duplicates: {dup_pairs - got_pairs}"
     assert len(got_pairs) >= 0.9 * len(exact)
+
+
+def test_delta_dedup_anti_join(ray_session, tmp_path):
+    """Odd doc_ids (the delta) are admitted only when their normalized-text
+    fingerprint is absent from the even-id base corpus, first-id-wins
+    within the delta."""
+    from dedoc_ray.ops.dedup import delta_dedup
+
+    texts = {
+        0: "alpha beta",      # base
+        2: "gamma delta",     # base
+        1: "alpha  beta",     # delta, normalizes == doc 0 -> rejected
+        3: "epsilon zeta",    # delta, fresh -> admitted
+        5: "epsilon   zeta",  # delta, dup of 3 after normalize -> 3 wins
+        7: "unique seven",    # delta, fresh -> admitted
+    }
+    d = str(tmp_path / "delta")
+    os.makedirs(d, exist_ok=True)
+    ids = sorted(texts)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, "int64"), "text": pa.array([texts[i] for i in ids], "string")}
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = delta_dedup(d).to_pandas()
+    assert sorted(got["doc_id"].astype(int)) == [3, 7]
