@@ -721,6 +721,29 @@ def q_term_search(sf_dir: str):
     return term_search(sf_dir)
 
 
+def q_ranked_search(sf_dir: str):
+    """BM25-shaped retrieval: df combiner pass trains integer-idf weights
+    (N // df), then the broadcast-query partial-top-k scan."""
+    from dedoc_ray.ops.retrieval import ranked_search
+
+    return ranked_search(sf_dir)
+
+
+def q_term_search_indexed(sf_dir: str):
+    """ranked_search over a term-hash-bucketed inverted index: only the
+    query terms' buckets are opened; equals ranked_search exactly (same
+    DuckDB oracle)."""
+    import hashlib
+    import tempfile
+
+    from dedoc_ray.ops.retrieval import build_term_index, term_search_indexed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"{tempfile.gettempdir()}/dedoc_ray_terms_{tag}"
+    build_term_index(sf_dir, index_dir)
+    return term_search_indexed(index_dir, sf_dir)
+
+
 def q_delta_dedup(sf_dir: str):
     """Incremental-crawl anti-join dedup: new docs admitted against the
     existing corpus, one fingerprint shuffle, neither side broadcast."""
@@ -1118,6 +1141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "corpus_funnel": q_corpus_funnel,
         "term_search": q_term_search,
+        "ranked_search": q_ranked_search,
+        "term_search_indexed": q_term_search_indexed,
         "delta_dedup": q_delta_dedup,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
@@ -1282,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.rank import length_quantiles_sql
     from dedoc_ray.ops.session import sessionize_sql
     from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL
-    from dedoc_ray.ops.retrieval import TERM_SEARCH_SQL
+    from dedoc_ray.ops.retrieval import RANKED_SEARCH_SQL, TERM_SEARCH_SQL
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
@@ -1422,6 +1447,8 @@ FROM base WHERE cls <= 3
         "sessionize": sessionize_sql(),
         "corpus_funnel": CORPUS_FUNNEL_SQL,
         "term_search": TERM_SEARCH_SQL,
+        "ranked_search": RANKED_SEARCH_SQL,
+        "term_search_indexed": RANKED_SEARCH_SQL,
         "delta_dedup": DELTA_DEDUP_SQL,
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,

@@ -415,8 +415,13 @@ def ivf_build_index(sf_dir: str, index_dir: str, n_lists: int = 16) -> str:
     """Write the embedding table LIST-PARTITIONED by IVF cell (hive layout
     ``list_id=N/``): the 100 TB ANN storage shape where probing prunes I/O —
     a query reads ONLY its probed lists' files, not the whole corpus.
-    Centroids ride along as one small parquet for query-time assignment."""
+    Centroids ride along as one small parquet for query-time assignment.
+    A pre-existing index_dir is removed first — Ray's write_parquet appends
+    uniquely-named files, so rebuilding in place would duplicate rows."""
     import os
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
 
     import pyarrow as pa
     import pyarrow.parquet as pqm

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -135,6 +136,45 @@ def test_term_search_self_retrieval(ray_session):
     # appear in its query's hit list
     for qid, grp in df.groupby("qid"):
         assert qid * QUERY_STRIDE in set(grp.doc_id) or len(grp) == 5
+
+
+def test_ranked_search_weights_and_kernel():
+    from dedoc_ray.ops.retrieval import WeightedTermScoreKernel
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], "int64"),
+            "text": pa.array(["cat cat dog", "dog dog dog", "bird"], "string"),
+        }
+    )
+    # rare term "cat" (w=5) outweighs common "dog" (w=1)
+    out = WeightedTermScoreKernel(
+        [(0, ["cat", "dog"])], {"cat": 5, "dog": 1}, k=2
+    )(batch).to_pandas()
+    # doc1: 2*5+1*1=11, doc2: 3*1=3
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.score) == [11, 3]
+
+
+def test_indexed_search_equals_ranked_search(ray_session, tmp_path):
+    """The bucket-pruned inverted-index path must reproduce ranked_search
+    exactly (same integer idf, same tiebreak) while opening only the query
+    terms' hash buckets."""
+    from dedoc_ray.ops.retrieval import build_term_index, ranked_search, term_search_indexed
+
+    sf = "/root/testdata/sf0.001"
+    want = ranked_search(sf).to_pandas().sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]).reset_index(drop=True)
+    idx = str(tmp_path / "terms_idx")
+    build_term_index(sf, idx)
+    got = term_search_indexed(idx, sf).to_pandas().sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # rebuild in place must not duplicate postings (builder cleans the dir)
+    build_term_index(sf, idx)
+    again = term_search_indexed(idx, sf).to_pandas().sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, want)
 
 
 # ----------------------------------------------------------- funnel
