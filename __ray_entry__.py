@@ -752,6 +752,28 @@ def q_delta_dedup(sf_dir: str):
     return delta_dedup(sf_dir)
 
 
+def q_line_dedup(sf_dir: str):
+    """Within-doc repeated-paragraph trim — map-only rewrite, zero shuffles."""
+    from dedoc_ray.ops.webclean import line_dedup
+
+    return line_dedup(sf_dir)
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature (alpha=0.5) per-language budget: isqrt weights +
+    largest-remainder quotas, md5-order deterministic fill."""
+    from dedoc_ray.ops.webclean import temperature_mix
+
+    return temperature_mix(sf_dir)
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (flat_map, zero shuffles)."""
+    from dedoc_ray.ops.chunking import chunk_documents
+
+    return chunk_documents(sf_dir)
+
+
 def q_url_stats(sf_dir: str):
     """URL parse (RE2 ext extraction) + per-extension combiner aggregation."""
     from dedoc_ray.ops.webclean import url_stats
@@ -1144,6 +1166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_search": q_ranked_search,
         "term_search_indexed": q_term_search_indexed,
         "delta_dedup": q_delta_dedup,
+        "line_dedup": q_line_dedup,
+        "temperature_mix": q_temperature_mix,
+        "chunk_documents": q_chunk_documents,
         "url_stats": q_url_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -1309,8 +1334,10 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL
     from dedoc_ray.ops.retrieval import RANKED_SEARCH_SQL, TERM_SEARCH_SQL
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
+    from dedoc_ray.ops.chunking import chunk_documents_sql
     from dedoc_ray.ops.webclean import (
         HASH_SPLIT_SQL,
+        LINE_DEDUP_SQL,
         PARAGRAPH_DEDUP_SQL,
         PII_REDACT_SQL,
         DECONTAMINATE_SQL,
@@ -1319,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         URL_STATS_SQL,
         boilerplate_strip_sql,
         stratified_sample_sql,
+        temperature_mix_sql,
     )
 
     office_url = "'https://synth.test/office/' || doc_id || '.{ext}'"
@@ -1450,6 +1478,9 @@ FROM base WHERE cls <= 3
         "ranked_search": RANKED_SEARCH_SQL,
         "term_search_indexed": RANKED_SEARCH_SQL,
         "delta_dedup": DELTA_DEDUP_SQL,
+        "line_dedup": LINE_DEDUP_SQL,
+        "temperature_mix": temperature_mix_sql(),
+        "chunk_documents": chunk_documents_sql(),
         "url_stats": URL_STATS_SQL,
         "doc_stats": DOC_STATS_SQL,
         "doc_quality": DOC_QUALITY_SQL,

@@ -665,3 +665,150 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY sortkey, doc_id) - 1 AS BIGINT) AS pos
 FROM s
 """
+
+
+# ------------------------------------------- within-doc line dedup
+
+
+def line_dedup_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → text with repeated within-doc paragraphs removed
+    (first occurrence kept, original order preserved) + the dropped count.
+
+    Map-only — the RefinedWeb-style self-repetition trim needs no corpus
+    state, so it costs one streaming pass and zero shuffles at any scale."""
+    ids = batch["doc_id"].to_pylist()
+    texts = []
+    dropped = []
+    for text in batch["text"].to_pylist():
+        paras = text.split(PARA_SEP)
+        kept = list(dict.fromkeys(paras))
+        texts.append(PARA_SEP.join(kept))
+        dropped.append(len(paras) - len(kept))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, "int64"),
+            "text": pa.array(texts, "string"),
+            "n_dropped": pa.array(dropped, "int64"),
+        }
+    )
+
+
+def line_dedup(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(line_dedup_batch, batch_format="pyarrow", batch_size=1024)
+
+
+LINE_DEDUP_SQL = f"""
+WITH exploded AS (
+    SELECT doc_id,
+           unnest(str_split(text, '{PARA_SEP}')) AS para,
+           unnest(range(1, len(str_split(text, '{PARA_SEP}')) + 1)) AS para_idx
+    FROM documents
+), firsts AS (
+    SELECT doc_id, para, para_idx,
+           row_number() OVER (PARTITION BY doc_id, para ORDER BY para_idx) AS occ
+    FROM exploded
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN occ = 1 THEN para END, '{PARA_SEP}' ORDER BY para_idx), '') AS text,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM firsts
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------- temperature mixture allocation
+
+
+MIX_TOTAL = 200
+
+
+def temperature_mix(sf_dir: str, total: int = MIX_TOTAL):
+    """Temperature-weighted (alpha = 0.5) per-language document budget:
+    quota_l proportional to isqrt(count_l) via largest-remainder rounding,
+    then each language's quota filled in md5(doc_id) order.
+
+    The multilingual-pretraining mixing rule (rare languages upsampled
+    relative to their share), made integer-exact: isqrt keeps weights
+    integral, largest remainder makes the quotas sum to the budget, and
+    the md5 order makes the draw stable under resharding. Two streaming
+    passes — a lang-count combiner (|langs| rows ever collected), then the
+    stratified-sample selection with per-batch pre-truncation to quota."""
+    import math
+
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def count_langs(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["lang"].to_pylist()).value_counts()
+        return pa.Table.from_pydict(
+            {"lang": pa.array(vc.index, "string"), "cnt": pa.array(vc.values, "int64")}
+        )
+
+    partials = docs.map_batches(count_langs, batch_format="pyarrow", batch_size=4096).to_pandas()
+    counts = partials.groupby("lang")["cnt"].sum().sort_index()  # tiny: one row per lang
+
+    w = {l: math.isqrt(int(c)) for l, c in counts.items()}
+    W = sum(w.values())
+    base = {l: total * wl // W for l, wl in w.items()}
+    rem = {l: (total * wl) % W for l, wl in w.items()}
+    leftover = total - sum(base.values())
+    for l in sorted(w, key=lambda l: (-rem[l], l))[:leftover]:
+        base[l] += 1
+    quota = base
+
+    def select(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        df = batch.append_column("h", pa.array(h, "string")).to_pandas()
+        # combiner: only each batch's quota_l smallest per lang can survive
+        df = df.sort_values(["lang", "h"])
+        df = df.groupby("lang", group_keys=False).apply(
+            lambda g: g.head(quota.get(g.name, 0))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hashed = docs.map_batches(select, batch_format="pyarrow", batch_size=4096)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype="object")}
+            )
+        df = df.sort_values(["lang", "h"])
+        out = df.groupby("lang", group_keys=False).apply(lambda g: g.head(quota.get(g.name, 0)))
+        return out[["doc_id", "lang"]]
+
+    return hash_partition_apply(hashed, ["lang"], final, num_parts=8)
+
+
+def temperature_mix_sql(total: int = MIX_TOTAL) -> str:
+    return f"""
+WITH c AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, CAST(floor(sqrt(cnt)) AS BIGINT) AS wl FROM c
+), tot AS (
+  SELECT sum(wl) AS W FROM w
+), q AS (
+  SELECT lang,
+         ({total} * wl) // (SELECT W FROM tot) AS base,
+         ({total} * wl) % (SELECT W FROM tot) AS rem
+  FROM w
+), lo AS (
+  SELECT {total} - sum(base) AS R FROM q
+), q2 AS (
+  SELECT lang,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= (SELECT R FROM lo)
+                     THEN 1 ELSE 0 END AS quota
+  FROM q
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN q2 ON q2.lang = d.lang
+QUALIFY row_number() OVER (PARTITION BY d.lang ORDER BY md5(CAST(d.doc_id AS VARCHAR))) <= q2.quota
+"""

@@ -223,3 +223,57 @@ def test_benchmark_gram_set_bounded_and_sorted(ray_session):
     assert (np.diff(g.view(np.int64).astype(object)) != 0).all() or len(g) < 2
     assert (np.sort(g) == g).all()
     assert len(g) > 0
+
+
+# ------------------------------------------- line dedup / mixing / chunking
+
+
+def test_line_dedup_batch_keeps_first_occurrence():
+    import pyarrow as pa
+
+    from dedoc_ray.ops.webclean import PARA_SEP, line_dedup_batch
+
+    text = PARA_SEP.join(["aa", "bb", "aa", "cc", "bb"])
+    out = line_dedup_batch(
+        pa.Table.from_pydict(
+            {"doc_id": pa.array([1], "int64"), "text": pa.array([text], "string")}
+        )
+    ).to_pandas()
+    assert out.text[0] == PARA_SEP.join(["aa", "bb", "cc"])
+    assert out.n_dropped[0] == 2
+
+
+def test_temperature_mix_quotas_sum_to_budget(ray_session):
+    from dedoc_ray.ops.webclean import MIX_TOTAL, temperature_mix
+
+    got = temperature_mix("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == MIX_TOTAL
+    # alpha=0.5 upweights rare languages: no lang may take a larger share
+    # of the budget than its corpus share unless it is below-average size
+    import pandas as pd
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["lang"])
+    corpus_share = docs["lang"].value_counts(normalize=True)
+    mix_share = got["lang"].value_counts(normalize=True)
+    big = corpus_share.idxmax()
+    assert mix_share[big] <= corpus_share[big] + 1e-9
+
+
+def test_chunk_batch_windows_and_overlap():
+    import pyarrow as pa
+
+    from dedoc_ray.ops.chunking import chunk_batch
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    out = chunk_batch(
+        pa.Table.from_pydict(
+            {"doc_id": pa.array([7], "int64"), "text": pa.array([toks], "string")}
+        ),
+        chunk=4,
+        stride=3,
+    ).to_pandas()
+    assert list(out.chunk_id) == [0, 1, 2, 3]
+    assert list(out.n_tokens) == [4, 4, 4, 1]
+    assert out.chunk_text[0] == "t0 t1 t2 t3"
+    assert out.chunk_text[1] == "t3 t4 t5 t6"  # overlap of chunk-stride=1
+    assert out.chunk_text[3] == "t9"
