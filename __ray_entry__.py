@@ -697,6 +697,15 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(sf_dir)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Train-then-apply BPE: distributed merge training + broadcast encode
+    pass (per-doc base/encoded token counts). Rows-only by nature; pytest
+    asserts exact equality with a single-process reference encoder."""
+    from dedoc_ray.ops.bpe import bpe_encode
+
+    return bpe_encode(sf_dir)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization: one user_id shuffle, vectorized per-partition
     scan (sort + mark + cumsum); sessions never straddle partitions."""
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": q_dsir_scores,
         "length_quantiles": q_length_quantiles,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "sessionize": q_sessionize,
         "corpus_funnel": q_corpus_funnel,
         "term_search": q_term_search,

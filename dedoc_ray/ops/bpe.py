@@ -150,3 +150,62 @@ def bpe_merges_reference(word_tf: Dict[str, int], n_merges: int = N_MERGES_DEFAU
             break
         merges.append(best[0])
     return merges
+
+
+# ----------------------------------------------------------- encoding
+
+
+class BpeEncodeKernel:
+    """batch -> (doc_id, n_tokens, n_bpe) with the learned merges applied.
+
+    The merge list is broadcast once (``ray.put`` in the driver, ``ray.get``
+    in ``__init__``); per-word encodings are LRU-cached in the actor, so the
+    Zipfian word distribution amortizes _apply_merges to near zero."""
+
+    def __init__(self, merges_ref) -> None:
+        import ray
+        from functools import lru_cache
+
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, list) else merges_ref
+        self.merges: List[Tuple[str, str]] = [tuple(m) for m in merges]
+
+        @lru_cache(maxsize=1 << 18)
+        def encoded_len(word: str) -> int:
+            return len(_apply_merges(tuple(word), self.merges))
+
+        self._encoded_len = encoded_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        n_tokens: List[int] = []
+        n_bpe: List[int] = []
+        for text in batch["text"].to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            n_tokens.append(len(toks))
+            n_bpe.append(sum(self._encoded_len(t) for t in toks))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, "int64"),
+                "n_tokens": pa.array(n_tokens, "int64"),
+                "n_bpe": pa.array(n_bpe, "int64"),
+            }
+        )
+
+
+def bpe_encode(sf_dir: str, n_merges: int = N_MERGES_DEFAULT):
+    """Train-then-apply: distributed merge training, then one streaming
+    encode pass with the merges broadcast. Output is integer-exact and
+    deterministic; equality with a single-process reference encoder is
+    asserted in pytest (iterative training keeps the op rows-only in SQL)."""
+    import ray
+    import ray.data as rd
+
+    mt = bpe_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    merges_ref = ray.put(merges)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        BpeEncodeKernel,
+        fn_constructor_kwargs={"merges_ref": merges_ref},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+    )

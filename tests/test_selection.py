@@ -92,6 +92,26 @@ def test_bpe_merges_match_reference(ray_session):
     assert len(want) == 6
 
 
+def test_bpe_encode_matches_reference(ray_session):
+    from collections import Counter
+
+    from dedoc_ray.ops.bpe import _apply_merges, bpe_encode, bpe_merges_reference
+    from dedoc_ray.ops.textstats import TOKEN_RE
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_encode(sf, n_merges=6).to_pandas().set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tf: Counter = Counter()
+    for t in docs.text:
+        tf.update(TOKEN_RE.findall(t.lower()))
+    merges = bpe_merges_reference(dict(tf), n_merges=6)
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = TOKEN_RE.findall(text.lower())
+        want_bpe = sum(len(_apply_merges(tuple(w), merges)) for w in toks)
+        assert got.loc[did, "n_tokens"] == len(toks)
+        assert got.loc[did, "n_bpe"] == want_bpe
+
+
 # -------------------------------------------------------------- rank
 
 
