@@ -722,6 +722,16 @@ def q_corpus_funnel(sf_dir: str):
     return corpus_funnel(sf_dir)
 
 
+def q_pretrain_prep(sf_dir: str):
+    """Flagship composed pipeline: quality filter + decontamination +
+    split tagging in ONE streaming pass (live stage kernels reused), then
+    one fingerprint shuffle for exact dedup → final (doc_id, split,
+    n_words) training rows."""
+    from dedoc_ray.ops.funnel import pretrain_prep
+
+    return pretrain_prep(sf_dir)
+
+
 def q_term_search(sf_dir: str):
     """Keyword retrieval: broadcast derived query set, per-batch partial
     top-k combiners, one tiny qid shuffle for the exact final top-k."""
@@ -1172,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "sessionize": q_sessionize,
         "corpus_funnel": q_corpus_funnel,
+        "pretrain_prep": q_pretrain_prep,
         "term_search": q_term_search,
         "ranked_search": q_ranked_search,
         "term_search_indexed": q_term_search_indexed,
@@ -1341,7 +1352,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
     from dedoc_ray.ops.rank import length_quantiles_sql
     from dedoc_ray.ops.session import sessionize_sql
-    from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL
+    from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL, pretrain_prep_sql
     from dedoc_ray.ops.retrieval import RANKED_SEARCH_SQL, TERM_SEARCH_SQL
     from dedoc_ray.ops.lm_score import LM_SCORE_SQL, PACK_SEQUENCES_SQL
     from dedoc_ray.ops.chunking import chunk_documents_sql
@@ -1484,6 +1495,7 @@ FROM base WHERE cls <= 3
         "length_quantiles": length_quantiles_sql(),
         "sessionize": sessionize_sql(),
         "corpus_funnel": CORPUS_FUNNEL_SQL,
+        "pretrain_prep": pretrain_prep_sql(),
         "term_search": TERM_SEARCH_SQL,
         "ranked_search": RANKED_SEARCH_SQL,
         "term_search_indexed": RANKED_SEARCH_SQL,

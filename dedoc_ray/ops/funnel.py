@@ -161,3 +161,144 @@ SELECT 'quality', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n), 0) AS BIGINT) 
 UNION ALL
 SELECT 'dedup', CAST(count(*) AS BIGINT), CAST(coalesce(sum(n), 0) AS BIGINT) FROM d
 """
+
+
+# ------------------------------------------------- composed prep pipeline
+
+
+class PrepDocKernel:
+    """doc -> (doc_id, fingerprint, n_words, split) for docs that pass
+    quality AND are clean of benchmark n-grams AND are not the benchmark
+    slice itself.
+
+    Composes the LIVE stage kernels (GopherQualityKernel,
+    DecontaminateKernel, hash_split recipe) rather than re-deriving their
+    rules, so the composed pipeline can never drift from the standalone
+    ops. Emits only survivors — the downstream fingerprint shuffle sees
+    quality-filtered decontaminated triples, never raw text."""
+
+    def __init__(self, bench_ref, n: int = 3) -> None:
+        from dedoc_ray.ops.webclean import DecontaminateKernel
+
+        self.gq = GopherQualityKernel()
+        self.decon = DecontaminateKernel(bench_ref, n=n)
+        self.ws_re = WS_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dedoc_ray.ops.webclean import hash_split_batch
+
+        passes = self.gq(batch)["passes"].to_numpy(zero_copy_only=False).astype(bool)
+        d = self.decon(batch)
+        clean = (
+            (d["contaminated"].to_numpy(zero_copy_only=False) == 0)
+            & (d["is_benchmark"].to_numpy(zero_copy_only=False) == 0)
+        )
+        splits = hash_split_batch(batch.select(["doc_id"]))["split"].to_pylist()
+        n_words, fps = [], []
+        for text in batch["text"].to_pylist():
+            n_words.append(len([w for w in self.ws_re.split(text) if w]))
+            normalized = self.ws_re.sub(" ", text.lower()).strip(" ")
+            fps.append(hashlib.md5(normalized.encode("utf-8")).hexdigest())
+        keep = pa.array(passes & clean)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(fps, "string"),
+                "n_words": pa.array(n_words, "int64"),
+                "split": pa.array(splits, "string"),
+            }
+        ).filter(keep)
+
+
+def pretrain_prep(sf_dir: str, num_parts: int = 16):
+    """The composed curation pipeline, emitting the FINAL training rows:
+    quality-pass, decontaminated, exact-dedup survivors with their
+    deterministic split tag — (doc_id, split, n_words).
+
+    One streaming pass scores every doc against all three per-doc rules
+    (quality, contamination, split) with the benchmark n-gram set
+    broadcast once; survivors' (fingerprint, doc_id, n_words, split)
+    triples make ONE keyed shuffle for first-doc_id-wins exact dedup.
+    Text never moves past the first map; the corpus is never collected."""
+    import ray
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+    from dedoc_ray.ops.webclean import benchmark_gram_hashes
+
+    bench_ref = ray.put(benchmark_gram_hashes(sf_dir, 3))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    survivors = docs.map_batches(
+        PrepDocKernel,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": 3},
+        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+    )
+
+    def dedup_first(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "split": pd.Series([], dtype="object"),
+                    "n_words": pd.Series([], dtype="int64"),
+                }
+            )
+        surv = df.sort_values(["fingerprint", "doc_id"], kind="stable").groupby(
+            "fingerprint", as_index=False
+        ).first()
+        return surv[["doc_id", "split", "n_words"]]
+
+    return hash_partition_apply(survivors, ["fingerprint"], dedup_first, num_parts=num_parts)
+
+
+def pretrain_prep_sql() -> str:
+    from dedoc_ray.ops.webclean import DECON_MOD, DECON_REM
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS tot_chars,
+         regexp_split_to_array(text, chr(10)) AS lines,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, fingerprint,
+         CASE WHEN n BETWEEN 50 AND 100000
+               AND (CASE WHEN n = 0 THEN 0 ELSE (tot_chars * 10) // n END) BETWEEN 30 AND 100
+               AND (length(text) - length(replace(text, '#', ''))) * 10 <= n
+               AND len(list_filter(lines, x -> ltrim(x, ' ' || chr(9)) LIKE '-%'
+                                            OR ltrim(x, ' ' || chr(9)) LIKE '*%')) * 10 <= 9 * len(lines)
+               AND (len(lines) - len(list_distinct(lines))) * 10 <= 3 * len(lines)
+              THEN 1 ELSE 0 END AS passes
+  FROM m
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN [] ELSE list_distinct(
+           [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(length(t) - 2, 1) + 1)]
+         ) END AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % {DECON_MOD} = {DECON_REM}
+),
+per AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+ov AS (SELECT per.doc_id, count(*) AS n_overlap FROM per JOIN bench USING (g) GROUP BY 1),
+surv AS (
+  SELECT g.doc_id, g.fingerprint, g.n,
+         CASE WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+              WHEN substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+              ELSE 'train' END AS split
+  FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
+  WHERE g.passes = 1
+    AND coalesce(ov.n_overlap, 0) = 0
+    AND g.doc_id % {DECON_MOD} != {DECON_REM}
+)
+SELECT doc_id, split, CAST(n AS BIGINT) AS n_words FROM surv
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""

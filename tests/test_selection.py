@@ -268,3 +268,19 @@ def test_dsir_end_to_end_target_docs_score_high(ray_session):
     tgt = with_bg[with_bg.doc_id % TARGET_MOD == 0]
     oth = with_bg[with_bg.doc_id % TARGET_MOD != 0]
     assert (tgt.target_hits / tgt.raw_hits).mean() > (oth.target_hits / oth.raw_hits).mean()
+
+
+def test_pretrain_prep_consistent_with_funnel(ray_session):
+    """pretrain_prep = funnel's quality→dedup chain PLUS decontamination
+    and benchmark-slice exclusion, so its survivor count is bounded by the
+    funnel's dedup stage; every surviving doc carries a valid split tag."""
+    from dedoc_ray.ops.funnel import corpus_funnel, pretrain_prep
+
+    sf = "/root/testdata/sf0.001"
+    prep = pretrain_prep(sf).to_pandas()
+    funnel = corpus_funnel(sf).to_pandas().set_index("stage")
+    assert len(prep) <= funnel.loc["dedup", "n_docs"]
+    assert set(prep["split"]) <= {"train", "val", "test"}
+    assert prep["doc_id"].is_unique
+    # benchmark slice itself is excluded
+    assert not (prep["doc_id"] % 97 == 3).any()
