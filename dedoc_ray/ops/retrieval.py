@@ -317,22 +317,30 @@ class PostingsKernel:
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import itertools
+
+        import numpy as np
+        import pandas as pd
+
         terms: List[str] = []
         dids: List[int] = []
         tfs: List[int] = []
-        buckets: List[int] = []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for t, c in Counter(TOKEN_RE.findall(text.lower())).items():
-                terms.append(t)
-                dids.append(did)
-                tfs.append(c)
-                buckets.append(_term_bucket(t, self.num_buckets))
+            c = Counter(TOKEN_RE.findall(text.lower()))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+            dids.extend(itertools.repeat(did, len(c)))
+        # bucket hash once per batch-unique term, broadcast back via codes
+        codes, uniques = pd.factorize(pd.array(terms, dtype=object))
+        ubuckets = np.fromiter(
+            (_term_bucket(t, self.num_buckets) for t in uniques), np.int32, len(uniques)
+        )
         return pa.Table.from_pydict(
             {
                 "term": pa.array(terms, "string"),
                 "doc_id": pa.array(dids, "int64"),
                 "tf": pa.array(tfs, "int64"),
-                "bucket": pa.array(buckets, "int32"),
+                "bucket": pa.array(ubuckets[codes], "int32"),
             }
         )
 
@@ -362,7 +370,7 @@ def build_term_index(sf_dir: str, index_dir: str, num_buckets: int = NUM_TERM_BU
     docs.map_batches(
         PostingsKernel,
         fn_constructor_kwargs={"num_buckets": num_buckets},
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
     ).write_parquet(os.path.join(index_dir, "postings"), partition_cols=["bucket"])
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump({"n_docs": int(n_docs), "num_buckets": num_buckets}, fh)
@@ -416,30 +424,21 @@ def term_search_indexed(index_dir: str, sf_dir: str, k: int = TOP_K, num_parts: 
     dfc = postings.groupby("term").count().to_pandas()  # tiny: one row per query term
     weights = {t: n_docs // int(c) for t, c in zip(dfc["term"], dfc["count()"])}
 
-    # every query term occurrence contributes tf x w to its (qid, doc)
-    mult: Dict[str, List[int]] = {}
-    for qid, terms in queries:
-        for t in terms:
-            mult.setdefault(t, []).append(qid)
-    contrib_ref = ray.put({t: [(q, weights.get(t, 0)) for q in qs] for t, qs in mult.items()})
+    # every query term occurrence contributes tf x w to its (qid, doc) —
+    # expressed as a tiny (term, qid, weight) table merged (vectorized)
+    # against each postings batch
+    qt_rows = [(t, qid, weights.get(t, 0)) for qid, terms in queries for t in terms]
+    qt_df = pd.DataFrame(qt_rows, columns=["term", "qid", "w"])
+    contrib_ref = ray.put(qt_df)
 
     def expand(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(contrib_ref) if not isinstance(contrib_ref, dict) else contrib_ref
-        qids: List[int] = []
-        dids: List[int] = []
-        parts: List[int] = []
-        for t, did, tf in zip(
-            batch["term"].to_pylist(), batch["doc_id"].to_pylist(), batch["tf"].to_pylist()
-        ):
-            for q, wt in cmap.get(t, ()):
-                qids.append(q)
-                dids.append(did)
-                parts.append(tf * wt)
+        qt = ray.get(contrib_ref) if not isinstance(contrib_ref, pd.DataFrame) else contrib_ref
+        df = batch.to_pandas().merge(qt, on="term", how="inner")
         return pa.Table.from_pydict(
             {
-                "qid": pa.array(qids, "int64"),
-                "doc_id": pa.array(dids, "int64"),
-                "score": pa.array(parts, "int64"),
+                "qid": pa.array(df["qid"].to_numpy("int64"), "int64"),
+                "doc_id": pa.array(df["doc_id"].to_numpy("int64"), "int64"),
+                "score": pa.array((df["tf"] * df["w"]).to_numpy("int64"), "int64"),
             }
         )
 
