@@ -1,0 +1,74 @@
+"""HTTP API facade — the reference's ``POST /upload`` surface.
+
+Reference: ``dedoc/api/dedoc_api.py:62-105`` (FastAPI) hands the uploaded
+file + form parameters to a pre-forked child holding ONE warm
+``DedocManager`` (``api/process_handler.py:21-110``), then renders the
+ParsedDocument per ``return_format``.
+
+Here the same contract runs on Flask (the HTTP stack available in this
+environment): one warm ``DedocRayManager`` per app (= the reference's
+warm child process), multipart ``file`` + form fields as QueryParameters
+strings, and the same return_format switch — ``json``/``tree`` → the
+ParsedDocument JSON, ``html``/``plain_text`` → rendered text. Single
+documents are below the distribution grain, so no Ray session is touched
+(corpus work goes through ``pipeline/extract.py``); the app can run
+inside a driver or behind any WSGI server.
+
+Endpoints:
+  GET  /            — service banner (reference dedoc_api.py root page)
+  GET  /version     — engine version string
+  POST /upload      — parse one document
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from dedoc_ray.manager import DedocRayManager
+
+
+def create_app(manager: Optional[DedocRayManager] = None):
+    from flask import Flask, Response, request
+
+    app = Flask("dedoc_ray")
+    mgr = manager or DedocRayManager()
+
+    @app.get("/")
+    def root() -> Response:
+        return Response(
+            "dedoc_ray: Ray-Data-native document extraction. POST /upload with a "
+            "multipart 'file' and QueryParameters form fields.",
+            mimetype="text/plain",
+        )
+
+    @app.get("/version")
+    def version() -> Response:
+        import dedoc_ray
+
+        return Response(dedoc_ray.__version__, mimetype="text/plain")
+
+    @app.post("/upload")
+    def upload() -> Response:
+        if "file" not in request.files:
+            return Response(
+                json.dumps({"detail": "no file field in multipart body"}),
+                status=400,
+                mimetype="application/json",
+            )
+        f = request.files["file"]
+        parameters = {k: v for k, v in request.form.items()}
+        parsed = mgr.parse(
+            data=f.read(), file_name=f.filename or "document", parameters=parameters
+        )
+        fmt = parameters.get("return_format", "json")
+        if fmt == "html":
+            return Response(parsed["content"], mimetype="text/html")
+        if fmt == "plain_text":
+            return Response(parsed["extracted_text"], mimetype="text/plain")
+        return Response(
+            json.dumps(parsed, default=str, ensure_ascii=False),
+            mimetype="application/json",
+        )
+
+    return app
