@@ -1019,6 +1019,16 @@ def q_knn_ivf_indexed(sf_dir: str):
     return knn_ivf_indexed(index_dir, sf_dir)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: distributed-Lloyd k-means (combiner partials, sorted
+    deterministic reduce) + one cluster shuffle + within-cluster blockwise
+    cosine pair scan. Rows-only by nature (matmul clustering); pytest
+    asserts exact equality with a single-process reference."""
+    from dedoc_ray.ops.kmeans import semantic_dedup
+
+    return semantic_dedup(sf_dir)
+
+
 def q_image_features(sf_dir: str):
     from dedoc_ray.ops.multimodal import image_features
 
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_indexed": q_knn_ivf_indexed,
+        "semantic_dedup": q_semantic_dedup,
         "image_features": q_image_features,
         "image_thumbnails": q_image_thumbnails,
         "audio_frames": q_audio_frames,

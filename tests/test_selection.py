@@ -284,3 +284,40 @@ def test_pretrain_prep_consistent_with_funnel(ray_session):
     assert prep["doc_id"].is_unique
     # benchmark slice itself is excluded
     assert not (prep["doc_id"] % 97 == 3).any()
+
+
+# ------------------------------------------------------ kmeans / semdedup
+
+
+def test_kmeans_fit_deterministic(ray_session):
+    from dedoc_ray.ops.kmeans import kmeans_fit
+
+    sf = "/root/testdata/sf0.001"
+    a = kmeans_fit(sf, k=4, iters=3)
+    b = kmeans_fit(sf, k=4, iters=3)
+    assert (a == b).all()  # bit-identical under the sorted partial reduce
+
+
+def test_semantic_dedup_matches_reference(ray_session):
+    from dedoc_ray.ops.kmeans import semantic_dedup, semantic_dedup_reference
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        semantic_dedup(sf, threshold=0.9, k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        semantic_dedup_reference(sf, threshold=0.9, k=4, iters=3)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"vec_id": "int64", "cluster": "int64", "keep": "int64"}),
+        want.astype({"vec_id": "int64", "cluster": "int64", "keep": "int64"}),
+    )
+    # every vector appears exactly once, smallest id of any cluster is kept
+    assert got.vec_id.is_unique
+    firsts = got.sort_values("vec_id").groupby("cluster").first()
+    assert (firsts.keep == 1).all()
