@@ -687,6 +687,14 @@ def q_length_quantiles(sf_dir: str):
     return length_quantiles(sf_dir)
 
 
+def q_group_median(sf_dir: str):
+    """Per-language exact low median via (lang, value) histogram combiners —
+    shuffle payload bounded by value cardinality, immune to group skew."""
+    from dedoc_ray.ops.rank import group_median
+
+    return group_median(sf_dir)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE merge training: corpus collapsed once to a word-count
     table, then R rounds of pair-count combiners + tiny shuffle + driver
@@ -1188,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "dsir_scores": q_dsir_scores,
         "length_quantiles": q_length_quantiles,
+        "group_median": q_group_median,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "sessionize": q_sessionize,
@@ -1361,7 +1370,7 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.passage import duplicate_passages_sql, passage_strip_sql
     from dedoc_ray.ops.vocab import vocab_topk_sql
     from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
-    from dedoc_ray.ops.rank import length_quantiles_sql
+    from dedoc_ray.ops.rank import GROUP_MEDIAN_SQL, length_quantiles_sql
     from dedoc_ray.ops.session import sessionize_sql
     from dedoc_ray.ops.funnel import CORPUS_FUNNEL_SQL, pretrain_prep_sql
     from dedoc_ray.ops.retrieval import RANKED_SEARCH_SQL, TERM_SEARCH_SQL
@@ -1504,6 +1513,7 @@ FROM base WHERE cls <= 3
         "vocab_topk": vocab_topk_sql(),
         "dsir_scores": DSIR_SCORES_SQL,
         "length_quantiles": length_quantiles_sql(),
+        "group_median": GROUP_MEDIAN_SQL,
         "sessionize": sessionize_sql(),
         "corpus_funnel": CORPUS_FUNNEL_SQL,
         "pretrain_prep": pretrain_prep_sql(),

@@ -108,3 +108,72 @@ SELECT doc_id, n_chars, rank,
        CAST((rank * {q}) // (SELECT count(*) FROM documents) AS BIGINT) AS bucket
 FROM r
 """
+
+
+# --------------------------------------------- grouped exact median
+
+
+def group_median(sf_dir: str, num_parts: int = 8):
+    """(lang, median_n_chars): the exact low median per group WITHOUT a
+    per-group sort of rows.
+
+    Same histogram trick as length_quantiles, grouped: per-batch
+    (lang, n_chars) count combiners bound the shuffle payload by the
+    VALUE cardinality (distinct doc lengths), not the row count — a
+    billion-row language costs the same shuffle bytes as a small one, so
+    group skew (one language owning half a crawl) cannot hurt. Inside
+    the lang-complete partition the median falls out of a prefix sum.
+    Low median = smallest v with |rows <= v| >= (n + 1) // 2, kept
+    integer-exact on both sides of the oracle."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "n_chars"], as_index=False).size()
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(df["lang"], "string"),
+                "n_chars": pa.array(df["n_chars"].astype("int64"), "int64"),
+                "cnt": pa.array(df["size"].astype("int64"), "int64"),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+
+    def median_of(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "median_n_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = df.groupby(["lang", "n_chars"], as_index=False)["cnt"].sum()
+        out_lang, out_med = [], []
+        for lang, grp in agg.groupby("lang"):
+            grp = grp.sort_values("n_chars")
+            cum = grp["cnt"].cumsum()
+            need = (int(grp["cnt"].sum()) + 1) // 2
+            out_lang.append(lang)
+            out_med.append(int(grp["n_chars"].to_numpy()[np.argmax(cum.to_numpy() >= need)]))
+        return pd.DataFrame({"lang": out_lang, "median_n_chars": pd.array(out_med, "int64")})
+
+    return hash_partition_apply(partials, ["lang"], median_of, num_parts=num_parts)
+
+
+GROUP_MEDIAN_SQL = """
+WITH c AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT lang, sum(cnt) AS n FROM c GROUP BY 1
+), cum AS (
+  SELECT lang, n_chars, sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cum FROM c
+)
+SELECT cum.lang, CAST(min(cum.n_chars) AS BIGINT) AS median_n_chars
+FROM cum JOIN t ON cum.lang = t.lang
+WHERE cum.cum >= (t.n + 1) // 2
+GROUP BY cum.lang
+"""

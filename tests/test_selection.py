@@ -321,3 +321,15 @@ def test_semantic_dedup_matches_reference(ray_session):
     assert got.vec_id.is_unique
     firsts = got.sort_values("vec_id").groupby("cluster").first()
     assert (firsts.keep == 1).all()
+
+
+def test_group_median_matches_pandas(ray_session):
+    from dedoc_ray.ops.rank import group_median
+
+    sf = "/root/testdata/sf0.001"
+    got = group_median(sf).to_pandas().set_index("lang")["median_n_chars"]
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "n_chars"])
+    for lang, grp in docs.groupby("lang"):
+        v = grp["n_chars"].sort_values().to_numpy()
+        low_median = int(v[(len(v) - 1) // 2])
+        assert got[lang] == low_median
