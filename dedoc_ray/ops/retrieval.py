@@ -460,3 +460,45 @@ def term_search_indexed(index_dir: str, sf_dir: str, k: int = TOP_K, num_parts: 
         )
 
     return hash_partition_apply(contribs, ["qid"], finalize, num_parts=num_parts)
+
+
+def update_term_index(sf_dir: str, index_dir: str, doc_filter=None) -> str:
+    """Incrementally ADD documents to an existing index (no rebuild).
+
+    Postings are append-only facts keyed by (term, doc_id): new docs'
+    rows land as extra uniquely-named files inside the same
+    ``bucket=<h>/`` hive directories, so search needs no code change and
+    old files are never rewritten — the crawl-ingest shape where each
+    snapshot's postings append in one streaming pass. ``meta.json``'s
+    n_docs is bumped so idf reflects the grown corpus.
+
+    ``doc_filter``: optional pyarrow-compute predicate (batch -> bool
+    mask) selecting the NEW docs in sf_dir (defaults to all rows — the
+    caller dedups against the index's manifest in real ingest)."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_new = pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+    if doc_filter is not None:
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(doc_filter(batch))
+
+        docs = docs.map_batches(keep, batch_format="pyarrow")
+        n_new = docs.count()
+    docs.map_batches(
+        PostingsKernel,
+        fn_constructor_kwargs={"num_buckets": meta["num_buckets"]},
+        batch_format="pyarrow", batch_size=1024, concurrency=(2, 8),
+    ).write_parquet(os.path.join(index_dir, "postings"), partition_cols=["bucket"])
+
+    meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return index_dir
