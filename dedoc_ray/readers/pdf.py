@@ -36,6 +36,47 @@ from dedoc_ray.readers.base import UnstructuredDoc
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_OBJ_RE = re.compile(rb"\bobj\b(.*?)\bendobj\b", re.DOTALL)
+_ROTATE_RE = re.compile(rb"/Rotate\s+(\d+)")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*[-+\d.]+\s+[-+\d.]+\s+([-+\d.]+)\s+([-+\d.]+)\s*\]"
+)
+
+
+def _page_orientations(data: bytes) -> List[Tuple[int, float, float]]:
+    """(rotate, width, height) per /Type /Page object, document order.
+
+    The text-layer subset of the reference's ColumnsOrientationClassifier
+    (pdf_image_reader/columns_orientation_classifier — a CNN over the
+    scanned image): born-digital PDFs DECLARE orientation in the page
+    dict, so 0/90/180/270 detection is a parse, not a model. Assumes
+    content streams appear in page-object order (true for the linear
+    writers this subset targets)."""
+    out: List[Tuple[int, float, float]] = []
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(1)
+        if not re.search(rb"/Type\s*/Page\b", body) or re.search(rb"/Type\s*/Pages\b", body):
+            continue
+        rot_m = _ROTATE_RE.search(body)
+        rot = int(rot_m.group(1)) % 360 if rot_m else 0
+        mb = _MEDIABOX_RE.search(body)
+        w, h = (float(mb.group(1)), float(mb.group(2))) if mb else (612.0, 792.0)
+        out.append((rot, w, h))
+    return out
+
+
+def _unrotate_ops(ops, rot: int, w: float, h: float):
+    """Map raw text-space coordinates into DISPLAY space so column split
+    and line grouping see reading order. /Rotate 90 = page shown rotated
+    90° clockwise: media (x, y) lands at display (y, w - x); 180 flips
+    both axes; 270 is the inverse of 90."""
+    if rot == 90:
+        return [(y, w - x, font, size, text) for x, y, font, size, text in ops]
+    if rot == 180:
+        return [(w - x, h - y, font, size, text) for x, y, font, size, text in ops]
+    if rot == 270:
+        return [(h - y, x, font, size, text) for x, y, font, size, text in ops]
+    return ops
 # ops we interpret inside a BT block
 _TOKEN_RE = re.compile(
     rb"(?P<str>\((?:\\.|[^\\()])*\))|(?P<arr>\[(?:\\.|[^\]])*\])|(?P<num>[-+]?\d*\.?\d+)|(?P<name>/[A-Za-z0-9+._-]+)|(?P<op>[A-Za-z'\"*]+)"
@@ -153,6 +194,8 @@ def read_pdf_textlayer(
     line_id = 0
     page_id = 0
     saw_text = False
+    orientations = _page_orientations(data)
+    rotated_pages: List[str] = []
     for stream_m in _STREAM_RE.finditer(data):
         payload = stream_m.group(1)
         try:
@@ -169,6 +212,10 @@ def read_pdf_textlayer(
         page_ops: List[Tuple[float, float, str, float, str]] = []
         for block in blocks:
             page_ops.extend(op for op in _iter_text_ops(block) if op[4])
+        if page_id < len(orientations) and orientations[page_id][0]:
+            rot, pw, ph = orientations[page_id]
+            page_ops = _unrotate_ops(page_ops, rot, pw, ph)
+            rotated_pages.append(f"page {page_id} rotated {rot}")
         # columns left→right, LAParams-style line grouping within each,
         # y desc inside a column (multi-column reading order);
         # is_one_column_document="true" forces a single column
@@ -230,7 +277,7 @@ def read_pdf_textlayer(
 
     return UnstructuredDoc(
         lines=lines,
-        warnings=[f"pdf pages: {page_id}"],
+        warnings=[f"pdf pages: {page_id}"] + rotated_pages,
         attachments=extract_pdf_attachments(data),
     )
 

@@ -44,3 +44,62 @@ def test_pdf_auto_routes_garbage_layer_to_ocr_stub():
     doc = read_pdf_auto(pdf)
     assert doc.lines == []
     assert any("classified incorrect" in w for w in doc.warnings)
+
+
+# ------------------------------------------------------- page rotation
+
+
+def _pdf_with_rotation(lines_xy, rotate=None, w=612, h=792):
+    """One-page PDF with explicit (x, y, text) ops and optional /Rotate."""
+    ops = []
+    for x, y, text in lines_xy:
+        safe = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ops.append(f"BT /F1 12 Tf {x} {y} Td ({safe}) Tj ET")
+    content = "\n".join(ops).encode("latin-1")
+    rot = f" /Rotate {rotate}" if rotate else ""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        (f"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}]{rot} "
+         f"/Contents 4 0 R >> endobj").encode(),
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def test_pdf_rotate_180_restores_reading_order():
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+
+    display = [(72, 760, "first line"), (72, 746, "second line"), (72, 732, "third line")]
+    upright = read_pdf_textlayer(_pdf_with_rotation(display))
+    want = [l.line for l in upright.lines]
+
+    # write the same display layout into a /Rotate 180 page: media coords
+    # are the 180-flip of display coords
+    flipped = [(612 - x, 792 - y, t) for x, y, t in display]
+    rotated = read_pdf_textlayer(_pdf_with_rotation(flipped, rotate=180))
+    assert [l.line for l in rotated.lines] == want
+    assert any("rotated 180" in w for w in rotated.warnings)
+
+
+def test_pdf_rotate_90_restores_reading_order():
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+
+    display = [(72, 760, "alpha"), (72, 746, "beta"), (72, 732, "gamma")]
+    upright = read_pdf_textlayer(_pdf_with_rotation(display))
+    want = [l.line for l in upright.lines]
+
+    # /Rotate 90 display (x_d, y_d) comes from media (x, y) via
+    # x_d = y, y_d = w - x  =>  media x = w - y_d, media y = x_d
+    media = [(612 - y, x, t) for x, y, t in display]
+    rotated = read_pdf_textlayer(_pdf_with_rotation(media, rotate=90))
+    assert [l.line for l in rotated.lines] == want
+    assert any("rotated 90" in w for w in rotated.warnings)
+
+
+def test_pdf_unrotated_has_no_rotation_warning():
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+
+    doc = read_pdf_textlayer(_pdf_with_rotation([(72, 760, "plain")]))
+    assert not any("rotated" in w for w in doc.warnings)
