@@ -655,6 +655,14 @@ def q_dup_passages(sf_dir: str):
     return duplicate_passages(sf_dir)
 
 
+def q_novel_grams(sf_dir: str):
+    """Corpus-order n-gram novelty profile: min-doc_id winner per gram in
+    gram partitions (combiner pre-count), tagged-union doc_id merge."""
+    from dedoc_ray.ops.passage import novel_grams
+
+    return novel_grams(sf_dir)
+
+
 def q_passage_strip(sf_dir: str):
     """Lee et al.-style substring-dedup rewrite: foreign-duplicated k-gram
     coverage deleted from the normalized text, canonical min-doc keeps."""
@@ -1192,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "global_shuffle": q_global_shuffle,
         "dup_passages": q_dup_passages,
+        "novel_grams": q_novel_grams,
         "passage_strip": q_passage_strip,
         "vocab_topk": q_vocab_topk,
         "dsir_scores": q_dsir_scores,
@@ -1367,7 +1376,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from dedoc_ray.ops.cc import dedup_clusters_sql, dedup_keep_sql
     from dedoc_ray.ops.fingerprint import winnow_stats_sql
-    from dedoc_ray.ops.passage import duplicate_passages_sql, passage_strip_sql
+    from dedoc_ray.ops.passage import NOVEL_GRAMS_SQL, duplicate_passages_sql, passage_strip_sql
     from dedoc_ray.ops.vocab import vocab_topk_sql
     from dedoc_ray.ops.dsir import DSIR_SCORES_SQL
     from dedoc_ray.ops.rank import GROUP_MEDIAN_SQL, length_quantiles_sql
@@ -1509,6 +1518,7 @@ FROM base WHERE cls <= 3
         "hash_split": HASH_SPLIT_SQL,
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "dup_passages": duplicate_passages_sql(),
+        "novel_grams": NOVEL_GRAMS_SQL,
         "passage_strip": passage_strip_sql(),
         "vocab_topk": vocab_topk_sql(),
         "dsir_scores": DSIR_SCORES_SQL,

@@ -26,6 +26,8 @@ vectorized work, no per-key Python. No stage materializes the corpus.
 
 from __future__ import annotations
 
+from typing import List
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -327,4 +329,138 @@ SELECT g.doc_id, g.n_grams,
        CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
        CAST(coalesce(c.n_dup_bytes, 0) AS BIGINT) AS n_dup_bytes
 FROM grams g LEFT JOIN cov c USING (doc_id)
+"""
+
+
+# ------------------------------------------------------ n-gram novelty
+
+
+def novel_grams(sf_dir: str, n: int = 3, num_parts: int = 32):
+    """(doc_id, n_grams, n_novel): how many of a doc's distinct n-grams
+    appear in NO smaller-doc_id document — the corpus-order novelty
+    profile (the aggregate behind "fraction of text that is new",
+    complementary to dup_passages' byte coverage).
+
+    Two integer-only shuffles, ONE corpus tokenize: (1) distinct
+    (gram, doc_id) pairs hash to gram partitions where BOTH combiner
+    partials fall out of the same shuffled rows — the min-doc_id winner
+    count per doc (novel) AND each doc's gram count in this partition
+    (its n_grams share: every gram lives in exactly one partition);
+    (2) the tagged partials meet in doc_id partitions. Text never
+    shuffles; a gram's rows co-locate once however often it repeats."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.dedup import shingle_hashes
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        gs = [shingle_hashes(t, n) for t in batch["text"].to_pylist()]
+        lens = np.fromiter((len(g) for g in gs), np.int64, len(gs))
+        grams = (
+            np.concatenate(gs).view(np.int64) if gs else np.empty(0, np.int64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "gram": pa.array(grams, "int64"),
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), lens), "int64"),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow", batch_size=1024)
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "is_total": pd.Series([], dtype="int64"),
+                }
+            )
+        win = df.groupby("gram")["doc_id"].min()
+        per_winner = win.value_counts()
+        per_doc = df["doc_id"].value_counts()  # this partition's n_grams share
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [per_doc.index.to_numpy("int64"), per_winner.index.to_numpy("int64")]
+                ),
+                "cnt": np.concatenate(
+                    [per_doc.to_numpy("int64"), per_winner.to_numpy("int64")]
+                ),
+                "is_total": np.concatenate(
+                    [np.ones(len(per_doc), np.int64), np.zeros(len(per_winner), np.int64)]
+                ),
+            }
+        )
+
+    novel_partials = hash_partition_apply(exploded, ["gram"], winners, num_parts=num_parts)
+    # docs with ZERO grams never reach a gram partition: emit their
+    # (doc_id, 0) total rows from a cheap metadata-only side map
+    def empties(batch: pa.Table) -> pa.Table:
+        from dedoc_ray.ops.textstats import TOKEN_RE
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        has = np.fromiter(
+            (TOKEN_RE.search(t.lower()) is not None for t in batch["text"].to_pylist()),
+            bool, len(ids),
+        )
+        z = ids[~has].astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(z, "int64"),
+                "cnt": pa.array(np.zeros(len(z), np.int64), "int64"),
+                "is_total": pa.array(np.ones(len(z), np.int64), "int64"),
+            }
+        )
+
+    total_rows = docs.map_batches(empties, batch_format="pyarrow", batch_size=1024)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_novel": pd.Series([], dtype="int64"),
+                }
+            )
+        tot = df[df["is_total"] == 1].groupby("doc_id")["cnt"].sum()
+        nov = df[df["is_total"] == 0].groupby("doc_id")["cnt"].sum()
+        out = pd.DataFrame({"n_grams": tot}).fillna(0)
+        out["n_novel"] = nov.reindex(out.index).fillna(0)
+        return pd.DataFrame(
+            {
+                "doc_id": out.index.astype("int64"),
+                "n_grams": out["n_grams"].astype("int64"),
+                "n_novel": out["n_novel"].astype("int64"),
+            }
+        )
+
+    return hash_partition_apply(
+        total_rows.union(novel_partials), ["doc_id"], combine, num_parts=num_parts
+    )
+
+
+NOVEL_GRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN [] ELSE list_distinct(
+           [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(length(t) - 2, 1) + 1)]
+         ) END AS gs
+  FROM toks
+),
+per AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+w AS (SELECT g, min(doc_id) AS winner FROM per GROUP BY g),
+nv AS (SELECT winner AS doc_id, count(*) AS n_novel FROM w GROUP BY winner)
+SELECT s.doc_id,
+       CAST(length(s.gs) AS BIGINT) AS n_grams,
+       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel
+FROM sh s LEFT JOIN nv ON s.doc_id = nv.doc_id
 """

@@ -135,3 +135,40 @@ def test_end_to_end_matches_local(ray_session):
     docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
     want = _stats_local(dict(zip(docs.doc_id, docs.text)), k=24)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_novel_grams_bruteforce(ray_session, tmp_path):
+    """Every doc's n_novel equals the count of its distinct 3-gram hashes
+    not present in any smaller-id doc (brute-force replay)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedoc_ray.ops.dedup import shingle_hashes
+    from dedoc_ray.ops.passage import novel_grams
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma zeta eta",      # shares the 'alpha beta gamma' gram
+        "completely different words here now",
+        "alpha beta gamma delta epsilon",  # exact dup of doc 0: zero novel
+    ]
+    d = str(tmp_path / "novel")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"doc_id": pa.array(range(len(texts)), "int64"),
+             "text": pa.array(texts, "string")}
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = novel_grams(d).to_pandas().set_index("doc_id").sort_index()
+
+    seen: set = set()
+    for i, t in enumerate(texts):
+        g = set(shingle_hashes(t).tolist())
+        assert got.loc[i, "n_grams"] == len(g)
+        assert got.loc[i, "n_novel"] == len(g - seen)
+        seen |= g
+    assert got.loc[3, "n_novel"] == 0
