@@ -149,6 +149,20 @@ def q_extract_rtf(sf_dir: str):
     return _office_extract(sf_dir, "rtf").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_warc(sf_dir: str):
+    """WARC ingestion (the Common-Crawl on-disk format): synthetic
+    ``*.warc`` payloads (gzip-member and plain layouts, request records
+    interleaved) → record parse → pages table → html extraction, with
+    the warc_ts lineage column riding through the kernel. Byte-exact
+    text + timestamp oracle."""
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.warc import synth_warc_corpus, warc_pages_from_payloads
+
+    pages = warc_pages_from_payloads(synth_warc_corpus(sf_dir))
+    ds = extract_pages(pages, concurrency=None)
+    return ds.select_columns(["url", "warc_ts", "status", "extracted_text"])
+
+
 def q_extract_pdf_paragraphs(sf_dir: str):
     """Trained paragraph-continuation merge over text-layer geometry
     (ScanParagraphClassifier analogue): wrapped visual lines rejoin into
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
+        "extract_warc": q_extract_warc,
         "docx_attachments": q_docx_attachments,
         "pdf_attachments": q_pdf_attachments,
         "docx_footnotes": q_docx_footnotes,
@@ -1473,6 +1488,10 @@ FROM base WHERE cls <= 3
                            f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_sections, "
                            f"CAST(CASE WHEN doc_id % 2 = 0 THEN len(string_split(text, ' the ')) ELSE 0 END AS BIGINT) AS n_refs "
                            f"FROM documents",
+        "extract_warc": "SELECT 'https://synth.test/warc/' || doc_id || '.html' AS url, "
+                        "strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(doc_id % 86400 AS BIGINT)), "
+                        "'%Y-%m-%dT%H:%M:%SZ') AS warc_ts, 'ok' AS status, "
+                        "replace(text, ' the ', chr(10)) || chr(10) AS extracted_text FROM documents",
         "extract_eml": f"SELECT {office_url.format(ext='eml')} AS url, 'ok' AS status, "
                        f"'Doc ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_mhtml": f"SELECT {office_url.format(ext='mhtml')} AS url, 'ok' AS status, "

@@ -310,4 +310,10 @@ class ExtractKernel:
             cols["n_nodes"].append(len(row["nodes"]))
             cols["n_tables"].append(len(row["tables"]))
             cols["n_bytes"].append(len(data))
-        return pa.Table.from_pydict(cols, schema=EXTRACTED_SCHEMA)
+        out = pa.Table.from_pydict(cols, schema=EXTRACTED_SCHEMA)
+        # passthrough: lineage columns riding the pages table (e.g. warc_ts,
+        # crawl id) survive extraction — row order is preserved 1:1.
+        for name in batch.column_names:
+            if name not in ("url", "html", "lang", "shard") and name not in out.column_names:
+                out = out.append_column(name, batch[name])
+        return out
