@@ -958,6 +958,35 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(sf_dir)
 
 
+_HLL_TOKENS_CTE = ("SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS val "
+                   "FROM documents")
+
+
+def _hll_token_registers(sf_dir: str):
+    import ray.data as rd
+
+    from dedoc_ray.ops.sketch import hll_registers
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hll_registers(ds, "text", tokenize=True)
+
+
+def q_hll_tokens(sf_dir: str):
+    """HyperLogLog distinct-token sketch: bounded-state alternative to a
+    full-corpus `unique` shuffle — per-batch register partials, one tiny
+    groupby merge. Registers are bit-exact vs a DuckDB md5 replay."""
+    return _hll_token_registers(sf_dir)
+
+
+def q_hll_token_estimate(sf_dir: str):
+    """Integer raw-estimator components (S, V, E_raw) of the token HLL —
+    pure rational arithmetic, SQL-exact; the float corrected estimate is
+    pytest-bound instead."""
+    from dedoc_ray.ops.sketch import hll_estimate_rows
+
+    return hll_estimate_rows(_hll_token_registers(sf_dir))
+
+
 def q_simhash(sf_dir: str):
     from dedoc_ray.ops.dedup import simhash_fingerprints
 
@@ -1248,6 +1277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "hll_tokens": q_hll_tokens,
+        "hll_token_estimate": q_hll_token_estimate,
         "simhash_pairs": q_simhash_pairs,
         "knn": q_knn,
         "embedding_neardup": q_embedding_neardup,
@@ -1372,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_pairs_sql,
         simhash_sql,
     )
+    import dedoc_ray.ops.sketch as _hll_sketch
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
     from dedoc_ray.ops.relational import (
@@ -1566,6 +1598,8 @@ FROM base WHERE cls <= 3
         "url_normalize": URL_NORMALIZE_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "simhash": simhash_sql(),
+        "hll_tokens": _hll_sketch.hll_registers_sql(_HLL_TOKENS_CTE),
+        "hll_token_estimate": _hll_sketch.hll_estimate_sql(_HLL_TOKENS_CTE),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),
         "embedding_neardup": embedding_neardup_sql(),

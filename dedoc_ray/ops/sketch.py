@@ -1,0 +1,219 @@
+"""Cardinality sketches — HyperLogLog distinct counting at corpus scale.
+
+The 100 TB question "how many distinct tokens / urls / fingerprints does
+this corpus have?" cannot be answered with an exact ``unique`` (that is an
+all-to-all shuffle of every value). A HyperLogLog sketch answers it with
+**bounded state**: each batch folds its values into a 2^p-register array,
+register partials merge by element-wise max, and only ``(bucket, rho)``
+rows — at most 2^p per batch, usually far fewer — ever shuffle. One small
+``groupby(bucket).max(rho)`` replaces the full-corpus exchange.
+
+Determinism contract (the oracle hinges on it):
+- value hash = md5-low64 little-endian (``_stable_hash64`` — the same
+  definition the dedup/simhash oracles replay from ``md5()`` hex);
+- bucket = top ``p`` bits, rho = leading-zero count of the remaining
+  ``64-p`` bits + 1 (tail of 0 → 64-p+1);
+- the integer estimator below uses pure rational arithmetic (HUGEINT in
+  DuckDB, bignum in Python) — no floats anywhere, so Ray and SQL agree
+  bit-for-bit.
+
+Flavors of output:
+- ``hll_registers(ds, col)`` → the mergeable sketch itself (what a real
+  pipeline persists and unions across crawls);
+- ``hll_estimate_rows(registers)`` → integer raw-estimator components
+  (S, V, E_raw) — SQL-exact;
+- ``hll_cardinality(registers)`` → the user-facing corrected estimate
+  (linear counting in the small range, float) — accuracy is pytest-bound
+  (~1.04/sqrt(m) standard error), not SQL-replayed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+
+# Fixed geometry: p=12 → m=4096 registers, ~1.6 % standard error. The
+# estimator's rational constants below are specialized to this m.
+P = 12
+M = 1 << P
+TAIL_BITS = 64 - P  # 52
+RHO_MAX = TAIL_BITS + 1  # 53
+_Q = 40  # fixed-point scale for the integer estimator (rho clamped to _Q)
+
+
+def _hash64_column(vals) -> np.ndarray:
+    """md5-low64 of each string — vectorized over UNIQUE values (token
+    columns are Zipfian; urls hash once each)."""
+    import pandas as pd
+
+    from dedoc_ray.ops.dedup import _stable_hash64
+
+    s = pd.Series(vals, dtype="object")
+    uniq, inv = np.unique(s.to_numpy(), return_inverse=True)
+    hs = np.fromiter((_stable_hash64(str(u)) for u in uniq), dtype=np.uint64,
+                     count=len(uniq))
+    return hs[inv]
+
+
+def _fold_registers(h64: np.ndarray) -> np.ndarray:
+    """hashes → dense m-register array (uint8 rho per bucket, 0 = empty)."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(h64) == 0:
+        return regs
+    bucket = (h64 >> np.uint64(TAIL_BITS)).astype(np.int64)
+    tail = h64 & np.uint64((1 << TAIL_BITS) - 1)
+    # bit_length via frexp: doubles hold any int < 2^52 exactly, and frexp's
+    # exponent IS the bit length — integer-exact, no log2 rounding edge
+    bl = np.frexp(tail.astype(np.float64))[1]
+    rho = (RHO_MAX - bl).astype(np.uint8)  # tail==0 → bl=0 → rho=53
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+class _HllKernel:
+    """Per-batch partial: tokenize/select values, fold to registers, emit
+    sparse (bucket, rho) rows. Stateless beyond the compiled pattern."""
+
+    def __init__(self, col: str, tokenize: bool):
+        import re
+
+        self.col = col
+        self.tok = re.compile(r"[a-z0-9]+") if tokenize else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [v for v in batch[self.col].to_pylist() if v is not None]
+        if self.tok is not None:
+            toks: list = []
+            for t in vals:
+                toks.extend(self.tok.findall((t or "").lower()))
+            vals = toks
+        regs = _fold_registers(_hash64_column(vals)) if vals else np.zeros(M, np.uint8)
+        nz = np.nonzero(regs)[0]
+        return pa.Table.from_pydict({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "rho": pa.array(regs[nz].astype(np.int64)),
+        })
+
+
+def hll_registers(ds, col: str, tokenize: bool = False):
+    """Dataset → merged HLL register Dataset ``(bucket, rho)``; at most m
+    rows. ``tokenize=True`` sketches distinct [a-z0-9]+ tokens of a text
+    column instead of distinct cell values."""
+    partials = ds.map_batches(
+        _HllKernel, fn_constructor_kwargs={"col": col, "tokenize": tokenize},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+    return partials.groupby("bucket").max("rho").rename_columns(["bucket", "rho"])
+
+
+def estimate_components(buckets: np.ndarray, rhos: np.ndarray) -> Tuple[int, int, int]:
+    """(S, V, E_raw) of the integer raw estimator — exact bignum math.
+
+    S = sum over all m buckets of 2^(Q - min(rho, Q)) (empty bucket: 2^Q);
+    V = empty-bucket count;
+    E_raw = alpha_m * m^2 * 2^Q // S with alpha_m = 7213000m / (10000(1000m+1079)).
+    """
+    full = np.zeros(M, dtype=np.int64)
+    full[buckets] = rhos
+    clamped = np.minimum(full, _Q)
+    s = int(np.sum(np.int64(1) << (np.int64(_Q) - clamped)))
+    v = int(np.count_nonzero(full == 0))
+    e_raw = (7213000 * M * M * M * (1 << _Q)) // (10000 * (1000 * M + 1079) * s)
+    return s, v, e_raw
+
+
+def hll_estimate_rows(registers) -> pa.Table:
+    """Register Dataset → one-row integer table (n_registers, v_empty,
+    s_scaled, e_raw) — every value SQL-replayable."""
+    tbl = registers.to_arrow_refs()
+    import ray
+
+    parts = [ray.get(r) for r in tbl]
+    t = pa.concat_tables([p for p in parts if p.num_rows] or [pa.table({"bucket": pa.array([], "int64"), "rho": pa.array([], "int64")})])
+    b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = t["rho"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s, v, e_raw = estimate_components(b, r)
+    return pa.Table.from_pydict({
+        "n_registers": pa.array([int(len(b))], "int64"),
+        "v_empty": pa.array([v], "int64"),
+        "s_scaled": pa.array([s], "int64"),
+        "e_raw": pa.array([e_raw], "int64"),
+    })
+
+
+def hll_cardinality(registers) -> float:
+    """User-facing corrected estimate: linear counting when the sketch is
+    sparse (V > 0 and raw estimate ≤ 2.5m), raw estimator otherwise."""
+    import ray
+
+    parts = [ray.get(r) for r in registers.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows] or [pa.table({"bucket": pa.array([], "int64"), "rho": pa.array([], "int64")})])
+    b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = t["rho"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s, v, e_raw = estimate_components(b, r)
+    if v > 0 and e_raw <= 5 * M // 2:
+        return M * math.log(M / v)
+    return float(e_raw)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_LE64 = " + ".join(
+    f"(CAST(CAST(('0x' || substr(h, {1 + 2 * i}, 2)) AS UBIGINT) AS HUGEINT) * {256 ** i})"
+    for i in range(8)
+)
+
+
+def hll_registers_sql(source_cte: str) -> str:
+    """Register oracle over ``source_cte`` (must yield column ``val``)."""
+    return f"""
+WITH src AS ({source_cte}),
+hashed AS (
+  SELECT md5(val) AS h FROM (SELECT DISTINCT val FROM src WHERE val IS NOT NULL)
+),
+h64 AS (
+  SELECT CAST({_LE64} AS HUGEINT) AS hv FROM hashed
+),
+parts AS (
+  SELECT CAST(hv // {1 << TAIL_BITS} AS BIGINT) AS bucket,
+         CAST(hv % {1 << TAIL_BITS} AS HUGEINT) AS tail
+  FROM h64
+),
+rhos AS (
+  SELECT bucket,
+         CASE WHEN tail = 0 THEN {RHO_MAX}
+              ELSE {RHO_MAX} - length(bin(CAST(tail AS UBIGINT)))
+         END AS rho
+  FROM parts
+)
+SELECT bucket, CAST(max(rho) AS BIGINT) AS rho FROM rhos GROUP BY bucket
+"""
+
+
+#: rho → 2^(Q - min(rho, Q)) as exact integer literals (no float pow in SQL)
+_TERM_CASE = ("CASE WHEN rho >= " + str(_Q) + " THEN 1 "
+              + " ".join(f"WHEN rho = {r} THEN {1 << (_Q - r)}" for r in range(1, _Q))
+              + " END")
+
+
+def hll_estimate_sql(source_cte: str) -> str:
+    return f"""
+WITH regs AS ({hll_registers_sql(source_cte)}),
+s AS (
+  SELECT count(*) AS n_regs,
+         sum(CAST({_TERM_CASE} AS HUGEINT)) AS s_used
+  FROM regs
+)
+SELECT CAST(n_regs AS BIGINT) AS n_registers,
+       CAST({M} - n_regs AS BIGINT) AS v_empty,
+       CAST(s_used + ({M} - n_regs) * CAST({1 << _Q} AS HUGEINT) AS BIGINT) AS s_scaled,
+       CAST(CAST({7213000 * M * M * M} AS HUGEINT) * {1 << _Q}
+            // (CAST({10000 * (1000 * M + 1079)} AS HUGEINT)
+                * (s_used + ({M} - n_regs) * CAST({1 << _Q} AS HUGEINT))) AS BIGINT) AS e_raw
+FROM s
+"""
