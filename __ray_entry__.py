@@ -1017,6 +1017,17 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(sf_dir)
 
 
+def q_pq_search(sf_dir: str):
+    """Product-quantization ANN with exact shortlist reranking: 4×16 byte
+    codes (64× smaller than the float column), ADC pruning per batch,
+    exact cosine only on the R-shortlist. rows-only (float codebooks);
+    pytest pins bit-equality of the pure-ADC path vs a single-process
+    reference plus recall ≥0.7 with rerank."""
+    from dedoc_ray.ops.pq import pq_search
+
+    return pq_search(sf_dir, rerank_r=80)
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Approximate high-threshold near-dup via SRP-LSH buckets (the 100 TB
     path — no all-pairs), over the RE-CRAWL scenario: the corpus doubled
@@ -1284,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_ivf": q_knn_ivf,
+        "pq_search": q_pq_search,
         "knn_ivf_indexed": q_knn_ivf_indexed,
         "semantic_dedup": q_semantic_dedup,
         "image_features": q_image_features,
