@@ -987,6 +987,16 @@ def q_hll_token_estimate(sf_dir: str):
     return hll_estimate_rows(_hll_token_registers(sf_dir))
 
 
+def q_bloom_delta(sf_dir: str):
+    """Bloom-filter cross-crawl membership: fixed-size base-corpus summary
+    (bounded by filter geometry, not corpus size), map-only probe of the
+    new crawl — the zero-shuffle alternative to delta_dedup. Bit-exact
+    double-hashing replay in DuckDB."""
+    from dedoc_ray.ops.bloom import bloom_delta
+
+    return bloom_delta(sf_dir)
+
+
 def q_simhash(sf_dir: str):
     from dedoc_ray.ops.dedup import simhash_fingerprints
 
@@ -1289,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "hll_tokens": q_hll_tokens,
+        "bloom_delta": q_bloom_delta,
         "hll_token_estimate": q_hll_token_estimate,
         "simhash_pairs": q_simhash_pairs,
         "knn": q_knn,
@@ -1416,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_sql,
     )
     import dedoc_ray.ops.sketch as _hll_sketch
+    from dedoc_ray.ops.bloom import BLOOM_DELTA_SQL as _BLOOM_DELTA_SQL
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
     from dedoc_ray.ops.relational import (
@@ -1611,6 +1623,7 @@ FROM base WHERE cls <= 3
         "decontaminate": DECONTAMINATE_SQL,
         "simhash": simhash_sql(),
         "hll_tokens": _hll_sketch.hll_registers_sql(_HLL_TOKENS_CTE),
+        "bloom_delta": _BLOOM_DELTA_SQL,
         "hll_token_estimate": _hll_sketch.hll_estimate_sql(_HLL_TOKENS_CTE),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),
