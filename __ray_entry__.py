@@ -149,6 +149,17 @@ def q_extract_rtf(sf_dir: str):
     return _office_extract(sf_dir, "rtf").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_pdf_cid(sf_dir: str):
+    """Type0/CID PDF depth: 2-byte hex CIDs decoded through /ToUnicode
+    CMaps (bfchar + bfrange), TJ kern-as-word-gap recovery, and a page
+    dict stored in a compressed /ObjStm — byte-exact text oracle."""
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(office_corpus(sf_dir, "pdf_cid"), concurrency=None)
+    return ds.select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_warc(sf_dir: str):
     """WARC ingestion (the Common-Crawl on-disk format): synthetic
     ``*.warc`` payloads (gzip-member and plain layouts, request records
@@ -1230,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
+        "extract_pdf_cid": q_extract_pdf_cid,
         "docx_attachments": q_docx_attachments,
         "pdf_attachments": q_pdf_attachments,
         "docx_footnotes": q_docx_footnotes,
@@ -1480,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
         "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                               f"{body} AS extracted_text FROM documents",
+        "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                           f"{body} AS extracted_text FROM documents",
         "extract_pdf_paragraphs": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                                   f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "docx_footnotes": f"SELECT {office_url.format(ext='docx')} AS url, "

@@ -79,8 +79,133 @@ def _unrotate_ops(ops, rot: int, w: float, h: float):
     return ops
 # ops we interpret inside a BT block
 _TOKEN_RE = re.compile(
-    rb"(?P<str>\((?:\\.|[^\\()])*\))|(?P<arr>\[(?:\\.|[^\]])*\])|(?P<num>[-+]?\d*\.?\d+)|(?P<name>/[A-Za-z0-9+._-]+)|(?P<op>[A-Za-z'\"*]+)"
+    rb"(?P<str>\((?:\\.|[^\\()])*\))|(?P<hex><[0-9A-Fa-f\s]*>)|(?P<arr>\[(?:\\.|[^\]])*\])|(?P<num>[-+]?\d*\.?\d+)|(?P<name>/[A-Za-z0-9+._-]+)|(?P<op>[A-Za-z'\"*]+)"
 )
+
+_OBJSTM_RE = re.compile(
+    rb"/Type\s*/ObjStm\b(?:.*?)/N\s+(\d+)(?:.*?)/First\s+(\d+)(?:.*?)"
+    rb"stream\r?\n(.*?)endstream",
+    re.DOTALL,
+)
+_NUMOBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj\b", re.DOTALL)
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTREF_RE = re.compile(rb"/([A-Za-z0-9+._-]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_TJ_SPACE_KERN = -120.0  # TJ kern (thousandths of em) treated as a word gap
+
+
+def _expand_objstm(data: bytes) -> bytes:
+    """Inline the contents of /ObjStm object streams (PDF 1.5 compressed
+    object storage) as plain ``N 0 obj … endobj`` text so the byte-scan
+    passes (page dicts, font tables) see them. Content streams themselves
+    can never live inside an ObjStm, so only dictionaries need this."""
+    out: List[bytes] = []
+    for m in _OBJSTM_RE.finditer(data):
+        n, first = int(m.group(1)), int(m.group(2))
+        payload = m.group(3)
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            pass
+        head = payload[:first].split()
+        if len(head) < 2 * n:
+            continue
+        nums = [int(v) for v in head[: 2 * n]]
+        pairs = list(zip(nums[0::2], nums[1::2]))
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(payload) - first
+            body = payload[first + off: first + end]
+            out.append(b"%d 0 obj " % objnum + body + b" endobj\n")
+    return b"".join(out)
+
+
+def _parse_cmap(cmap: bytes) -> dict:
+    """ToUnicode CMap → {code:int → str} (bfchar + both bfrange forms;
+    destinations are UTF-16BE hex)."""
+    table: dict = {}
+
+    def _dst(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode("ascii"))
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
+
+    for body in _BFCHAR_RE.findall(cmap):
+        toks = _HEXTOK_RE.findall(body)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            table[int(src, 16)] = _dst(dst)
+    for body in _BFRANGE_RE.findall(cmap):
+        pos = 0
+        while True:
+            m = _HEXTOK_RE.search(body, pos)
+            if not m:
+                break
+            lo = int(m.group(1), 16)
+            m2 = _HEXTOK_RE.search(body, m.end())
+            if not m2:
+                break
+            hi = int(m2.group(1), 16)
+            pos = m2.end()
+            nxt = re.match(rb"\s*(\[)?", body[pos:])
+            if nxt.group(1):  # [ <d1> <d2> … ] form
+                close = body.find(b"]", pos)
+                dsts = _HEXTOK_RE.findall(body[pos:close])
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    table[lo + i] = _dst(d)
+                pos = close + 1
+            else:  # <dstStart> form
+                m3 = _HEXTOK_RE.search(body, pos)
+                if not m3:
+                    break
+                start = int(m3.group(1), 16)
+                for i in range(hi - lo + 1):
+                    table[lo + i] = chr(start + i)
+                pos = m3.end()
+    return table
+
+
+def _font_cmaps(data: bytes) -> dict:
+    """{font resource name (e.g. "F1") → CID→unicode table} for every font
+    carrying a /ToUnicode CMap (Type0/CID text extraction —
+    reference delegates this to pdfminer's CMapDB)."""
+    objs = {int(m.group(1)): m.group(2) for m in _NUMOBJ_RE.finditer(data)}
+    name_to_obj: dict = {}
+    for m in _FONTDICT_RE.finditer(data):
+        for ref in _FONTREF_RE.finditer(m.group(1)):
+            name_to_obj[ref.group(1).decode("latin-1")] = int(ref.group(2))
+    cmaps: dict = {}
+    for name, objnum in name_to_obj.items():
+        body = objs.get(objnum, b"")
+        tu = _TOUNICODE_RE.search(body)
+        if not tu:
+            continue
+        cbody = objs.get(int(tu.group(1)), b"")
+        sm = _STREAM_RE.search(cbody)
+        if not sm:
+            continue
+        payload = sm.group(1)
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            pass
+        table = _parse_cmap(payload)
+        if table:
+            cmaps[name] = table
+    return cmaps
+
+
+def _decode_cids(raw: bytes, table: dict) -> str:
+    """2-byte big-endian codes through a ToUnicode table (Identity-H
+    layout); unmapped codes degrade to the replacement char."""
+    if len(raw) % 2:
+        raw += b"\x00"
+    return "".join(
+        table.get((raw[i] << 8) | raw[i + 1], "�") for i in range(0, len(raw), 2)
+    )
 
 _ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f", b"(": "(", b")": ")", b"\\": "\\"}
 
@@ -110,12 +235,47 @@ def _unescape(raw: bytes) -> str:
     return "".join(out)
 
 
-def _iter_text_ops(block: bytes):
+def _show_text(raw_str: bytes, raw_hex: bytes, font: str, cmaps: dict) -> str:
+    """Decode one show-text operand under the ACTIVE font: fonts with a
+    ToUnicode CMap read 2-byte CIDs (hex or literal), others latin-1."""
+    table = cmaps.get(font) if cmaps else None
+    if raw_hex is not None:
+        raw = bytes.fromhex(re.sub(rb"\s", b"", raw_hex).decode("ascii"))
+        return _decode_cids(raw, table) if table else raw.decode("latin-1")
+    if table:
+        return _decode_cids(_unescape(raw_str).encode("latin-1", "replace"), table)
+    return _unescape(raw_str)
+
+
+_TJ_ELEM_RE = re.compile(
+    rb"(?P<str>\((?:\\.|[^\\()])*\))|(?P<hex><[0-9A-Fa-f\s]*>)|(?P<num>[-+]?\d*\.?\d+)"
+)
+
+
+def _tj_text(arr: bytes, font: str, cmaps: dict) -> str:
+    """TJ array → text. Kern adjustments more negative than
+    ``_TJ_SPACE_KERN`` (thousandths of an em) become word gaps — the
+    pdfminer word_margin analogue for writers that kern instead of
+    emitting space glyphs."""
+    parts: List[str] = []
+    for m in _TJ_ELEM_RE.finditer(arr[1:-1]):
+        if m.group("num") is not None:
+            if float(m.group("num")) < _TJ_SPACE_KERN and parts and not parts[-1].endswith(" "):
+                parts.append(" ")
+        elif m.group("str") is not None:
+            parts.append(_show_text(m.group("str")[1:-1], None, font, cmaps))
+        else:
+            parts.append(_show_text(b"", m.group("hex")[1:-1], font, cmaps))
+    return "".join(parts)
+
+
+def _iter_text_ops(block: bytes, cmaps: dict = None):
     """Yield (x, y, font, size, text) for each show-text op in a BT block."""
     x = y = 0.0
     font, size = "", 0.0
     stack_nums: List[float] = []
     pending_str: bytes = b""
+    pending_hex = None
     pending_arr: bytes = b""
     pending_name = ""
     for m in _TOKEN_RE.finditer(block):
@@ -123,6 +283,9 @@ def _iter_text_ops(block: bytes):
             stack_nums.append(float(m.group("num")))
         elif m.group("str") is not None:
             pending_str = m.group("str")[1:-1]
+            pending_hex = None
+        elif m.group("hex") is not None:
+            pending_hex = m.group("hex")[1:-1]
         elif m.group("arr") is not None:
             pending_arr = m.group("arr")
         elif m.group("name") is not None:
@@ -137,11 +300,10 @@ def _iter_text_ops(block: bytes):
             elif op == b"Tf" and stack_nums:
                 font, size = pending_name, stack_nums[-1]
             elif op in (b"Tj", b"'", b'"'):
-                yield (x, y, font, size, _unescape(pending_str))
+                yield (x, y, font, size, _show_text(pending_str, pending_hex, font, cmaps))
+                pending_hex = None
             elif op == b"TJ":
-                strs = re.findall(rb"\((?:\\.|[^\\()])*\)", pending_arr)
-                text = "".join(_unescape(s[1:-1]) for s in strs)
-                yield (x, y, font, size, text)
+                yield (x, y, font, size, _tj_text(pending_arr, font, cmaps))
             stack_nums = []
 
 
@@ -194,7 +356,10 @@ def read_pdf_textlayer(
     line_id = 0
     page_id = 0
     saw_text = False
-    orientations = _page_orientations(data)
+    expanded = _expand_objstm(data)
+    scan = data + expanded if expanded else data  # dict scans see ObjStm contents
+    orientations = _page_orientations(scan)
+    cmaps = _font_cmaps(scan)
     rotated_pages: List[str] = []
     for stream_m in _STREAM_RE.finditer(data):
         payload = stream_m.group(1)
@@ -211,7 +376,7 @@ def read_pdf_textlayer(
             continue
         page_ops: List[Tuple[float, float, str, float, str]] = []
         for block in blocks:
-            page_ops.extend(op for op in _iter_text_ops(block) if op[4])
+            page_ops.extend(op for op in _iter_text_ops(block, cmaps) if op[4])
         if page_id < len(orientations) and orientations[page_id][0]:
             rot, pw, ph = orientations[page_id]
             page_ops = _unrotate_ops(page_ops, rot, pw, ph)

@@ -531,3 +531,65 @@ def pdf_para_bytes(doc_id: int, text: str) -> bytes:
 
 _GENERATORS["pdf_para"] = pdf_para_bytes
 _EXT_OVERRIDE["pdf_para"] = "pdf"
+
+
+def pdf_cid_bytes(doc_id: int, text: str) -> bytes:
+    """Type0/CID PDF: text shown as 2-byte hex CIDs (code = ord + 0x100)
+    mapped back through a /ToUnicode CMap; the first chunk is a TJ array
+    that KERNS between words (-250/1000 em) instead of emitting space
+    glyphs; the PAGE DICT lives inside a compressed /ObjStm. Exercises
+    hex show-text, bfchar+bfrange CMap decode, TJ word-gap recovery and
+    object-stream expansion in one document. Extracted text must equal
+    the plain layout rendering (replace ' the '→newline), byte-exact."""
+    import zlib as _z
+
+    def cids(s: str) -> str:
+        return "".join(f"{ord(c) + 0x100:04X}" for c in s)
+
+    chunks = chunks_of(text)
+    ops = []
+    for i, chunk in enumerate(chunks):
+        y = 760 - 14 * i
+        if i == 0:
+            words = chunk.split(" ")
+            arr = " -250 ".join(f"<{cids(w)}>" for w in words)
+            ops.append(f"BT /F1 12 Tf 72 {y} Td [{arr}] TJ ET")
+        else:
+            ops.append(f"BT /F1 12 Tf 72 {y} Td <{cids(chunk)}> Tj ET")
+    content = "\n".join(ops).encode("latin-1")
+    # bfchar covers 'a'..'e'; bfrange covers the full printable span —
+    # both forms must be honored (bfchar wins by insertion, same values)
+    bfchars = "\n".join(f"<{c + 0x100:04X}> <{c:04X}>" for c in range(ord("a"), ord("f")))
+    cmap = f"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+5 beginbfchar
+{bfchars}
+endbfchar
+1 beginbfrange
+<0120> <017E> <0020>
+endbfrange
+endcmap
+""".encode("latin-1")
+    # page dict rides inside a FlateDecode ObjStm (PDF 1.5 layout)
+    page_obj = b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    objstm_payload = b"3 0 " + page_obj
+    first = len(b"3 0 ")
+    objstm = _z.compress(objstm_payload)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n" + content + b"\nendstream endobj",
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Synth-CID /Encoding /Identity-H /ToUnicode 6 0 R >> endobj",
+        b"6 0 obj << /Length " + str(len(cmap)).encode() + b" >> stream\n" + cmap + b"\nendstream endobj",
+        b"7 0 obj << /Type /ObjStm /N 1 /First " + str(first).encode()
+        + b" /Length " + str(len(objstm)).encode() + b" /Filter /FlateDecode >> stream\n"
+        + objstm + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.5\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+_GENERATORS["pdf_cid"] = pdf_cid_bytes
+_EXT_OVERRIDE["pdf_cid"] = "pdf"
