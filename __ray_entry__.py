@@ -763,6 +763,15 @@ def q_corpus_funnel(sf_dir: str):
     return corpus_funnel(sf_dir)
 
 
+def q_cc_prep(sf_dir: str):
+    """Crawl-native flagship: WARC files → parse → extract → stats →
+    quality gate → exact dedup → split, ONE shuffle total; the input is
+    the crawl's on-disk format, not a pre-extracted table."""
+    from dedoc_ray.ops.funnel import cc_prep
+
+    return cc_prep(sf_dir)
+
+
 def q_pretrain_prep(sf_dir: str):
     """Flagship composed pipeline: quality filter + decontamination +
     split tagging in ONE streaming pass (live stage kernels reused), then
@@ -1312,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "hll_tokens": q_hll_tokens,
         "bloom_delta": q_bloom_delta,
+        "cc_prep": q_cc_prep,
         "hll_token_estimate": q_hll_token_estimate,
         "simhash_pairs": q_simhash_pairs,
         "knn": q_knn,
@@ -1440,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
     )
     import dedoc_ray.ops.sketch as _hll_sketch
     from dedoc_ray.ops.bloom import BLOOM_DELTA_SQL as _BLOOM_DELTA_SQL
+    from dedoc_ray.ops.funnel import CC_PREP_SQL as _CC_PREP_SQL
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
     from dedoc_ray.ops.relational import (
@@ -1638,6 +1649,7 @@ FROM base WHERE cls <= 3
         "simhash": simhash_sql(),
         "hll_tokens": _hll_sketch.hll_registers_sql(_HLL_TOKENS_CTE),
         "bloom_delta": _BLOOM_DELTA_SQL,
+        "cc_prep": _CC_PREP_SQL,
         "hll_token_estimate": _hll_sketch.hll_estimate_sql(_HLL_TOKENS_CTE),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),

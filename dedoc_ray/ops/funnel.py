@@ -302,3 +302,80 @@ surv AS (
 SELECT doc_id, split, CAST(n AS BIGINT) AS n_words FROM surv
 QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
 """
+
+
+def cc_prep(sf_dir: str, num_parts: int = 16):
+    """Crawl-native flagship: WARC crawl files → record parse → html
+    extraction → token stats → quality gate → exact dedup → split tags,
+    in one streaming chain with exactly ONE shuffle (the fingerprint
+    dedup exchange).
+
+    This is the pipeline a Common-Crawl user actually runs: the input is
+    the crawl's own on-disk format (sources/warc.py), not a pre-extracted
+    table. Every stage reuses the live production kernel (WARC parse,
+    ExtractKernel actor pool, DocStatsKernel, hash-split rule from
+    ops/webclean.py), and the html payloads never move past extraction —
+    only (fingerprint, doc_id, n_tokens) triples shuffle. Output:
+    (doc_id, split, n_tokens) training rows."""
+    import re as _re
+
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+    from dedoc_ray.ops.textstats import DocStatsKernel
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.warc import synth_warc_corpus, warc_pages_from_payloads
+
+    pages = warc_pages_from_payloads(synth_warc_corpus(sf_dir))
+    extracted = extract_pages(pages, concurrency=None)
+    url_re = _re.compile(r"/warc/(\d+)\.html$")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = [int(url_re.search(u).group(1)) for u in batch["url"].to_pylist()]
+        sub = pa.table({"doc_id": pa.array(ids, "int64"),
+                        "text": batch["extracted_text"]})
+        st = DocStatsKernel()(sub)
+        st = st.filter(pc.greater_equal(st["n_tokens"], 32))  # quality gate
+        return st.select(["doc_id", "n_tokens", "fingerprint"])
+
+    survivors = extracted.map_batches(stats, batch_format="pyarrow", batch_size=256)
+
+    def dedup_split(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "split": pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(["fingerprint", "doc_id"], kind="stable").groupby(
+            "fingerprint", as_index=False).first()
+        hs = np.array([_hashlib.md5(str(int(i)).encode()).hexdigest()[:2]
+                       for i in df["doc_id"]])
+        df["split"] = np.where(hs < "0d", "val", np.where(hs < "1a", "test", "train"))
+        return df[["doc_id", "split", "n_tokens"]]
+
+    return hash_partition_apply(survivors, ["fingerprint"], dedup_split, num_parts=num_parts)
+
+
+CC_PREP_SQL = """
+WITH ex AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) || chr(10) AS t FROM documents
+),
+st AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(t), '[a-z0-9]+')) AS n_tokens,
+         md5(trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM ex
+),
+kept AS (SELECT * FROM st WHERE n_tokens >= 32),
+ded AS (SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY fingerprint)
+SELECT k.doc_id,
+       CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+            WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END AS split,
+       k.n_tokens
+FROM kept k JOIN ded d ON k.doc_id = d.doc_id
+"""

@@ -114,3 +114,16 @@ def test_synth_corpus_extracts(ray_session):
     r = by_url[f"https://synth.test/warc/{row.doc_id}.html"]
     assert r["extracted_text"] == row.text.replace(" the ", "\n") + "\n"
     assert r["warc_ts"] == synth_ts(int(row.doc_id))
+
+
+def test_cc_prep_flagship(ray_session):
+    """WARC → extract → stats → dedup → split composition sanity."""
+    import pandas as pd
+
+    from dedoc_ray.ops.funnel import cc_prep
+
+    df = pd.DataFrame(cc_prep("/root/testdata/sf0.001").take_all())
+    assert df["doc_id"].is_unique
+    assert set(df["split"]) <= {"train", "val", "test"}
+    assert (df["n_tokens"] >= 32).all()
+    assert (df["split"] == "train").mean() > 0.7
