@@ -1007,6 +1007,16 @@ def q_hll_token_estimate(sf_dir: str):
     return hll_estimate_rows(_hll_token_registers(sf_dir))
 
 
+def q_cms_stopwords(sf_dir: str):
+    """Count-min sketch point queries: fixed D×W counter matrix (partials
+    merge by elementwise sum — bounded shuffle regardless of vocabulary),
+    probed for the stopword set. Bit-exact DuckDB replay of the whole
+    sketch including collisions."""
+    from dedoc_ray.ops.sketch import cms_estimate
+
+    return cms_estimate(sf_dir)
+
+
 def q_bloom_delta(sf_dir: str):
     """Bloom-filter cross-crawl membership: fixed-size base-corpus summary
     (bounded by filter geometry, not corpus size), map-only probe of the
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_tokens": q_hll_tokens,
         "bloom_delta": q_bloom_delta,
         "cc_prep": q_cc_prep,
+        "cms_stopwords": q_cms_stopwords,
         "hll_token_estimate": q_hll_token_estimate,
         "simhash_pairs": q_simhash_pairs,
         "knn": q_knn,
@@ -1650,6 +1661,7 @@ FROM base WHERE cls <= 3
         "hll_tokens": _hll_sketch.hll_registers_sql(_HLL_TOKENS_CTE),
         "bloom_delta": _BLOOM_DELTA_SQL,
         "cc_prep": _CC_PREP_SQL,
+        "cms_stopwords": _hll_sketch.cms_estimate_sql(),
         "hll_token_estimate": _hll_sketch.hll_estimate_sql(_HLL_TOKENS_CTE),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),

@@ -163,10 +163,16 @@ def hll_cardinality(registers) -> float:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_LE64 = " + ".join(
-    f"(CAST(CAST(('0x' || substr(h, {1 + 2 * i}, 2)) AS UBIGINT) AS HUGEINT) * {256 ** i})"
-    for i in range(8)
-)
+def _le64_of(hex_expr: str) -> str:
+    """SQL for the engine's md5-low64 (little-endian byte reassembly) of an
+    arbitrary md5-hex expression."""
+    return " + ".join(
+        f"(CAST(CAST(('0x' || substr({hex_expr}, {1 + 2 * i}, 2)) AS UBIGINT) AS HUGEINT) * {256 ** i})"
+        for i in range(8)
+    )
+
+
+_LE64 = _le64_of("h")
 
 
 def hll_registers_sql(source_cte: str) -> str:
@@ -216,4 +222,137 @@ SELECT CAST(n_regs AS BIGINT) AS n_registers,
             // (CAST({10000 * (1000 * M + 1079)} AS HUGEINT)
                 * (s_used + ({M} - n_regs) * CAST({1 << _Q} AS HUGEINT))) AS BIGINT) AS e_raw
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — bounded-state frequency estimation
+# ---------------------------------------------------------------------------
+#
+# The frequency sibling of the HLL/Bloom family: estimate per-token counts
+# with a fixed D×W counter matrix instead of an exact vocabulary groupby
+# (ops/vocab.py). Per-batch partials are local counter matrices merging by
+# ELEMENTWISE SUM, so at most D×W rows shuffle per batch regardless of
+# vocabulary size, and the merged sketch answers any point query with the
+# classic one-sided guarantee: est ≥ true, est ≤ true + εN w.h.p. Hashing
+# reuses the md5-low64 + Kirsch-Mitzenmacher double-hash idiom of
+# ops/bloom.py, so DuckDB replays the sketch bit-exactly.
+
+CMS_D = 4
+CMS_W = 2048
+
+
+def _cms_positions(tokens: List[str]) -> np.ndarray:
+    """(n, CMS_D) int64 counter columns per token."""
+    from dedoc_ray.ops.dedup import _stable_hash64
+
+    if not tokens:
+        return np.zeros((0, CMS_D), np.int64)
+    h64 = np.fromiter((_stable_hash64(t) for t in tokens), dtype=np.uint64,
+                      count=len(tokens))
+    h1 = (h64 & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (h64 >> np.uint64(32)).astype(np.uint64)
+    j = np.arange(CMS_D, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(CMS_W)).astype(np.int64)
+
+
+class _CmsPartialKernel:
+    """text batch → nonzero (row, col, cnt) counter triples (≤ D×W)."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.tok = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: "Counter[str]" = Counter()
+        for t in batch["text"].to_pylist():
+            counts.update(self.tok.findall((t or "").lower()))
+        toks = sorted(counts)
+        pos = _cms_positions(toks)
+        cnts = np.fromiter((counts[t] for t in toks), dtype=np.int64, count=len(toks))
+        mat = np.zeros((CMS_D, CMS_W), np.int64)
+        for j in range(CMS_D):
+            np.add.at(mat[j], pos[:, j], cnts)
+        rows, cols = np.nonzero(mat)
+        return pa.Table.from_pydict({
+            "row": pa.array(rows.astype(np.int64)),
+            "col": pa.array(cols.astype(np.int64)),
+            "cnt": pa.array(mat[rows, cols]),
+        })
+
+
+def cms_build(ds):
+    """text Dataset → merged sketch Dataset (row, col, cnt)."""
+    parts = ds.map_batches(
+        _CmsPartialKernel, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 8), num_cpus=1,
+    )
+    return parts.groupby(["row", "col"]).sum("cnt").rename_columns(["row", "col", "cnt"])
+
+
+def cms_estimate(sf_dir: str, probes=None):
+    """Point-query the corpus token sketch for a fixed probe set →
+    (token, est_count) pyarrow table. The merged sketch is ≤ D×W rows, so
+    the driver-side min-over-rows is bounded by geometry, never corpus."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.textstats import STOPWORDS
+
+    probes = tuple(probes) if probes else STOPWORDS
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    sketch = cms_build(docs)
+    mat = np.zeros((CMS_D, CMS_W), np.int64)
+    for r in sketch.iter_rows():
+        mat[r["row"], r["col"]] = r["cnt"]
+    pos = _cms_positions(list(probes))
+    est = np.array(
+        [mat[np.arange(CMS_D), pos[i]].min() for i in range(len(probes))], np.int64
+    )
+    return pa.Table.from_pydict({
+        "token": pa.array(list(probes), "string"),
+        "est_count": pa.array(est.astype(np.int64)),
+    })
+
+
+def cms_estimate_sql(probes=None) -> str:
+    from dedoc_ray.ops.textstats import STOPWORDS
+
+    probes = tuple(probes) if probes else STOPWORDS
+    probe_vals = ", ".join(f"('{p}')" for p in probes)
+    tok_le = _le64_of("md5(tok)")
+    probe_le = _le64_of("md5(token)")
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+),
+tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+h AS (
+  SELECT cnt,
+         CAST(({tok_le}) % 4294967296 AS HUGEINT) AS h1,
+         CAST(({tok_le}) // 4294967296 AS HUGEINT) AS h2
+  FROM tc
+),
+cells AS (
+  SELECT j.j AS row, CAST((h1 + j.j * h2) % {CMS_W} AS BIGINT) AS col,
+         sum(cnt) AS cell
+  FROM h CROSS JOIN (SELECT unnest(range({CMS_D})) AS j) j
+  GROUP BY 1, 2
+),
+probes(token) AS (VALUES {probe_vals}),
+ph AS (
+  SELECT token,
+         CAST(({probe_le}) % 4294967296 AS HUGEINT) AS h1,
+         CAST(({probe_le}) // 4294967296 AS HUGEINT) AS h2
+  FROM probes
+),
+pq AS (
+  SELECT token, j.j AS row, CAST((h1 + j.j * h2) % {CMS_W} AS BIGINT) AS col
+  FROM ph CROSS JOIN (SELECT unnest(range({CMS_D})) AS j) j
+)
+SELECT pq.token, CAST(min(coalesce(cells.cell, 0)) AS BIGINT) AS est_count
+FROM pq LEFT JOIN cells ON pq.row = cells.row AND pq.col = cells.col
+GROUP BY pq.token
 """

@@ -87,3 +87,48 @@ def test_ray_pipeline_matches_local_fold(ray_session):
     regs = _fold_registers(_hash64_column(sorted(toks)))
     expect = {int(b): int(regs[b]) for b in np.nonzero(regs)[0]}
     assert {r["bucket"]: r["rho"] for r in out} == expect
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def test_cms_overestimates_never_under(ray_session):
+    """CMS guarantee: est ≥ true count, for every probed token."""
+    import duckdb
+
+    from dedoc_ray.ops.sketch import cms_estimate
+
+    sf = "/root/testdata/sf0.001"
+    est = {r["token"]: r["est_count"] for r in cms_estimate(sf).to_pylist()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    true = dict(con.execute(r"""
+        SELECT tok, count(*) FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents
+        ) GROUP BY tok
+    """).fetchall())
+    for tok, e in est.items():
+        assert e >= true.get(tok, 0), (tok, e, true.get(tok))
+    # 'the' is template-split, so it is frequent; estimate should be close
+    assert est["the"] <= true["the"] * 2
+
+
+def test_cms_partial_merge_is_sum():
+    import pyarrow as pa
+
+    from dedoc_ray.ops.sketch import CMS_D, CMS_W, _CmsPartialKernel
+
+    k = _CmsPartialKernel()
+    whole = k(pa.table({"text": ["a b c a", "b c d"]}))
+    p1 = k(pa.table({"text": ["a b c a"]}))
+    p2 = k(pa.table({"text": ["b c d"]}))
+
+    def dense(t):
+        import numpy as np
+
+        m = np.zeros((CMS_D, CMS_W), np.int64)
+        for r, c, n in zip(t["row"].to_pylist(), t["col"].to_pylist(), t["cnt"].to_pylist()):
+            m[r, c] = n
+        return m
+
+    assert (dense(whole) == dense(p1) + dense(p2)).all()
