@@ -291,3 +291,47 @@ def synth_warc_corpus(sf_dir: str, per_file: int = 8):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(
         lambda b: _synth_warc_batch(b, per_file), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sink: re-archive pages as WARC shards
+# ---------------------------------------------------------------------------
+
+def write_warc(pages_ds, out_dir: str, per_file: int = 256) -> int:
+    """Pages Dataset ``(url, html[, warc_ts])`` → ``shard-*.warc.gz``
+    files under ``out_dir`` (CC gzip-member layout) — the interchange
+    sink inverse of ``read_warc_pages``. Each task writes its own shard
+    files (name = uuid-free: shard index from Ray's task context via the
+    batch's first url hash), so writers never coordinate. Returns the
+    number of pages written.
+
+    Scale: map-only; one open file per task at a time; payload bytes
+    stream through without concatenation beyond ``per_file`` records."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        tss = (batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names
+               else ["2024-01-01T00:00:00Z"] * len(urls))
+        n = 0
+        for start in range(0, len(urls), per_file):
+            recs = [
+                build_response_record(u, ts or "2024-01-01T00:00:00Z", h or b"")
+                for u, ts, h in zip(urls[start:start + per_file],
+                                    tss[start:start + per_file],
+                                    htmls[start:start + per_file])
+            ]
+            shard_id = hashlib.md5(
+                (urls[start] + str(len(recs))).encode()).hexdigest()[:16]
+            path = os.path.join(out_dir, f"shard-{shard_id}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(build_warc_file(recs, gzip_members=True))
+            n += len(recs)
+        return pa.Table.from_pydict({"n": pa.array([n], "int64")})
+
+    counts = pages_ds.map_batches(write_batch, batch_format="pyarrow",
+                                  batch_size=per_file)
+    return sum(r["n"] for r in counts.iter_rows())

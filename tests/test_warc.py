@@ -127,3 +127,26 @@ def test_cc_prep_flagship(ray_session):
     assert set(df["split"]) <= {"train", "val", "test"}
     assert (df["n_tokens"] >= 32).all()
     assert (df["split"] == "train").mean() > 0.7
+
+
+def test_write_warc_roundtrip(ray_session, tmp_path):
+    """write_warc → read_warc_pages roundtrip preserves url/ts/payload."""
+    import glob
+
+    import ray.data as rd
+
+    from dedoc_ray.sources.warc import read_warc_pages, write_warc
+
+    rows = [{"url": f"https://ex.test/{i}", "warc_ts": synth_ts(i),
+             "html": f"<html><body><p>doc {i}</p></body></html>".encode()}
+            for i in range(37)]
+    out = str(tmp_path / "warc-out")
+    n = write_warc(rd.from_items(rows).repartition(3), out, per_file=10)
+    assert n == 37
+    files = glob.glob(out + "/shard-*.warc.gz")
+    assert len(files) >= 4  # 37 pages / 10 per file, across partitions
+    back = read_warc_pages(files).take_all()
+    assert len(back) == 37
+    got = {(r["url"], r["warc_ts"], r["html"]) for r in back}
+    want = {(r["url"], r["warc_ts"], r["html"]) for r in rows}
+    assert got == want
