@@ -1007,6 +1007,16 @@ def q_hll_token_estimate(sf_dir: str):
     return hll_estimate_rows(_hll_token_registers(sf_dir))
 
 
+def q_late_events(sf_dir: str):
+    """Event-time watermark accounting (§2.9 streaming concern): late =
+    older than the arrival-order prefix-max ts minus the allowed delay.
+    Two bounded passes (partition seeds + one keyed shuffle); exact
+    window-function replay in DuckDB."""
+    from dedoc_ray.ops.watermark import late_events
+
+    return late_events(sf_dir)
+
+
 def q_pmi_topk(sf_dir: str):
     """Windowed co-occurrence + PMI ranking (the word2vec/GloVe precursor):
     combiner partials, one pair shuffle, min_count threshold before
@@ -1343,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_prep": q_cc_prep,
         "cms_stopwords": q_cms_stopwords,
         "pmi_topk": q_pmi_topk,
+        "late_events": q_late_events,
         "hll_token_estimate": q_hll_token_estimate,
         "simhash_pairs": q_simhash_pairs,
         "knn": q_knn,
@@ -1472,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
     import dedoc_ray.ops.sketch as _hll_sketch
     from dedoc_ray.ops.bloom import BLOOM_DELTA_SQL as _BLOOM_DELTA_SQL
     from dedoc_ray.ops.cooc import pmi_topk_sql as _pmi_topk_sql
+    from dedoc_ray.ops.watermark import late_events_sql as _late_events_sql
     from dedoc_ray.ops.funnel import CC_PREP_SQL as _CC_PREP_SQL
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
     from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
@@ -1674,6 +1686,7 @@ FROM base WHERE cls <= 3
         "cc_prep": _CC_PREP_SQL,
         "cms_stopwords": _hll_sketch.cms_estimate_sql(),
         "pmi_topk": _pmi_topk_sql(),
+        "late_events": _late_events_sql(),
         "hll_token_estimate": _hll_sketch.hll_estimate_sql(_HLL_TOKENS_CTE),
         "simhash_pairs": simhash_pairs_sql(),
         "knn": knn_sql(),
