@@ -37,6 +37,23 @@ JITTER_US = 30 * 60_000_000  # max modeled network delay
 _SENTINEL = -(2 ** 62)  # safe: never overflows under "- delay_us"
 
 
+def _ts_bounds_us(path: str) -> tuple:
+    """(min, max) epoch-μs of the ts column from parquet row-group
+    statistics — free, no data scan."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = md.schema.names.index("ts")
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        smin = np.datetime64(st.min, "us").astype(np.int64)
+        smax = np.datetime64(st.max, "us").astype(np.int64)
+        lo = smin if lo is None else min(lo, smin)
+        hi = smax if hi is None else max(hi, smax)
+    return int(lo), int(hi)
+
+
 def _arrival_us(event_ids: np.ndarray, ts_us: np.ndarray) -> np.ndarray:
     from dedoc_ray.ops.dedup import _stable_hash64
 
@@ -53,8 +70,6 @@ def late_events(sf_dir: str, delay_minutes: int = DELAY_MINUTES_DEFAULT,
     older than the arrival-order watermark (prefix max ts − delay)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
     from dedoc_ray.ops.shuffle import hash_partition_apply
 
     delay_us = np.int64(delay_minutes) * 60_000_000
@@ -70,8 +85,14 @@ def late_events(sf_dir: str, delay_minutes: int = DELAY_MINUTES_DEFAULT,
             "arrival_us": pa.array(arr),
         })
 
-    tagged = ds.map_batches(tag_arrival, batch_format="pyarrow")
-    lo, hi = int(tagged.min("arrival_us")), int(tagged.max("arrival_us"))
+    # materialize ONCE: the tagged table is three int64 columns (bounded by
+    # event count, not payloads), and both downstream consumers (seed
+    # partials, the shuffle) would otherwise re-run the md5 jitter pass
+    tagged = ds.map_batches(tag_arrival, batch_format="pyarrow").materialize()
+    # arrival range bounds from parquet row-group STATISTICS (no compute
+    # pass): arrival ∈ [min ts, max ts + max jitter]
+    lo, hi = _ts_bounds_us(f"{sf_dir}/events.parquet")
+    hi += JITTER_US
     range_size = max(1, (hi - lo + num_parts) // num_parts)
 
     def tag_part(batch: pa.Table) -> pa.Table:
@@ -89,9 +110,12 @@ def late_events(sf_dir: str, delay_minutes: int = DELAY_MINUTES_DEFAULT,
                                     preserve_index=False)
 
     partials = parted.map_batches(part_max, batch_format="pyarrow", batch_size=65536)
-    pmax = {int(r["part"]): int(r["max_ts"])
-            for r in partials.groupby("part").max("max_ts")
-            .rename_columns(["part", "max_ts"]).iter_rows()}
+    # fold ≤ num_parts × n_batches partial rows on the driver — a native
+    # hash-shuffle groupby costs ~10 s of fixed 200-partition overhead here
+    pmax: dict = {}
+    for r in partials.iter_rows():
+        p = int(r["part"])
+        pmax[p] = max(pmax.get(p, _SENTINEL), int(r["max_ts"]))
     seeds = {}
     running = _SENTINEL
     for p in range(num_parts + 2):
@@ -129,8 +153,17 @@ def late_events(sf_dir: str, delay_minutes: int = DELAY_MINUTES_DEFAULT,
         return pd.concat(out, ignore_index=True) if out else empty
 
     hour_parts = hash_partition_apply(parted, ["part"], scan, num_parts=num_parts)
-    return hour_parts.groupby("hour").aggregate(
-        Sum("n", alias_name="n"), Sum("n_late", alias_name="n_late"))
+    # final merge: ≤ n_hours × num_parts partial rows — bounded by window
+    # geometry, not events — so a driver-side pandas sum beats a full
+    # 200-partition hash-shuffle aggregate (measured 13 s of overhead on
+    # <1k rows at sf0.1)
+    merged = pd.DataFrame(hour_parts.take_all())
+    if merged.empty:
+        merged = pd.DataFrame({"hour": pd.Series([], dtype="int64"),
+                               "n": pd.Series([], dtype="int64"),
+                               "n_late": pd.Series([], dtype="int64")})
+    out = merged.groupby("hour", as_index=False)[["n", "n_late"]].sum()
+    return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
 
 
 def late_events_sql(delay_minutes: int = DELAY_MINUTES_DEFAULT) -> str:
