@@ -29,7 +29,7 @@ def test_late_events_matches_single_process(ray_session):
     from dedoc_ray.ops.watermark import late_events
 
     sf = "/root/testdata/sf0.001"
-    got = pd.DataFrame(late_events(sf).take_all()).sort_values("hour").reset_index(drop=True)
+    got = late_events(sf).to_pandas().sort_values("hour").reset_index(drop=True)
     want = _naive(sf, 10)
     assert (got["hour"].to_numpy() == want["hour"].to_numpy()).all()
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
@@ -42,7 +42,7 @@ def test_larger_delay_never_increases_lateness(ray_session):
     from dedoc_ray.ops.watermark import late_events
 
     sf = "/root/testdata/sf0.001"
-    tight = pd.DataFrame(late_events(sf, delay_minutes=1).take_all())["n_late"].sum()
-    loose = pd.DataFrame(late_events(sf, delay_minutes=25).take_all())["n_late"].sum()
+    tight = late_events(sf, delay_minutes=1).to_pandas()["n_late"].sum()
+    loose = late_events(sf, delay_minutes=25).to_pandas()["n_late"].sum()
     assert loose <= tight
     assert tight > 0
