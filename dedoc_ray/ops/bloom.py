@@ -61,10 +61,10 @@ def bloom_build(base_ds) -> np.ndarray:
 
     The distinct-position groupby is bounded by filter geometry: at most
     M_BITS rows reach the driver however large the base corpus is."""
-    parts = base_ds.map_batches(
-        _BasePositionsKernel, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4), num_cpus=1,
-    )
+    def fold(batch: pa.Table) -> pa.Table:
+        return _BasePositionsKernel()(batch)  # task-based: stateless
+
+    parts = base_ds.map_batches(fold, batch_format="pyarrow", batch_size=1024)
     uniq = parts.groupby("pos").count()
     filt = np.zeros(M_BITS, dtype=bool)
     for row in uniq.iter_rows():
@@ -113,10 +113,12 @@ def bloom_delta(sf_dir: str):
     base = docs.map_batches(_parity(False), batch_format="pyarrow")
     new = docs.map_batches(_parity(True), batch_format="pyarrow")
     filt_ref = ray.put(bloom_build(base))
-    return new.map_batches(
-        _ProbeKernel, fn_constructor_kwargs={"filt_ref": filt_ref},
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4), num_cpus=1,
-    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        # task-based: the broadcast filter is a 256 KiB zero-copy get
+        return _ProbeKernel(filt_ref)(batch)
+
+    return new.map_batches(probe, batch_format="pyarrow", batch_size=1024)
 
 
 BLOOM_DELTA_SQL = f"""

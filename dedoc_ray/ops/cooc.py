@@ -76,10 +76,12 @@ def pmi_topk(sf_dir: str, window: int = WINDOW, min_count: int = MIN_COUNT,
     import ray.data as rd
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    partials = docs.map_batches(
-        _CoocPartialKernel, fn_constructor_kwargs={"window": window},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 8), num_cpus=1,
-    )
+    def fold(batch: pa.Table) -> pa.Table:
+        # task-based: state is one compiled regex; actor-pool spinup would
+        # dominate the fold at bench scale
+        return _CoocPartialKernel(window)(batch)
+
+    partials = docs.map_batches(fold, batch_format="pyarrow", batch_size=512)
     merged = partials.groupby(["a", "b"]).sum("cnt").rename_columns(["a", "b", "cnt"])
 
     # split the one merged stream driver-side ONLY for the bounded parts:

@@ -109,9 +109,13 @@ def pq_fit(sf_dir: str, n_sub: int = N_SUB_DEFAULT, k: int = K_CODES_DEFAULT,
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     for _ in range(iters):
         books_ref = ray.put(books)
+        def fold(batch, _ref=books_ref):
+            # task-based: a fresh actor pool per Lloyd ROUND would pay
+            # spinup 3× per fit; the broadcast codebooks are a tiny get
+            return PqPartialKernel(_ref)(batch)
+
         parts = emb.map_batches(
-            PqPartialKernel, fn_constructor_kwargs={"books_ref": books_ref},
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+            fold, batch_format="pyarrow", batch_size=4096,
         ).to_pandas()  # ≤ n_batches × n_sub × k combiner rows
         parts = parts.sort_values(["batch_key", "sub", "cluster"], kind="stable")
         new = books.copy()
@@ -265,10 +269,10 @@ def pq_search(sf_dir: str, k: int = 10, n_queries: int = 8,
         kwargs["qmat_ref"] = ray.put(_query_matrix(sf_dir, n_queries))
         kwargs["rerank_r"] = rerank_r
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    candidates = emb.map_batches(
-        AdcTopKKernel, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
-    )
+    def score(batch, _kw=kwargs):
+        return AdcTopKKernel(**_kw)(batch)  # task-based: tiny broadcast state
+
+    candidates = emb.map_batches(score, batch_format="pyarrow", batch_size=4096)
     return _final_topk(candidates, k)
 
 

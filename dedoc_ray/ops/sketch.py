@@ -102,10 +102,12 @@ def hll_registers(ds, col: str, tokenize: bool = False):
     """Dataset → merged HLL register Dataset ``(bucket, rho)``; at most m
     rows. ``tokenize=True`` sketches distinct [a-z0-9]+ tokens of a text
     column instead of distinct cell values."""
-    partials = ds.map_batches(
-        _HllKernel, fn_constructor_kwargs={"col": col, "tokenize": tokenize},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    )
+    def fold(batch: pa.Table) -> pa.Table:
+        # task-based: the kernel's only state is a compiled regex, and an
+        # actor pool's spinup costs ~10× the whole fold at small scale
+        return _HllKernel(col, tokenize)(batch)
+
+    partials = ds.map_batches(fold, batch_format="pyarrow")
     return partials.groupby("bucket").max("rho").rename_columns(["bucket", "rho"])
 
 
@@ -286,10 +288,10 @@ class _CmsPartialKernel:
 
 def cms_build(ds):
     """text Dataset → merged sketch Dataset (row, col, cnt)."""
-    parts = ds.map_batches(
-        _CmsPartialKernel, batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 8), num_cpus=1,
-    )
+    def fold(batch: pa.Table) -> pa.Table:
+        return _CmsPartialKernel()(batch)  # task-based: stateless kernel
+
+    parts = ds.map_batches(fold, batch_format="pyarrow", batch_size=1024)
     return parts.groupby(["row", "col"]).sum("cnt").rename_columns(["row", "col", "cnt"])
 
 
