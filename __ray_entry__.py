@@ -190,6 +190,23 @@ def q_extract_pdf_paragraphs(sf_dir: str):
     return ds.select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan(sf_dir: str):
+    """Scanned-image OCR route (PdfImageReader analogue, Tesseract replaced
+    by the deterministic synthetic-font recognizer): PGM page rasters
+    rotated by (doc_id%4)·90° → binarize → orientation detect → line/glyph
+    segmentation → template match. Byte-exact text oracle — any
+    mis-recognized glyph or missed rotation breaks the hash."""
+    return _office_extract(sf_dir, "scan").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_scan_pdf(sf_dir: str):
+    """Textless-PDF OCR route: page rasters embedded as DeviceGray
+    FlateDecode image XObjects, routed by read_pdf_auto's no-text-layer
+    branch through the same recognizer (reference PdfAutoReader →
+    PdfImageReader hand-off). Byte-exact text oracle."""
+    return _office_extract(sf_dir, "pdf_scan").select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -1277,6 +1294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docx": q_extract_docx,
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
+        "extract_scan": q_extract_scan,
+        "extract_scan_pdf": q_extract_scan_pdf,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
         "extract_pdf_cid": q_extract_pdf_cid,
@@ -1537,6 +1556,10 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
         "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                               f"{body} AS extracted_text FROM documents",
+        "extract_scan": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
+                        f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_pdf": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                            f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                            f"{body} AS extracted_text FROM documents",
         "extract_pdf_paragraphs": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

@@ -160,6 +160,10 @@ class ExtractKernel:
             from dedoc_ray.readers.note import read_note
 
             return read_note(data)
+        if fmt == "pgm":
+            from dedoc_ray.readers.scan_ocr import read_scan
+
+            return read_scan(data)
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 

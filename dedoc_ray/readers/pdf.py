@@ -447,6 +447,61 @@ def read_pdf_textlayer(
     )
 
 
+_IMGOBJ_RE = re.compile(
+    rb"<<(?P<dict>[^<>]*?/Subtype\s*/Image[^<>]*?)>>\s*stream\r?\n", re.DOTALL
+)
+
+
+def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "UnstructuredDoc | None":
+    """Scanned-PDF OCR route: decode DeviceGray 8-bit image XObjects (one
+    per page) and run the scan recognizer over each raster — the
+    PdfImageReader page loop (pdf_image_reader.py:61-131: orientation →
+    binarize → line extraction → bold detect), with the synthetic-font
+    recognizer standing in for Tesseract (see readers/scan_ocr.py). Returns
+    None when no supported raster exists (caller keeps the stub warning)."""
+    import numpy as np
+
+    from dedoc_ray.readers.scan_ocr import lines_from_recognized, ocr_raster
+
+    file_hash = hashlib.md5(data).hexdigest()
+    page_start, page_stop = pages
+    lines: List[LineWithMeta] = []
+    warnings: List[str] = []
+    line_id = 0
+    page_id = 0
+    saw_image = False
+    for m in _IMGOBJ_RE.finditer(data):
+        d = m.group("dict")
+        wm = re.search(rb"/Width\s+(\d+)", d)
+        hm = re.search(rb"/Height\s+(\d+)", d)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", d)
+        lm = re.search(rb"/Length\s+(\d+)", d)
+        if not (wm and hm and lm) or b"/DeviceGray" not in d or (bm and bm.group(1) != b"8"):
+            continue
+        w, h = int(wm.group(1)), int(hm.group(1))
+        payload = data[m.end() : m.end() + int(lm.group(1))]
+        if b"/FlateDecode" in d:
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                continue
+        if len(payload) != w * h:
+            continue
+        saw_image = True
+        if page_id < page_start or (page_stop is not None and page_id >= page_stop):
+            page_id += 1
+            continue
+        recognized, k = ocr_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
+        if k:
+            warnings.append(f"page {page_id} scan orientation corrected {90 * k} degrees")
+        lines.extend(lines_from_recognized(recognized, file_hash, page_id=page_id, start_line_id=line_id))
+        line_id += len(recognized)
+        page_id += 1
+    if not saw_image:
+        return None
+    return UnstructuredDoc(lines=lines, warnings=warnings)
+
+
 def merge_partial_docs(first: UnstructuredDoc, second: UnstructuredDoc) -> UnstructuredDoc:
     """PdfAuto first-page merge (reference pdf_auto_reader.py
     ``__merge_documents``): ``first`` is the re-read first page, ``second``
@@ -496,6 +551,15 @@ def read_pdf_auto(
     through."""
     from dedoc_ray.readers.txtlayer import TxtlayerClassifier
 
+    def ocr_route(reason: str) -> UnstructuredDoc:
+        # scanned-PDF branch (reference PdfImageReader): recognize embedded
+        # page rasters when present; otherwise the honest stub warning
+        ocr_doc = _ocr_embedded_images(data, pages=pages)
+        if ocr_doc is not None:
+            ocr_doc.warnings.insert(0, f"{reason}: scanned-image OCR route")
+            return ocr_doc
+        return UnstructuredDoc(lines=[], warnings=[f"{reason}: OCR stage stubbed (no tesseract in container)"])
+
     if mode in ("tabby", "auto_tabby") and table_analysis:
         # reference's tabby modes (pdf_auto_reader.py + pdf_tabby_reader.py):
         # text lines AND recognized tables from the born-digital layer
@@ -506,15 +570,9 @@ def read_pdf_auto(
         except ValueError as e:
             if "no text layer" not in str(e) or mode == "tabby":
                 raise
-            return UnstructuredDoc(
-                lines=[],
-                warnings=["pdf without text layer: OCR stage stubbed (no tesseract in container)"],
-            )
+            return ocr_route("pdf without text layer")
     if mode == "false":  # pdf_with_text_layer="false": straight to OCR route
-        return UnstructuredDoc(
-            lines=[],
-            warnings=["pdf routed to OCR by pdf_with_text_layer=false: OCR stage stubbed (no tesseract in container)"],
-        )
+        return ocr_route("pdf routed to OCR by pdf_with_text_layer=false")
     try:
         doc = read_pdf_textlayer(data, pages=pages, one_column=one_column, merge_paragraphs=merge_paragraphs)
     except ValueError as e:
@@ -522,20 +580,14 @@ def read_pdf_auto(
             raise
         if mode == "true":  # forced text layer but none exists
             raise
-        return UnstructuredDoc(
-            lines=[],
-            warnings=["pdf without text layer: OCR stage stubbed (no tesseract in container)"],
-        )
+        return ocr_route("pdf without text layer")
     if mode == "true":  # trust the layer unconditionally
         return doc
     text = "".join(line.line for line in doc.lines)
     if fast_detection:  # classify a bounded prefix (api_args.py:29)
         text = text[:2000]
     if text and not TxtlayerClassifier().is_correct(text):
-        return UnstructuredDoc(
-            lines=[],
-            warnings=["pdf text layer classified incorrect: OCR stage stubbed (no tesseract in container)"],
-        )
+        return ocr_route("pdf text layer classified incorrect")
     # correct layer, but a garbage FIRST page (cover scans glued onto
     # born-digital bodies) re-reads page 0 separately and merges
     # (reference __handle_correct_text_layer + __merge_documents,

@@ -32,6 +32,7 @@ XLS_EXT = (".xls",)
 PPT_EXT = (".ppt",)
 TEI_EXT = (".tei", ".tei.xml")
 NOTE_EXT = (".note.pickle",)
+PGM_EXT = (".pgm",)
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -51,6 +52,7 @@ _EXT_TABLE = (
     (PPT_EXT, "ppt"),
     (TEI_EXT, "article"),
     (NOTE_EXT, "note"),
+    (PGM_EXT, "pgm"),
     (TXT_EXT, "txt"),
 )
 
@@ -88,6 +90,8 @@ def sniff_format(url: str, data: bytes) -> str:
 
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:2] == b"P5" and data[2:3].isspace():
+        return "pgm"  # grayscale scan raster → OCR route
     if data[:5] == b"{\\rtf":
         return "rtf"
     if data[:4] == b"PK\x03\x04":

@@ -1,0 +1,98 @@
+"""Deterministic synthetic scanner — renders text into PGM page rasters.
+
+The test-side counterpart of ``readers/scan_ocr.py``: blits the same
+md5-derived bitmap font onto a gray page (ink/paper levels distinct from the
+binarizer's assumption-free split), optionally rotates the page 90k°, and
+emits binary PGM (P5). Also wraps the raster as a textless PDF with a
+DeviceGray FlateDecode image XObject — the scanned-PDF shape that the
+reference routes to PdfImageReader.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+
+from dedoc_ray.readers.scan_ocr import (
+    BOLD_FONT,
+    CHAR_GAP,
+    FONT,
+    GLYPH_H,
+    INK,
+    LEADING,
+    MARGIN,
+    PAPER,
+    SPACE_ADVANCE,
+)
+
+
+def _line_width(text: str, bold: bool) -> int:
+    font = BOLD_FONT if bold else FONT
+    return sum(
+        SPACE_ADVANCE if ch == " " else font.get(ch, font["?"]).shape[1] + CHAR_GAP
+        for ch in text
+    )
+
+
+def render_page(lines: List[Tuple[str, bool]], rotate_k: int = 0, indent_px: int = 0) -> np.ndarray:
+    """[(text, bold)] → uint8 page raster, rotated 90·k° counter-clockwise."""
+    width = max((_line_width(t, b) for t, b in lines), default=0) + 2 * MARGIN + indent_px
+    height = len(lines) * (GLYPH_H + LEADING) - LEADING + 2 * MARGIN if lines else 2 * MARGIN
+    img = np.full((height, width), PAPER, dtype=np.uint8)
+    y = MARGIN
+    for text, bold in lines:
+        font = BOLD_FONT if bold else FONT
+        x = MARGIN
+        for ch in text:
+            if ch == " ":
+                x += SPACE_ADVANCE
+                continue
+            bits = font.get(ch, font["?"])
+            img[y : y + GLYPH_H, x : x + bits.shape[1]][bits] = INK
+            x += bits.shape[1] + CHAR_GAP
+        y += GLYPH_H + LEADING
+    if rotate_k % 4:
+        img = np.ascontiguousarray(np.rot90(img, rotate_k % 4))
+    return img
+
+
+def pgm_bytes(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img).tobytes()
+
+
+def scan_pgm(doc_id: int, text: str) -> bytes:
+    """documents row → scanned page: bold 'Document {id}' title + one body
+    line per ' the '-chunk, page rotated by (doc_id % 4)·90°."""
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    return pgm_bytes(render_page(lines, rotate_k=doc_id % 4))
+
+
+def scan_pdf(doc_id: int, text: str) -> bytes:
+    """Same raster wrapped as a TEXTLESS PDF: one page whose only content is
+    a DeviceGray image XObject — the scanned-PDF input that the reference's
+    PdfAutoReader hands to PdfImageReader (pdf_auto_reader.py OCR route)."""
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    img = render_page(lines, rotate_k=doc_id % 4)
+    h, w = img.shape
+    payload = zlib.compress(np.ascontiguousarray(img).tobytes())
+    content = b"q %d 0 0 %d 36 36 cm /Im0 Do Q" % (w, h)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im0 5 0 R >> >> "
+        b"/MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length %d >> stream\n" % len(content) + content + b"\nendstream endobj",
+        b"5 0 obj << /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode /Length %d >> stream\n"
+        % (w, h, len(payload))
+        + payload
+        + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"

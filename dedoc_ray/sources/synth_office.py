@@ -447,9 +447,17 @@ def pdf_table_bytes(doc_id: int, text: str) -> bytes:
 
 _GENERATORS["pdf_table"] = pdf_table_bytes
 
+# scanned-document corpus (readers/scan_ocr.py OCR route): PGM page rasters
+# and textless PDFs carrying the raster as an image XObject
+from dedoc_ray.sources.scan_writer import scan_pdf, scan_pgm  # noqa: E402
+
+_GENERATORS["scan"] = scan_pgm
+_GENERATORS["pdf_scan"] = scan_pdf
+
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt",
                  "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
-                 "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt"}
+                 "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
+                 "scan": "pgm", "pdf_scan": "pdf"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:

@@ -1,0 +1,113 @@
+"""Scanned-image OCR route: font integrity, render→recognize roundtrip,
+orientation correction, bold/indent annotations, and the textless-PDF
+embedded-image branch (reference PdfImageReader semantics)."""
+
+import numpy as np
+import pytest
+
+from dedoc_ray.readers.pdf import read_pdf_auto
+from dedoc_ray.readers.scan_ocr import (
+    BOLD_FONT,
+    CHARSET,
+    FONT,
+    GLYPH_H,
+    ocr_raster,
+    parse_pgm,
+    read_scan,
+)
+from dedoc_ray.readers.sniff import sniff_format
+from dedoc_ray.sources.scan_writer import pgm_bytes, render_page, scan_pdf, scan_pgm
+
+
+def test_font_integrity():
+    bitmaps = {b.tobytes() for b in FONT.values()} | {b.tobytes() for b in BOLD_FONT.values()}
+    assert len(bitmaps) == 2 * len(CHARSET)
+    for bits in FONT.values():
+        assert bits.shape == (GLYPH_H, 5)
+        assert bits.any(axis=1).all(), "every row must carry ink (line segmentation)"
+        assert bits.any(axis=0).all(), "every column must carry ink (glyph segmentation)"
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_roundtrip_all_rotations(k):
+    text = "the quick brown fox jumps over 42 lazy dogs"
+    img = render_page([("Title Line", True), (text, False)], rotate_k=k)
+    lines, detected = ocr_raster(img)
+    assert detected == k
+    assert [t for t, _, _ in lines] == ["Title Line", text]
+    assert lines[0][1] is True and lines[1][1] is False  # bold flags
+
+
+def test_multiple_spaces_decode():
+    img = render_page([("a  b   c", False)])
+    lines, _ = ocr_raster(img)
+    assert lines[0][0] == "a  b   c"
+
+
+def test_read_scan_annotations_and_warnings():
+    data = scan_pgm(7, "alpha beta the gamma delta")
+    doc = read_scan(data)
+    assert "".join(l.line for l in doc.lines) == "Document 7\nalpha beta\ngamma delta\n"
+    assert any("orientation corrected 270" in w for w in doc.warnings)
+    names = [a.name for a in doc.lines[0].annotations]
+    assert "bold" in names
+    assert all(a.name != "bold" for a in doc.lines[1].annotations)
+
+
+def test_indentation_annotation():
+    img = render_page([("first line of text", False)])
+    # indent the second line manually: pad columns on the left
+    ind = render_page([("indented continuation", False)])
+    w = max(img.shape[1], ind.shape[1] + 20)
+    page = np.full((img.shape[0] + ind.shape[0], w), 200, dtype=np.uint8)
+    page[: img.shape[0], : img.shape[1]] = img
+    page[img.shape[0] :, 20 : 20 + ind.shape[1]] = ind
+    doc = read_scan(pgm_bytes(page))
+    assert [a.name for a in doc.lines[1].annotations] == ["indentation"]
+
+
+def test_blank_scan():
+    doc = read_scan(pgm_bytes(np.full((40, 60), 200, dtype=np.uint8)))
+    assert doc.lines == []
+    assert any("blank scan" in w for w in doc.warnings)
+
+
+def test_bad_pgm_rejected():
+    with pytest.raises(ValueError):
+        parse_pgm(b"P6\n2 2\n255\n" + b"\0" * 12)  # PPM, not PGM
+    with pytest.raises(ValueError):
+        parse_pgm(b"P5\n10 10\n255\n" + b"\0" * 5)  # truncated body
+
+
+def test_pgm_comment_header():
+    img = render_page([("ok", False)])
+    h, w = img.shape
+    data = b"P5\n# scanner model x\n%d %d\n255\n" % (w, h) + img.tobytes()
+    assert [t for t, _, _ in ocr_raster(parse_pgm(data))[0]] == ["ok"]
+
+
+def test_sniff_pgm():
+    assert sniff_format("https://x/p.pgm", b"") == "pgm"
+    assert sniff_format("https://x/p.bin", scan_pgm(1, "a b")) == "pgm"
+
+
+def test_pdf_embedded_image_route():
+    data = scan_pdf(5, "one two the three four")
+    doc = read_pdf_auto(data)
+    assert "".join(l.line for l in doc.lines) == "Document 5\none two\nthree four\n"
+    assert doc.warnings[0] == "pdf without text layer: scanned-image OCR route"
+    assert any("orientation corrected 90" in w for w in doc.warnings)
+
+
+def test_pdf_without_image_keeps_stub():
+    data = b"%PDF-1.4\n1 0 obj << /Length 0 >> stream\n\nendstream endobj\ntrailer\n%%EOF"
+    doc = read_pdf_auto(data)
+    assert doc.lines == []
+    assert doc.warnings == ["pdf without text layer: OCR stage stubbed (no tesseract in container)"]
+
+
+def test_pdf_scan_pages_slice():
+    data = scan_pdf(0, "a b the c d")
+    doc = read_pdf_auto(data, pages=(1, None))  # only page 0 exists → empty slice
+    assert doc.lines == []
+    assert doc.warnings[0].endswith("scanned-image OCR route")
