@@ -1034,6 +1034,25 @@ def q_late_events(sf_dir: str):
     return late_events(sf_dir)
 
 
+def q_extract_links(sf_dir: str):
+    """Link-graph edge extraction: crawl pages → real HTML extraction →
+    (src, dst, anchor) rows from the linked_text annotations. Map-only;
+    the SQL oracle replays the md5-derived link formula."""
+    from dedoc_ray.ops.linkgraph import extract_links
+
+    return extract_links(sf_dir)
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the link graph (3 power iterations): one
+    src-keyed shuffle + one dst-keyed groupby-sum per iteration, zero
+    self-contributions keep unlinked nodes alive without a join. Exact
+    integer arithmetic → bit-identical DuckDB replay."""
+    from dedoc_ray.ops.linkgraph import pagerank
+
+    return pagerank(sf_dir)
+
+
 def q_pmi_topk(sf_dir: str):
     """Windowed co-occurrence + PMI ranking (the word2vec/GloVe precursor):
     combiner partials, one pair shuffle, min_count threshold before
@@ -1372,6 +1391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_prep": q_cc_prep,
         "cms_stopwords": q_cms_stopwords,
         "pmi_topk": q_pmi_topk,
+        "extract_links": q_extract_links,
+        "pagerank": q_pagerank,
         "late_events": q_late_events,
         "hll_token_estimate": q_hll_token_estimate,
         "simhash_pairs": q_simhash_pairs,
@@ -1502,6 +1523,8 @@ def oracle_sql() -> dict[str, str]:
     import dedoc_ray.ops.sketch as _hll_sketch
     from dedoc_ray.ops.bloom import BLOOM_DELTA_SQL as _BLOOM_DELTA_SQL
     from dedoc_ray.ops.cooc import pmi_topk_sql as _pmi_topk_sql
+    from dedoc_ray.ops.linkgraph import EXTRACT_LINKS_SQL as _extract_links_sql
+    from dedoc_ray.ops.linkgraph import pagerank_sql as _pagerank_sql
     from dedoc_ray.ops.watermark import late_events_sql as _late_events_sql
     from dedoc_ray.ops.funnel import CC_PREP_SQL as _CC_PREP_SQL
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
@@ -1709,6 +1732,8 @@ FROM base WHERE cls <= 3
         "cc_prep": _CC_PREP_SQL,
         "cms_stopwords": _hll_sketch.cms_estimate_sql(),
         "pmi_topk": _pmi_topk_sql(),
+        "extract_links": _extract_links_sql,
+        "pagerank": _pagerank_sql(),
         "late_events": _late_events_sql(),
         "hll_token_estimate": _hll_sketch.hll_estimate_sql(_HLL_TOKENS_CTE),
         "simhash_pairs": simhash_pairs_sql(),
