@@ -207,6 +207,14 @@ def q_extract_scan_pdf(sf_dir: str):
     return _office_extract(sf_dir, "pdf_scan").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_2col(sf_dir: str):
+    """Two-column scanned pages (the columns half of the reference's
+    ColumnsOrientationClassifier): gutter detection splits the page, left
+    column decodes before right — a column-blind pass would interleave
+    rows. Byte-exact text oracle."""
+    return _office_extract(sf_dir, "scan2col").select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -1314,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
+        "extract_scan_2col": q_extract_scan_2col,
         "extract_scan_pdf": q_extract_scan_pdf,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
@@ -1581,6 +1590,8 @@ def oracle_sql() -> dict[str, str]:
                               f"{body} AS extracted_text FROM documents",
         "extract_scan": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                         f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_2col": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
+                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

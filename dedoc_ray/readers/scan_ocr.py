@@ -233,18 +233,34 @@ def detect_orientation(ink: np.ndarray) -> int:
     return best_k
 
 
-def ocr_raster(img: np.ndarray) -> Tuple[List[Tuple[str, bool, int]], int]:
-    """Grayscale page raster → ([(text, all_bold, x0_px)], rotation_k).
+#: blank-column run width that separates two text columns. Must exceed any
+#: page-height-aligned word-space run: one space leaves 8 blank px, two
+#: leave 14 — and a run only counts when blank across EVERY line, so on
+#: multi-line pages word gaps never align; the bound matters for one-line
+#: pages only (≥3 aligned spaces would read as a column break there).
+GUTTER_MIN = 20
 
-    Binarize from the observed range, correct orientation, then decode
-    every 7-row band."""
-    lo, hi = int(img.min()), int(img.max())
-    if hi - lo < 64:  # blank page — no ink/paper separation
-        return [], 0
-    ink = img < (lo + hi) // 2
-    k = detect_orientation(ink)
-    if k:
-        ink = np.rot90(ink, -k)
+
+def _split_gutter(ink: np.ndarray) -> List[np.ndarray]:
+    """Column-count detection (the columns half of the reference's
+    ColumnsOrientationClassifier): find the widest INTERNAL blank-column
+    run ≥ GUTTER_MIN with ink on both sides and split there — left column
+    first (reading order), recursing for 3+ columns. Word-space runs are
+    narrower than GUTTER_MIN by construction of any real type-set page."""
+    cols = ink.any(axis=0)
+    idx = np.flatnonzero(cols)
+    if idx.size == 0:
+        return [ink]
+    gaps = np.diff(idx)
+    cut = int(np.argmax(gaps)) if gaps.size else 0
+    if gaps.size == 0 or gaps[cut] - 1 < GUTTER_MIN:
+        return [ink]
+    left_end, right_start = idx[cut] + 1, idx[cut + 1]
+    return _split_gutter(ink[:, :left_end]) + _split_gutter(ink[:, right_start:])
+
+
+def _decode_region(ink: np.ndarray) -> List[Tuple[str, bool, int]]:
+    """One text column → recognized (text, all_bold, x0) per 7-row band."""
     lines: List[Tuple[str, bool, int]] = []
     for top, bot in _segment_rows(ink):
         if bot - top != GLYPH_H:
@@ -256,6 +272,25 @@ def ocr_raster(img: np.ndarray) -> Tuple[List[Tuple[str, bool, int]], int]:
         text, _, _, all_bold = _decode_line(band)
         x0 = int(np.argmax(band.any(axis=0)))
         lines.append((text, all_bold, x0))
+    return lines
+
+
+def ocr_raster(img: np.ndarray) -> Tuple[List[Tuple[str, bool, int]], int]:
+    """Grayscale page raster → ([(text, all_bold, x0_px)], rotation_k).
+
+    Binarize from the observed range, correct orientation, detect the
+    column count, then decode every 7-row band in reading order (columns
+    left→right, top→bottom within a column)."""
+    lo, hi = int(img.min()), int(img.max())
+    if hi - lo < 64:  # blank page — no ink/paper separation
+        return [], 0
+    ink = img < (lo + hi) // 2
+    k = detect_orientation(ink)
+    if k:
+        ink = np.rot90(ink, -k)
+    lines: List[Tuple[str, bool, int]] = []
+    for region in _split_gutter(ink):
+        lines.extend(_decode_region(region))
     return lines, k
 
 

@@ -72,6 +72,27 @@ def scan_pgm(doc_id: int, text: str) -> bytes:
     return pgm_bytes(render_page(lines, rotate_k=doc_id % 4))
 
 
+def scan_2col_pgm(doc_id: int, text: str) -> bytes:
+    """Two-column scanned page: bold title + first half of the chunks in
+    the left column, second half in the right, separated by a 24-px
+    gutter; page rotated by (doc_id % 4)·90°. Only column-aware decoding
+    (left column first, then right) reproduces the reading order — a
+    column-blind pass would interleave the rows with gap spaces."""
+    from dedoc_ray.sources.synth import chunks_of
+
+    chunks = chunks_of(text)
+    half = (len(chunks) + 1) // 2
+    left = render_page([(f"Document {doc_id}", True)] + [(c, False) for c in chunks[:half]])
+    right = render_page([(c, False) for c in chunks[half:]])
+    h = max(left.shape[0], right.shape[0])
+    page = np.full((h, left.shape[1] + 24 + right.shape[1]), PAPER, dtype=np.uint8)
+    page[: left.shape[0], : left.shape[1]] = left
+    page[: right.shape[0], left.shape[1] + 24 :] = right
+    if doc_id % 4:
+        page = np.ascontiguousarray(np.rot90(page, doc_id % 4))
+    return pgm_bytes(page)
+
+
 def scan_pdf(doc_id: int, text: str) -> bytes:
     """Same raster wrapped as a TEXTLESS PDF: one page whose only content is
     a DeviceGray image XObject — the scanned-PDF input that the reference's

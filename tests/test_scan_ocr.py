@@ -39,9 +39,19 @@ def test_roundtrip_all_rotations(k):
 
 
 def test_multiple_spaces_decode():
-    img = render_page([("a  b   c", False)])
+    # double spaces decode as spaces, not column gutters (gap 14 < GUTTER_MIN)
+    img = render_page([("a  b c", False)])
     lines, _ = ocr_raster(img)
-    assert lines[0][0] == "a  b   c"
+    assert lines[0][0] == "a  b c"
+
+
+def test_two_column_page_reads_left_then_right():
+    from dedoc_ray.sources.scan_writer import scan_2col_pgm
+
+    doc = read_scan(scan_2col_pgm(2, "one two the three four the five six the seven"))
+    got = [l.line.rstrip("\n") for l in doc.lines]
+    assert got == ["Document 2", "one two", "three four", "five six", "seven"]
+    assert any("orientation corrected 180" in w for w in doc.warnings)
 
 
 def test_read_scan_annotations_and_warnings():
