@@ -1247,6 +1247,31 @@ def q_video_frames(sf_dir: str):
     return video_frames(sf_dir)
 
 
+def q_image_features_bmp(sf_dir: str):
+    """Image features over REAL 24-bit BMP payloads (actual format parser:
+    header walk, bottom-up rows, stride padding — ops/media_codecs.py);
+    same kernel as image_features, format-agnostic decode."""
+    from dedoc_ray.ops.multimodal import image_features_bmp
+
+    return image_features_bmp(sf_dir)
+
+
+def q_audio_frames_wav(sf_dir: str):
+    """Audio framing over REAL RIFF/WAVE PCM-16 payloads (chunk walk,
+    per-file sample rates from the fmt chunk)."""
+    from dedoc_ray.ops.multimodal import audio_frames_wav
+
+    return audio_frames_wav(sf_dir)
+
+
+def q_video_frames_y4m(sf_dir: str):
+    """Frame sampling over REAL YUV4MPEG2 raw video (FRAME-separated 4:2:0
+    planes); checksum = integer mean luma of each sampled frame."""
+    from dedoc_ray.ops.multimodal import video_frames_y4m
+
+    return video_frames_y4m(sf_dir)
+
+
 def q_language_id(sf_dir: str):
     from dedoc_ray.ops.langid import language_id
 
@@ -1416,6 +1441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": q_image_thumbnails,
         "audio_frames": q_audio_frames,
         "video_frames": q_video_frames,
+        "image_features_bmp": q_image_features_bmp,
+        "audio_frames_wav": q_audio_frames_wav,
+        "video_frames_y4m": q_video_frames_y4m,
         "language_id": q_language_id,
         "lineitem_pricing": q_lineitem_pricing,
         "events_hourly": q_events_hourly,
@@ -1537,7 +1565,14 @@ def oracle_sql() -> dict[str, str]:
     from dedoc_ray.ops.watermark import late_events_sql as _late_events_sql
     from dedoc_ray.ops.funnel import CC_PREP_SQL as _CC_PREP_SQL
     from dedoc_ray.ops.knn import embedding_neardup_sql, knn_sql
-    from dedoc_ray.ops.multimodal import AUDIO_FRAMES_SQL, IMAGE_FEATURES_SQL, VIDEO_FRAMES_SQL
+    from dedoc_ray.ops.multimodal import (
+        AUDIO_FRAMES_SQL,
+        AUDIO_FRAMES_WAV_SQL,
+        IMAGE_FEATURES_BMP_SQL,
+        IMAGE_FEATURES_SQL,
+        VIDEO_FRAMES_SQL,
+        VIDEO_FRAMES_Y4M_SQL,
+    )
     from dedoc_ray.ops.relational import (
         ASOF_EVENTS_ORDERS_SQL,
         EVENTS_HOURLY_SQL,
@@ -1756,6 +1791,9 @@ FROM base WHERE cls <= 3
         "image_features": IMAGE_FEATURES_SQL,
         "audio_frames": AUDIO_FRAMES_SQL,
         "video_frames": VIDEO_FRAMES_SQL,
+        "image_features_bmp": IMAGE_FEATURES_BMP_SQL,
+        "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
+        "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,
         "lineitem_pricing": LINEITEM_PRICING_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sliding": events_sliding_sql(),

@@ -79,15 +79,46 @@ def media_corpus(sf_dir: str):
     return docs.map_batches(media_batch, batch_format="pyarrow")
 
 
+def media_corpus_real(sf_dir: str):
+    """Same corpus shape but REAL container formats: 24-bit BMP images,
+    RIFF/WAVE PCM-16 audio, YUV4MPEG2 raw video (ops/media_codecs.py) —
+    the kernels decode these through actual format parsers."""
+    import ray.data as rd
+
+    from dedoc_ray.ops.media_codecs import bmp_payload, wav_payload, y4m_payload
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array([bmp_payload(d) for d in doc_ids], "binary"),
+                "audio": pa.array([wav_payload(d) for d in doc_ids], "binary"),
+                "video": pa.array([y4m_payload(d) for d in doc_ids], "binary"),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- decode stage
 
 
 def _decode_payload(data: bytes):
-    """→ (width, height, pixel ndarray). STUB: synthetic container only;
-    a real deployment would branch to PIL here (``_HAVE_PIL``)."""
+    """→ (width, height, pixel ndarray). REAL codec for BMP (24-bit, the
+    uncompressed public container — ops/media_codecs.py); the synthetic
+    FIMG container for tests; compressed formats (JPEG/PNG) stay gated on
+    PIL (``_HAVE_PIL``, absent in this container)."""
+    if data[:2] == b"BM":
+        from dedoc_ray.ops.media_codecs import bmp_decode
+
+        gray = bmp_decode(data)
+        h, w = gray.shape
+        return w, h, gray.reshape(-1)
     if data[:4] != IMG_MAGIC:
         if _HAVE_PIL:
-            raise NotImplementedError("real-codec decode not wired in this container")
+            raise NotImplementedError("compressed-codec decode not wired in this container")
         raise ValueError("unknown image container")
     w, h = struct.unpack("<HH", data[4:8])
     px = np.frombuffer(data[8:8 + w * h], dtype=np.uint8)
@@ -105,7 +136,8 @@ class ImageFeatureKernel:
             cols["width"].append(w)
             cols["height"].append(h)
             cols["n_pixels"].append(w * h)
-            cols["mean_pixel"].append(int(px.mean()) if len(px) else 0)
+            # integer division, not float mean: exact and SQL-replayable
+            cols["mean_pixel"].append(int(px.sum()) // len(px) if len(px) else 0)
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(cols["doc_id"], "int64"),
@@ -153,12 +185,20 @@ class AudioFrameKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_samples, n_frames, dur_ms = [], [], []
         for data in batch["audio"].to_pylist():
-            if data[:4] != AUD_MAGIC:
+            if data[:4] == b"RIFF":
+                # REAL codec: RIFF/WAVE PCM-16 (ops/media_codecs.py)
+                from dedoc_ray.ops.media_codecs import wav_decode
+
+                samples, rate = wav_decode(data)
+                n = len(samples)
+            elif data[:4] == AUD_MAGIC:
+                (n,) = struct.unpack("<I", data[4:8])
+                rate = 16000
+            else:
                 raise ValueError("unknown audio container")
-            (n,) = struct.unpack("<I", data[4:8])
             n_samples.append(n)
             n_frames.append(n // self.frame_len)
-            dur_ms.append(n * 1000 // 16000)
+            dur_ms.append(n * 1000 // rate)
         return pa.Table.from_pydict(
             {
                 "doc_id": batch["doc_id"],
@@ -182,6 +222,17 @@ class VideoFrameSampleKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_frames, n_sampled, checksum = [], [], []
         for data in batch["video"].to_pylist():
+            if data[:9] == b"YUV4MPEG2":
+                # REAL codec: Y4M 4:2:0 raw video (ops/media_codecs.py);
+                # per-frame stat = integer mean of the sampled luma plane
+                from dedoc_ray.ops.media_codecs import y4m_decode
+
+                planes = y4m_decode(data)
+                sampled_means = [int(f.sum()) // f.size for f in planes[:: self.stride]]
+                n_frames.append(len(planes))
+                n_sampled.append(len(sampled_means))
+                checksum.append(sum(sampled_means))
+                continue
             if data[:4] != VID_MAGIC:
                 raise ValueError("unknown video container")
             n, w, h = struct.unpack("<IHH", data[4:12])
@@ -228,6 +279,63 @@ def video_frames(sf_dir: str, stride: int = 6):
         VideoFrameSampleKernel, fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1,
     )
+
+
+def image_features_bmp(sf_dir: str):
+    """The image feature stage over REAL BMP payloads — same kernel,
+    format-agnostic decode."""
+    return media_corpus_real(sf_dir).drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def audio_frames_wav(sf_dir: str, frame_len: int = 400):
+    """The audio frame stage over REAL RIFF/WAVE PCM payloads (per-file
+    sample rates from the fmt chunk)."""
+    return media_corpus_real(sf_dir).drop_columns(["image", "video"]).map_batches(
+        AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def video_frames_y4m(sf_dir: str, stride: int = 6):
+    """The video frame-sampling stage over REAL YUV4MPEG2 payloads
+    (checksum = integer mean luma of each sampled frame)."""
+    return media_corpus_real(sf_dir).drop_columns(["image", "audio"]).map_batches(
+        VideoFrameSampleKernel, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+IMAGE_FEATURES_BMP_SQL = """
+SELECT doc_id,
+       CAST(4 + doc_id % 8 AS BIGINT) AS width,
+       CAST(3 + doc_id % 5 AS BIGINT) AS height,
+       CAST((4 + doc_id % 8) * (3 + doc_id % 5) AS BIGINT) AS n_pixels,
+       CAST(list_sum(flatten(list_transform(range(0, 3 + doc_id % 5),
+                y -> list_transform(range(0, 4 + doc_id % 8),
+                                    x -> (doc_id + x + y) % 256))))
+            // ((4 + doc_id % 8) * (3 + doc_id % 5)) AS BIGINT) AS mean_pixel
+FROM documents
+"""
+
+AUDIO_FRAMES_WAV_SQL = """
+SELECT doc_id,
+       CAST(500 + (doc_id % 50) * 20 AS BIGINT) AS n_samples,
+       CAST((500 + (doc_id % 50) * 20) // 400 AS BIGINT) AS n_frames,
+       CAST((500 + (doc_id % 50) * 20) * 1000
+            // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+VIDEO_FRAMES_Y4M_SQL = """
+SELECT doc_id,
+       CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
+       CAST((10 + doc_id % 20 + 5) // 6 AS BIGINT) AS n_sampled,
+       CAST(list_sum(list_transform(range(0, 10 + doc_id % 20, 6),
+                                    f -> (doc_id + f) % 256)) AS BIGINT) AS checksum
+FROM documents
+"""
 
 
 VIDEO_FRAMES_SQL = """
