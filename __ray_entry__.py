@@ -215,6 +215,13 @@ def q_extract_scan_2col(sf_dir: str):
     return _office_extract(sf_dir, "scan2col").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_bmp(sf_dir: str):
+    """Scanned pages as 24-bit BMP files through the same OCR route (the
+    reference's image inputs, supported_image_types): BMP decode →
+    binarize → orientation → recognize. Byte-exact text oracle."""
+    return _office_extract(sf_dir, "scan_bmp").select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -1348,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
         "extract_scan_2col": q_extract_scan_2col,
+        "extract_scan_bmp": q_extract_scan_bmp,
         "extract_scan_pdf": q_extract_scan_pdf,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
@@ -1627,6 +1635,8 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_2col": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                              f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_bmp": f"SELECT {office_url.format(ext='bmp')} AS url, 'ok' AS status, "
+                            f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

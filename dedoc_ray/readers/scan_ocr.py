@@ -323,9 +323,16 @@ def lines_from_recognized(
 
 
 def read_scan(data: bytes) -> UnstructuredDoc:
-    """PGM scan → UnstructuredDoc (the image half of the reference's
-    PdfImageReader, which accepts bare images alongside textless PDFs)."""
-    img = parse_pgm(data)
+    """Image scan → UnstructuredDoc (the image half of the reference's
+    PdfImageReader, which accepts bare images alongside textless PDFs;
+    supported_image_types there spans bmp/png/jpg — here the
+    container-parseable rasters: PGM and 24-bit BMP)."""
+    if data[:2] == b"BM":
+        from dedoc_ray.ops.media_codecs import bmp_decode
+
+        img = bmp_decode(data)
+    else:
+        img = parse_pgm(data)
     file_hash = hashlib.md5(data).hexdigest()
     recognized, k = ocr_raster(img)
     warnings: List[str] = []

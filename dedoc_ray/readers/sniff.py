@@ -32,7 +32,7 @@ XLS_EXT = (".xls",)
 PPT_EXT = (".ppt",)
 TEI_EXT = (".tei", ".tei.xml")
 NOTE_EXT = (".note.pickle",)
-PGM_EXT = (".pgm",)
+PGM_EXT = (".pgm", ".bmp")
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -92,6 +92,8 @@ def sniff_format(url: str, data: bytes) -> str:
         return "pdf"
     if data[:2] == b"P5" and data[2:3].isspace():
         return "pgm"  # grayscale scan raster → OCR route
+    if data[:2] == b"BM" and len(data) > 54 and data[14:15] in (b"\x28", b"\x6c", b"\x7c"):
+        return "pgm"  # BMP raster (BITMAPINFO/V4/V5 header) → same OCR route
     if data[:5] == b"{\\rtf":
         return "rtf"
     if data[:4] == b"PK\x03\x04":

@@ -93,6 +93,16 @@ def scan_2col_pgm(doc_id: int, text: str) -> bytes:
     return pgm_bytes(page)
 
 
+def scan_bmp(doc_id: int, text: str) -> bytes:
+    """Same scanned page encoded as a 24-bit BMP (the reference's image
+    route accepts bmp/png/jpg directly — supported_image_types)."""
+    from dedoc_ray.ops.media_codecs import bmp_encode
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    return bmp_encode(render_page(lines, rotate_k=doc_id % 4))
+
+
 def scan_pdf(doc_id: int, text: str) -> bytes:
     """Same raster wrapped as a TEXTLESS PDF: one page whose only content is
     a DeviceGray image XObject — the scanned-PDF input that the reference's

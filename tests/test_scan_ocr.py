@@ -101,6 +101,16 @@ def test_sniff_pgm():
     assert sniff_format("https://x/p.bin", scan_pgm(1, "a b")) == "pgm"
 
 
+def test_bmp_scan_route():
+    from dedoc_ray.sources.scan_writer import scan_bmp
+
+    data = scan_bmp(6, "red fish the blue fish")
+    assert sniff_format("https://x/p.bin", data) == "pgm"  # magic sniff, no ext
+    doc = read_scan(data)
+    assert "".join(l.line for l in doc.lines) == "Document 6\nred fish\nblue fish\n"
+    assert any("orientation corrected 180" in w for w in doc.warnings)
+
+
 def test_pdf_embedded_image_route():
     data = scan_pdf(5, "one two the three four")
     doc = read_pdf_auto(data)
