@@ -1263,6 +1263,32 @@ def q_image_features_bmp(sf_dir: str):
     return image_features_bmp(sf_dir)
 
 
+def q_image_features_png(sf_dir: str):
+    """Image features over REAL PNG payloads — a full stdlib-zlib PNG
+    decoder (chunk CRCs, all five row filters) in ops/media_codecs.py;
+    same kernel, magic-dispatched decode."""
+    from dedoc_ray.ops.multimodal import image_features_png
+
+    return image_features_png(sf_dir)
+
+
+def q_image_features_gif(sf_dir: str):
+    """Image features over REAL GIF payloads — a full GIF87a/89a LZW
+    decoder (variable code width, clear-code resets, sub-block reassembly,
+    palette mapping) in ops/media_codecs.py."""
+    from dedoc_ray.ops.multimodal import image_features_gif
+
+    return image_features_gif(sf_dir)
+
+
+def q_audio_frames_au(sf_dir: str):
+    """Audio framing over REAL Sun AU payloads (big-endian header walk,
+    PCM-16 BE; the decoder also handles G.711 µ-law)."""
+    from dedoc_ray.ops.multimodal import audio_frames_au
+
+    return audio_frames_au(sf_dir)
+
+
 def q_audio_frames_wav(sf_dir: str):
     """Audio framing over REAL RIFF/WAVE PCM-16 payloads (chunk walk,
     per-file sample rates from the fmt chunk)."""
@@ -1450,7 +1476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames": q_audio_frames,
         "video_frames": q_video_frames,
         "image_features_bmp": q_image_features_bmp,
+        "image_features_png": q_image_features_png,
+        "image_features_gif": q_image_features_gif,
         "audio_frames_wav": q_audio_frames_wav,
+        "audio_frames_au": q_audio_frames_au,
         "video_frames_y4m": q_video_frames_y4m,
         "language_id": q_language_id,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1802,7 +1831,10 @@ FROM base WHERE cls <= 3
         "audio_frames": AUDIO_FRAMES_SQL,
         "video_frames": VIDEO_FRAMES_SQL,
         "image_features_bmp": IMAGE_FEATURES_BMP_SQL,
+        "image_features_png": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real PNG decode
+        "image_features_gif": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real GIF decode
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
+        "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,
         "lineitem_pricing": LINEITEM_PRICING_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,

@@ -164,3 +164,327 @@ def y4m_payload(doc_id: int) -> bytes:
     n, w, h = 10 + doc_id % 20, 8 + (doc_id % 4) * 2, 8
     frames = [np.full((h, w), (doc_id + f) % 256, np.uint8) for f in range(n)]
     return y4m_encode(frames)
+
+
+# ----------------------------------------------------------------- PNG
+#
+# Grayscale 8-bit PNG (color type 0) with the stdlib zlib doing DEFLATE.
+# The encoder writes filter 0 rows; the decoder implements ALL five row
+# filters (None/Sub/Up/Average/Paeth) so externally-produced streams decode
+# too. CRCs are verified chunk by chunk.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body))
+
+
+def png_encode(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → PNG (color type 0, bit depth 8, filter 0)."""
+    import zlib
+
+    h, w = gray.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\0" + gray[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG → (h, w) uint8 grayscale. Supports color type 0 (gray) and 2
+    (RGB, exact channel mean); all five row filters; verifies chunk CRCs.
+    Interlaced (Adam7), paletted and 16-bit streams raise ValueError."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat: List[bytes] = []
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + clen > len(data):
+            raise ValueError("truncated PNG chunk")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack(">I", data[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in (0, 2) or interlace:
+                raise ValueError("unsupported PNG variant (8-bit gray/RGB, no interlace)")
+            nch = 1 if ctype == 0 else 3
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8).astype(np.int32)
+        if ftype == 0:
+            recon = row
+        elif ftype == 2:  # Up — vectorized
+            recon = (row + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need the running left
+            recon = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = recon[x - nch] if x >= nch else 0
+                b = prior[x]
+                c = prior[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    recon[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    recon[x] = (row[x] + (a + b) // 2) & 0xFF
+                else:
+                    recon[x] = (row[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    if nch == 1:
+        return out
+    px = out.reshape(h, w, 3).astype(np.uint16)
+    return (px.sum(axis=2) // 3).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- GIF
+#
+# GIF87a/89a with a 256-entry grayscale global color table and the standard
+# LZW codec (variable code width 9→12, clear-code table resets, LSB-first
+# bit packing, ≤255-byte sub-blocks).
+
+
+def _lzw_compress(indices: bytes, min_code: int = 8) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code, width = eoi + 1, min_code + 1
+    out_bits: List[Tuple[int, int]] = [(clear, width)]
+    run = b""
+    for byte in indices:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        out_bits.append((table[run], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                out_bits.append((clear, width))
+                table = {bytes([i]): i for i in range(1 << min_code)}
+                next_code, width = eoi + 1, min_code + 1
+        run = bytes([byte])
+    if run:
+        out_bits.append((table[run], width))
+    out_bits.append((eoi, width))
+    acc = n = 0
+    packed = bytearray()
+    for code, cw in out_bits:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        packed.append(acc & 0xFF)
+    return bytes(packed)
+
+
+def _lzw_decompress(data: bytes, min_code: int = 8) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: List[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    width = min_code + 1
+    acc = n = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width, prev = min_code + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_encode(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → GIF89a with a 256-gray global palette."""
+    h, w = gray.shape
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    lzw = _lzw_compress(gray.tobytes())
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"GIF89a" + lsd + gct + imgd + bytes(blocks) + b"\x3b"
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF87a/89a, first image frame → (h, w) uint8 grayscale (palette
+    entries mapped by exact RGB mean). Extensions are skipped; interlaced
+    images raise ValueError."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _, _ = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            _, _, _, w, h, ipack = struct.unpack("<BHHHHB", data[pos : pos + 10])
+            pos += 10
+            if ipack & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if ipack & 0x80:
+                n = 2 << (ipack & 7)
+                palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = np.frombuffer(_lzw_decompress(bytes(lzw), min_code), np.uint8)
+            if len(indices) < w * h:
+                raise ValueError("truncated GIF image data")
+            gray = (palette.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+            return gray[indices[: w * h]].reshape(h, w)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
+
+
+# ----------------------------------------------------------------- AU
+#
+# Sun/NeXT audio (.au/.snd): 24-byte big-endian header. Encoding 3 =
+# PCM-16 big-endian (lossless; the corpus format) and encoding 1 = G.711
+# µ-law 8-bit (the classic telephony codec, exact per-spec tables).
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → µ-law bytes (G.711, bias 0x84, clip 32635)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    x = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(x)) - 7).astype(np.int32)
+    mant = (x >> (exp + 3)) & 0xF
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """µ-law bytes → int16 (exact inverse of the quantizer)."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def au_encode(samples: np.ndarray, rate: int, ulaw: bool = False) -> bytes:
+    """int16 mono samples → Sun AU (PCM-16 BE, or µ-law when ``ulaw``)."""
+    body = ulaw_encode(samples).tobytes() if ulaw else samples.astype(">i2").tobytes()
+    enc = 1 if ulaw else 3
+    return struct.pack(">4sIIIII", b".snd", 24, len(body), enc, rate, 1) + body
+
+
+def au_decode(data: bytes) -> Tuple[np.ndarray, int]:
+    """Sun AU → (int16 samples, rate). Encodings 1 (µ-law) and 3 (PCM-16 BE),
+    mono; honors the header's data offset (annotation field skipped)."""
+    if data[:4] != b".snd" or len(data) < 24:
+        raise ValueError("not a Sun AU file")
+    _, offset, size, enc, rate, channels = struct.unpack(">4sIIIII", data[:24])
+    if channels != 1 or enc not in (1, 3):
+        raise ValueError("unsupported AU variant (mono µ-law/PCM-16 only)")
+    if size == 0xFFFFFFFF:  # unknown-length marker per spec
+        size = len(data) - offset
+    body = data[offset : offset + size]
+    if enc == 3:
+        return np.frombuffer(body[: len(body) & ~1], ">i2").astype(np.int16), rate
+    return ulaw_decode(np.frombuffer(body, np.uint8)), rate
+
+
+def png_payload(doc_id: int) -> bytes:
+    """Same pixel field as bmp_payload — one SQL oracle covers both."""
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return png_encode(((doc_id + x + y) % 256).astype(np.uint8))
+
+
+def gif_payload(doc_id: int) -> bytes:
+    """Same pixel field as bmp_payload — one SQL oracle covers both."""
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return gif_encode(((doc_id + x + y) % 256).astype(np.uint8))
+
+
+def au_payload(doc_id: int) -> bytes:
+    """Same sample field as wav_payload (PCM-16 BE) — one SQL oracle."""
+    rate = 8000 + (doc_id % 8) * 1000
+    n = 500 + (doc_id % 50) * 20
+    i = np.arange(n)
+    return au_encode(((doc_id * 7 + i) % 200 - 100).astype(np.int16), rate)

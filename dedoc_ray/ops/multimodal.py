@@ -79,22 +79,26 @@ def media_corpus(sf_dir: str):
     return docs.map_batches(media_batch, batch_format="pyarrow")
 
 
-def media_corpus_real(sf_dir: str):
-    """Same corpus shape but REAL container formats: 24-bit BMP images,
-    RIFF/WAVE PCM-16 audio, YUV4MPEG2 raw video (ops/media_codecs.py) —
-    the kernels decode these through actual format parsers."""
+def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = "wav"):
+    """Same corpus shape but REAL container formats (ops/media_codecs.py):
+    images as 24-bit BMP / PNG / GIF, audio as RIFF/WAVE PCM-16 / Sun AU,
+    video as YUV4MPEG2 — the kernels decode these through actual format
+    parsers, branching on magic bytes."""
     import ray.data as rd
 
-    from dedoc_ray.ops.media_codecs import bmp_payload, wav_payload, y4m_payload
+    from dedoc_ray.ops import media_codecs as mc
+
+    img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
+    aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload}[audio_codec]
 
     def gen(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         return pa.Table.from_pydict(
             {
                 "doc_id": batch["doc_id"],
-                "image": pa.array([bmp_payload(d) for d in doc_ids], "binary"),
-                "audio": pa.array([wav_payload(d) for d in doc_ids], "binary"),
-                "video": pa.array([y4m_payload(d) for d in doc_ids], "binary"),
+                "image": pa.array([img_fn(d) for d in doc_ids], "binary"),
+                "audio": pa.array([aud_fn(d) for d in doc_ids], "binary"),
+                "video": pa.array([mc.y4m_payload(d) for d in doc_ids], "binary"),
             }
         )
 
@@ -106,14 +110,26 @@ def media_corpus_real(sf_dir: str):
 
 
 def _decode_payload(data: bytes):
-    """→ (width, height, pixel ndarray). REAL codec for BMP (24-bit, the
-    uncompressed public container — ops/media_codecs.py); the synthetic
-    FIMG container for tests; compressed formats (JPEG/PNG) stay gated on
-    PIL (``_HAVE_PIL``, absent in this container)."""
+    """→ (width, height, pixel ndarray). REAL codecs for BMP (24-bit),
+    PNG (gray/RGB, stdlib-zlib DEFLATE) and GIF (LZW) — ops/media_codecs.py;
+    the synthetic FIMG container for tests; codecs needing entropy tables we
+    don't ship (JPEG) stay gated on PIL (``_HAVE_PIL``, absent here)."""
     if data[:2] == b"BM":
         from dedoc_ray.ops.media_codecs import bmp_decode
 
         gray = bmp_decode(data)
+        h, w = gray.shape
+        return w, h, gray.reshape(-1)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from dedoc_ray.ops.media_codecs import png_decode
+
+        gray = png_decode(data)
+        h, w = gray.shape
+        return w, h, gray.reshape(-1)
+    if data[:4] == b"GIF8":
+        from dedoc_ray.ops.media_codecs import gif_decode
+
+        gray = gif_decode(data)
         h, w = gray.shape
         return w, h, gray.reshape(-1)
     if data[:4] != IMG_MAGIC:
@@ -190,6 +206,12 @@ class AudioFrameKernel:
                 from dedoc_ray.ops.media_codecs import wav_decode
 
                 samples, rate = wav_decode(data)
+                n = len(samples)
+            elif data[:4] == b".snd":
+                # REAL codec: Sun AU, PCM-16 BE or G.711 µ-law
+                from dedoc_ray.ops.media_codecs import au_decode
+
+                samples, rate = au_decode(data)
                 n = len(samples)
             elif data[:4] == AUD_MAGIC:
                 (n,) = struct.unpack("<I", data[4:8])
@@ -286,6 +308,30 @@ def image_features_bmp(sf_dir: str):
     format-agnostic decode."""
     return media_corpus_real(sf_dir).drop_columns(["audio", "video"]).map_batches(
         ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def image_features_png(sf_dir: str):
+    """The image feature stage over REAL PNG payloads (stdlib-zlib inflate,
+    per-row unfilter) — same kernel, magic-dispatched decode."""
+    return media_corpus_real(sf_dir, image_codec="png").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def image_features_gif(sf_dir: str):
+    """The image feature stage over REAL GIF payloads (LZW decode, palette
+    mapping) — same kernel, magic-dispatched decode."""
+    return media_corpus_real(sf_dir, image_codec="gif").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def audio_frames_au(sf_dir: str, frame_len: int = 400):
+    """The audio frame stage over REAL Sun AU PCM-16-BE payloads."""
+    return media_corpus_real(sf_dir, audio_codec="au").drop_columns(["image", "video"]).map_batches(
+        AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
 
 

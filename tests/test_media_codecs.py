@@ -94,3 +94,140 @@ def test_payloads_match_documented_formulas():
     planes = y4m_decode(y4m_payload(d))
     assert len(planes) == 10 + d % 20
     assert int(planes[2][0, 0]) == (d + 2) % 256
+
+
+# ---------------------------------------------------------- PNG / GIF / AU
+
+
+def test_png_roundtrip_and_crc_check():
+    from dedoc_ray.ops.media_codecs import png_decode, png_encode
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        g = rng.randint(0, 256, (rng.randint(1, 30), rng.randint(1, 30))).astype(np.uint8)
+        assert (png_decode(png_encode(g)) == g).all()
+    data = bytearray(png_encode(g))
+    data[40] ^= 0xFF  # flip a pixel byte inside IDAT → CRC must catch it
+    with pytest.raises(ValueError):
+        png_decode(bytes(data))
+    with pytest.raises(ValueError):
+        png_decode(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+
+
+def test_png_all_filter_types_decode():
+    """Hand-build one stream per filter type (Sub/Up/Average/Paeth) and pin
+    the reconstruction to the spec's reference unfilter."""
+    import zlib
+
+    from dedoc_ray.ops.media_codecs import _paeth, _png_chunk, png_decode
+
+    rng = np.random.RandomState(5)
+    truth = rng.randint(0, 256, (6, 9)).astype(np.uint8)
+    for ftype in (1, 2, 3, 4):
+        rows = []
+        prior = np.zeros(9, np.int32)
+        for y in range(6):
+            recon = truth[y].astype(np.int32)
+            raw = np.zeros(9, np.int32)
+            for x in range(9):
+                a = recon[x - 1] if x else 0
+                b, c = prior[x], (prior[x - 1] if x else 0)
+                pred = {1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[ftype]
+                raw[x] = (recon[x] - pred) & 0xFF
+            rows.append(bytes([ftype]) + raw.astype(np.uint8).tobytes())
+            prior = recon
+        ihdr = struct.pack(">IIBBBBB", 9, 6, 8, 0, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert (png_decode(data) == truth).all(), f"filter {ftype}"
+
+
+def test_png_rgb_color_type_channel_mean():
+    import zlib
+
+    from dedoc_ray.ops.media_codecs import _png_chunk, png_decode
+
+    rgb = np.array([[[30, 60, 90], [255, 0, 1]]], np.uint8)  # 1x2 RGB
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + rgb.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (png_decode(data) == np.array([[60, 85]], np.uint8)).all()
+
+
+def test_gif_roundtrip_including_lzw_width_growth():
+    from dedoc_ray.ops.media_codecs import gif_decode, gif_encode
+
+    rng = np.random.RandomState(11)
+    small = rng.randint(0, 256, (3, 5)).astype(np.uint8)
+    assert (gif_decode(gif_encode(small)) == small).all()
+    # large enough to grow the code width to 12 bits and reset the table
+    big = rng.randint(0, 256, (150, 200)).astype(np.uint8)
+    assert (gif_decode(gif_encode(big)) == big).all()
+
+
+def test_gif_skips_extensions_and_rejects_garbage():
+    from dedoc_ray.ops.media_codecs import gif_decode, gif_encode
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    data = gif_encode(g)
+    # splice a graphic-control extension between LSD+GCT and the image
+    head, img = data[: 13 + 768], data[13 + 768 : ]
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert (gif_decode(head + ext + img) == g).all()
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a" + b"\x00" * 7)
+    with pytest.raises(ValueError):
+        gif_decode(b"JIF89a" + data[6:])
+
+
+def test_au_pcm_roundtrip_and_ulaw_tables():
+    from dedoc_ray.ops.media_codecs import au_decode, au_encode, ulaw_decode, ulaw_encode
+
+    s = np.array([0, 1, -1, 500, -500, 32767, -32768], np.int16)
+    dec, rate = au_decode(au_encode(s, 22050))
+    assert rate == 22050 and (dec == s).all()
+    # G.711 idempotence on codes (0x7F is "negative zero" — never emitted)
+    codes = np.array([c for c in range(256) if c != 0x7F], np.uint8)
+    assert (ulaw_encode(ulaw_decode(codes)) == codes).all()
+    # µ-law quantization error bounded by the segment step size
+    rng = np.random.RandomState(2)
+    x = rng.randint(-32000, 32000, 2000).astype(np.int16)
+    y, _ = au_decode(au_encode(x, 8000, ulaw=True))
+    err = np.abs(y.astype(np.int32) - x.astype(np.int32))
+    step = np.maximum(8, (np.abs(x.astype(np.int32)) + 0x84) // 16)
+    assert (err <= step).all()
+    with pytest.raises(ValueError):
+        au_decode(b"nosd" + b"\x00" * 24)
+
+
+def test_new_payloads_equal_uncompressed_fields():
+    """PNG/GIF payloads decode to the exact BMP pixel field; AU to the WAV
+    samples — one SQL oracle covers each family."""
+    from dedoc_ray.ops.media_codecs import (
+        au_decode,
+        au_payload,
+        bmp_decode,
+        bmp_payload,
+        gif_decode,
+        gif_payload,
+        png_decode,
+        png_payload,
+        wav_decode,
+        wav_payload,
+    )
+
+    for d in (0, 3, 41, 255, 1234):
+        want = bmp_decode(bmp_payload(d))
+        assert (png_decode(png_payload(d)) == want).all()
+        assert (gif_decode(gif_payload(d)) == want).all()
+        sa, ra = au_decode(au_payload(d))
+        sw, rw = wav_decode(wav_payload(d))
+        assert ra == rw and (sa == sw).all()
