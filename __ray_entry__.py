@@ -1281,6 +1281,16 @@ def q_image_features_gif(sf_dir: str):
     return image_features_gif(sf_dir)
 
 
+def q_image_features_jpeg(sf_dir: str):
+    """Image features over REAL baseline JPEG payloads — full T.81 Annex-F
+    decoder in ops/jpeg_codec.py (segment walk, canonical Huffman, restart
+    markers, dequantize + matrix IDCT). The constant-gray corpus decodes
+    bit-exactly (pytest pins all 256 levels), so the oracle is exact SQL."""
+    from dedoc_ray.ops.multimodal import image_features_jpeg
+
+    return image_features_jpeg(sf_dir)
+
+
 def q_audio_frames_au(sf_dir: str):
     """Audio framing over REAL Sun AU payloads (big-endian header walk,
     PCM-16 BE; the decoder also handles G.711 µ-law)."""
@@ -1478,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_bmp": q_image_features_bmp,
         "image_features_png": q_image_features_png,
         "image_features_gif": q_image_features_gif,
+        "image_features_jpeg": q_image_features_jpeg,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "video_frames_y4m": q_video_frames_y4m,
@@ -1606,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         AUDIO_FRAMES_SQL,
         AUDIO_FRAMES_WAV_SQL,
         IMAGE_FEATURES_BMP_SQL,
+        IMAGE_FEATURES_JPEG_SQL,
         IMAGE_FEATURES_SQL,
         VIDEO_FRAMES_SQL,
         VIDEO_FRAMES_Y4M_SQL,
@@ -1833,6 +1845,7 @@ FROM base WHERE cls <= 3
         "image_features_bmp": IMAGE_FEATURES_BMP_SQL,
         "image_features_png": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real PNG decode
         "image_features_gif": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real GIF decode
+        "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,

@@ -1,0 +1,360 @@
+"""Baseline JPEG (ITU-T T.81, SOF0) — a real decoder, stdlib + numpy only.
+
+JPEG was the one image family left "gated on PIL" in ops/multimodal.py. But a
+baseline JPEG stream is self-describing: the Huffman tables travel in DHT
+segments and the quantization tables in DQT, so nothing external is needed —
+just the published algorithm (Annex F): segment walk, canonical Huffman
+decode with 0xFF00 byte unstuffing and RSTn restart handling, DC prediction,
+run-length AC with ZRL/EOB, dequantize, inverse zigzag, 8x8 IDCT (exact
+orthonormal matrix form: C.T @ B @ C), level shift, clamp, edge crop.
+
+Scope: grayscale (one component) 8-bit baseline, the honest subset — color
+subsampling/progressive raise ValueError. The encoder exists to generate
+corpora and roundtrip tests (standard Annex K luminance tables by default).
+
+Exactness contract used by the SQL oracle: with a flat quantization table
+(all ones) a CONSTANT image decodes bit-exactly (DC-only blocks survive the
+float DCT/IDCT roundtrip after rounding) — pinned by pytest over all 256
+gray levels, so `jpeg_payload` features are pure functions of doc_id.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# zigzag index order (T.81 figure A.6): _ZIGZAG[k] = flat index into the 8x8
+# block of the k-th coefficient in transmission order.
+_ZZ = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# orthonormal 8-point DCT-II matrix; 2D: coeffs = C @ block @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16) * (np.sqrt(0.125) if _k == 0 else 0.5)
+
+# standard Annex K luminance Huffman tables: (bits per code length 1..16, values)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61,
+    0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+    0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25,
+    0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64,
+    0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+    0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+    0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3,
+    0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+    0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """value → (code, length), canonical order (T.81 Annex C)."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _Bits:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def jpeg_encode(gray: np.ndarray, quant: np.ndarray | None = None, restart: int = 0) -> bytes:
+    """(h, w) uint8 grayscale → baseline JPEG (single component, Annex K
+    Huffman tables, flat all-ones quantization by default — near-lossless
+    and exactly lossless on constant blocks). ``quant`` is zigzag order as
+    in the DQT segment; ``restart`` emits a DRI segment + RSTn markers
+    every that many MCUs."""
+    h, w = gray.shape
+    q = np.ones(64, np.uint16) if quant is None else np.asarray(quant, np.uint16).reshape(64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(gray, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge").astype(np.float64) - 128.0
+    qtab = np.empty(64, np.float64)
+    qtab[_ZZ] = q  # DQT carries zigzag order; scatter to natural order
+    qtab = qtab.reshape(8, 8)
+
+    bits = _Bits()
+    prev_dc = 0
+    pieces: List[bytes] = []
+    nblock = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and nblock and nblock % restart == 0:
+                pieces.append(bits.flush())
+                pieces.append(bytes([0xFF, 0xD0 + (nblock // restart - 1) % 8]))
+                bits = _Bits()
+                prev_dc = 0
+            nblock += 1
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _C @ block @ _C.T
+            # orthonormal → scale to T.81 convention (x2 both dims built in)
+            zq = np.round(coef / qtab).astype(np.int64).reshape(64)[_ZZ]
+            diff = int(zq[0]) - prev_dc
+            prev_dc = int(zq[0])
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bits.put(code, ln)
+            if cat:
+                bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zq[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zq[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    bits.put(zc, zl)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bits.put(code, ln)
+                bits.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                ec, el = ac_codes[0x00]  # EOB
+                bits.put(ec, el)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart)) if restart else b""
+    pieces.append(bits.flush())
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + b"".join(pieces) + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn — handled by caller via sync()
+                raise ValueError("unexpected restart marker mid-symbol")
+            else:
+                raise ValueError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard pad bits and consume one RSTn marker."""
+        self.n = 0
+        d = self.data
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+def _decode_tree(bits: List[int], vals: List[int]):
+    """Canonical table → dict mapping (length, code) → value for fast lookup."""
+    table: Dict[Tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(r: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w) uint8 grayscale. Single-component SOF0 only
+    (progressive / multi-component raise ValueError); honors DRI restarts
+    and multiple DQT/DHT segments."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: Dict[int, np.ndarray] = {}
+    htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    w = h = None
+    qid = dc_id = ac_id = 0
+    restart = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 2 + ln > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(body[b + 1 : b + 65], np.uint8).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
+                htabs[(tc, th)] = _decode_tree(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC0:
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("multi-component JPEG unsupported (grayscale only)")
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            qid = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or h is None:
+        raise ValueError("JPEG missing SOF0")
+    dct = htabs.get((0, dc_id))
+    act = htabs.get((1, ac_id))
+    q = qtabs.get(qid)
+    if dct is None or act is None or q is None:
+        raise ValueError("JPEG missing Huffman/quant tables")
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), np.float64)
+    r = _BitReader(data, pos)
+    prev_dc = 0
+    nblock = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and nblock and nblock % restart == 0:
+                r.sync_restart()
+                prev_dc = 0
+            nblock += 1
+            zq = np.zeros(64, np.int64)
+            cat = _huff_read(r, dct)
+            diff = _extend(r.receive(cat), cat) if cat else 0
+            prev_dc += diff
+            zq[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _huff_read(r, act)
+                rr, cat = rs >> 4, rs & 0xF
+                if cat == 0:
+                    if rr == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("AC coefficient run past block end")
+                zq[k] = _extend(r.receive(cat), cat)
+                k += 1
+            coef = np.zeros(64, np.float64)
+            coef[_ZZ] = zq * q  # dequantize in zigzag order, scatter to natural
+            block = _C.T @ coef.reshape(8, 8) @ _C
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_payload(doc_id: int) -> bytes:
+    """Constant-gray JPEG: w = 12 + (id%6)·4, h = 10 + (id%4)·6, every pixel
+    ``doc_id % 256`` — constant blocks decode bit-exactly with the flat
+    quant table, so width/height/n_pixels/mean_pixel are SQL-replayable."""
+    w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
+    return jpeg_encode(np.full((h, w), doc_id % 256, np.uint8))

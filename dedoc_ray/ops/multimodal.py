@@ -88,7 +88,12 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
 
     from dedoc_ray.ops import media_codecs as mc
 
-    img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
+    if image_codec == "jpeg":
+        from dedoc_ray.ops.jpeg_codec import jpeg_payload
+
+        img_fn = jpeg_payload
+    else:
+        img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
     aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload}[audio_codec]
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -111,9 +116,16 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
 
 def _decode_payload(data: bytes):
     """→ (width, height, pixel ndarray). REAL codecs for BMP (24-bit),
-    PNG (gray/RGB, stdlib-zlib DEFLATE) and GIF (LZW) — ops/media_codecs.py;
-    the synthetic FIMG container for tests; codecs needing entropy tables we
-    don't ship (JPEG) stay gated on PIL (``_HAVE_PIL``, absent here)."""
+    PNG (gray/RGB, stdlib-zlib DEFLATE), GIF (LZW) — ops/media_codecs.py —
+    and baseline JPEG (grayscale SOF0, stream-carried Huffman tables —
+    ops/jpeg_codec.py); the synthetic FIMG container for tests; color/
+    progressive JPEG stays gated on PIL (``_HAVE_PIL``, absent here)."""
+    if data[:2] == b"\xff\xd8":
+        from dedoc_ray.ops.jpeg_codec import jpeg_decode
+
+        gray = jpeg_decode(data)
+        h, w = gray.shape
+        return w, h, gray.reshape(-1)
     if data[:2] == b"BM":
         from dedoc_ray.ops.media_codecs import bmp_decode
 
@@ -327,6 +339,16 @@ def image_features_gif(sf_dir: str):
     )
 
 
+def image_features_jpeg(sf_dir: str):
+    """The image feature stage over REAL baseline JPEG payloads — full
+    entropy decode (canonical Huffman from DHT, 0xFF00 unstuffing, DC
+    prediction, ZRL/EOB), dequantize, matrix IDCT (ops/jpeg_codec.py).
+    Constant-gray corpus images decode bit-exactly → exact SQL oracle."""
+    return media_corpus_real(sf_dir, image_codec="jpeg").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
 def audio_frames_au(sf_dir: str, frame_len: int = 400):
     """The audio frame stage over REAL Sun AU PCM-16-BE payloads."""
     return media_corpus_real(sf_dir, audio_codec="au").drop_columns(["image", "video"]).map_batches(
@@ -362,6 +384,15 @@ SELECT doc_id,
                 y -> list_transform(range(0, 4 + doc_id % 8),
                                     x -> (doc_id + x + y) % 256))))
             // ((4 + doc_id % 8) * (3 + doc_id % 5)) AS BIGINT) AS mean_pixel
+FROM documents
+"""
+
+IMAGE_FEATURES_JPEG_SQL = """
+SELECT doc_id,
+       CAST(12 + (doc_id % 6) * 4 AS BIGINT) AS width,
+       CAST(10 + (doc_id % 4) * 6 AS BIGINT) AS height,
+       CAST((12 + (doc_id % 6) * 4) * (10 + (doc_id % 4) * 6) AS BIGINT) AS n_pixels,
+       CAST(doc_id % 256 AS BIGINT) AS mean_pixel
 FROM documents
 """
 
