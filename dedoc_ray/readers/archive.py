@@ -1,9 +1,10 @@
-"""Archive kernel (.zip / .tar / .tar.gz) — members become attachments only.
+"""Archive kernel (.zip / .tar / .tar.gz / .7z) — members become attachments.
 
 Reference: dedoc/readers/archive_reader/archive_reader.py:9-113 — archives
-produce no lines/tables, only attachments (one per member). rar/7z need
-external binaries the reference shells out to; here they raise BadArchive
-(stubbed — the container has no unrar/7z).
+produce no lines/tables, only attachments (one per member). The reference
+shells out to external binaries for rar/7z; here .7z is parsed NATIVELY
+(readers/sevenzip.py, stdlib lzma) and only rar stays stubbed (its
+decompressor has no public-license implementation).
 """
 
 from __future__ import annotations
@@ -34,9 +35,17 @@ def _iter_members(data: bytes):
         except zipfile.BadZipFile as e:
             raise BadArchive(f"bad zip: {e}") from e
     elif data[:6] == b"Rar!\x1a\x07":
+        # RAR decompression has no public-license implementation; stays stubbed
         raise BadArchive("rar archives need the external unrar binary (stubbed)")
-    elif data[:2] == b"7z":
-        raise BadArchive("7z archives need the external 7z binary (stubbed)")
+    elif data[:6] == b"7z\xbc\xaf\x27\x1c":
+        # NATIVE 7z reader (readers/sevenzip.py): Copy/LZMA1/LZMA2 folders,
+        # encoded headers, empty-stream bitfields — stdlib lzma, no binary
+        from dedoc_ray.readers.sevenzip import Bad7z, sevenzip_decode
+
+        try:
+            yield from sevenzip_decode(data)
+        except Bad7z as e:
+            raise BadArchive(f"bad 7z: {e}") from e
     else:
         try:
             with tarfile.open(fileobj=io.BytesIO(data)) as tf:

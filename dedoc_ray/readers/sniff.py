@@ -24,7 +24,7 @@ XLSX_EXT = (".xlsx",)
 PPTX_EXT = (".pptx",)
 EML_EXT = (".eml",)
 MHTML_EXT = (".mhtml", ".mht")
-ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz")
+ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz", ".7z")
 ODT_EXT = (".odt",)
 RTF_EXT = (".rtf",)
 DOC_EXT = (".doc",)
@@ -106,6 +106,8 @@ def sniff_format(url: str, data: bytes) -> str:
         return kind if kind is not None else "bad_file"
     if len(data) > 262 and data[257:262] == b"ustar":
         return "archive"
+    if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "archive"  # native 7z (readers/sevenzip.py)
     if data[:2] == b"\x1f\x8b":
         return "txt"  # .txt.gz analogue
     head = data[:4096]

@@ -167,6 +167,20 @@ def archive_bytes(doc_id: int, text: str) -> bytes:
     return _zip_bytes([("body.txt", text.encode("utf-8")), ("meta.txt", "12345678")])
 
 
+def sevenzip_bytes(doc_id: int, text: str) -> bytes:
+    """.7z with the same two members as archive_bytes — solid LZMA2 folder,
+    with the metadata header itself LZMA2-compressed (kEncodedHeader) for
+    every third doc so both header paths run in the corpus."""
+    from dedoc_ray.readers.sevenzip import sevenzip_encode
+
+    return sevenzip_encode(
+        [("body.txt", text.encode("utf-8")), ("meta.txt", b"12345678")],
+        codec="lzma2",
+        solid=True,
+        encoded_header=(doc_id % 3 == 0),
+    )
+
+
 _ODT_CONTENT_NS = (
     'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
     'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
@@ -294,6 +308,7 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "eml": eml_bytes,
     "mhtml": mhtml_bytes,
     "zip": archive_bytes,
+    "7z": sevenzip_bytes,
     "csv": csv_bytes,
     "law": law_bytes,
     "pdf2col": pdf_twocol_bytes,
