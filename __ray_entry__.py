@@ -1310,6 +1310,17 @@ def q_image_features_jpeg(sf_dir: str):
     return image_features_jpeg(sf_dir)
 
 
+def q_image_features_jpeg_color(sf_dir: str):
+    """Image features over 4:2:0 YCbCr COLOR JPEG payloads — the decoder's
+    MCU-interleaved path: per-component sampling factors, DC predictors,
+    separate luma/Annex-K-chroma Huffman tables, chroma upsampling. The
+    kernel reads the luma plane; constant planes decode bit-exactly so the
+    oracle is the same exact SQL as the grayscale query."""
+    from dedoc_ray.ops.multimodal import image_features_jpeg_color
+
+    return image_features_jpeg_color(sf_dir)
+
+
 def q_audio_frames_au(sf_dir: str):
     """Audio framing over REAL Sun AU payloads (big-endian header walk,
     PCM-16 BE; the decoder also handles G.711 µ-law)."""
@@ -1509,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_png": q_image_features_png,
         "image_features_gif": q_image_features_gif,
         "image_features_jpeg": q_image_features_jpeg,
+        "image_features_jpeg_color": q_image_features_jpeg_color,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "video_frames_y4m": q_video_frames_y4m,
@@ -1868,6 +1880,7 @@ FROM base WHERE cls <= 3
         "image_features_png": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real PNG decode
         "image_features_gif": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real GIF decode
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
+        "image_features_jpeg_color": IMAGE_FEATURES_JPEG_SQL,  # same dims/luma field
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,

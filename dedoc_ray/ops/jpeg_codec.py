@@ -59,6 +59,25 @@ _AC_VALS = [
 ]
 
 
+# standard Annex K chrominance Huffman tables (T.81 tables K.4 / K.6)
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61,
+    0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+    0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18,
+    0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63,
+    0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+    0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97,
+    0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA,
+    0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+    0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _canonical_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
     """value → (code, length), canonical order (T.81 Annex C)."""
     out: Dict[int, Tuple[int, int]] = {}
@@ -100,6 +119,42 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _encode_block(bits: _Bits, zq: np.ndarray, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Entropy-encode one zigzag-quantized block; returns the new DC pred."""
+    diff = int(zq[0]) - prev_dc
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bits.put(code, ln)
+    if cat:
+        bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zq[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zq[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            bits.put(zc, zl)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bits.put(code, ln)
+        bits.put(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_codes[0x00]  # EOB
+        bits.put(ec, el)
+    return int(zq[0])
+
+
+def _quantize_block(block: np.ndarray, qtab_nat: np.ndarray) -> np.ndarray:
+    """Level-shifted spatial block → zigzag-order quantized coefficients."""
+    coef = _C @ block @ _C.T
+    return np.round(coef / qtab_nat).astype(np.int64).reshape(64)[_ZZ]
+
+
 def jpeg_encode(gray: np.ndarray, quant: np.ndarray | None = None, restart: int = 0) -> bytes:
     """(h, w) uint8 grayscale → baseline JPEG (single component, Annex K
     Huffman tables, flat all-ones quantization by default — near-lossless
@@ -130,35 +185,7 @@ def jpeg_encode(gray: np.ndarray, quant: np.ndarray | None = None, restart: int 
                 prev_dc = 0
             nblock += 1
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _C @ block @ _C.T
-            # orthonormal → scale to T.81 convention (x2 both dims built in)
-            zq = np.round(coef / qtab).astype(np.int64).reshape(64)[_ZZ]
-            diff = int(zq[0]) - prev_dc
-            prev_dc = int(zq[0])
-            cat = _category(diff)
-            code, ln = dc_codes[cat]
-            bits.put(code, ln)
-            if cat:
-                bits.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zq[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = int(zq[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    bits.put(zc, zl)
-                    run -= 16
-                cat = _category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bits.put(code, ln)
-                bits.put(v if v > 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if last_nz < 63:
-                ec, el = ac_codes[0x00]  # EOB
-                bits.put(ec, el)
+            prev_dc = _encode_block(bits, _quantize_block(block, qtab), dc_codes, ac_codes, prev_dc)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -251,17 +278,47 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) uint8 grayscale. Single-component SOF0 only
-    (progressive / multi-component raise ValueError); honors DRI restarts
-    and multiple DQT/DHT segments."""
+def _decode_block(r: _BitReader, dct, act, q: np.ndarray, prev_dc: int) -> Tuple[np.ndarray, int]:
+    """Entropy-decode one 8x8 block → (spatial block float64, new DC pred)."""
+    zq = np.zeros(64, np.int64)
+    cat = _huff_read(r, dct)
+    diff = _extend(r.receive(cat), cat) if cat else 0
+    prev_dc += diff
+    zq[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _huff_read(r, act)
+        rr, cat = rs >> 4, rs & 0xF
+        if cat == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("AC coefficient run past block end")
+        zq[k] = _extend(r.receive(cat), cat)
+        k += 1
+    coef = np.zeros(64, np.float64)
+    coef[_ZZ] = zq * q  # dequantize in zigzag order, scatter to natural
+    return _C.T @ coef.reshape(8, 8) @ _C, prev_dc
+
+
+def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
+    """Baseline JPEG → per-component planes at FULL resolution (uint8;
+    subsampled chroma upsampled by pixel replication). One plane for
+    grayscale, three (Y, Cb, Cr) for color. MCU-interleaved scan with
+    per-component sampling factors, DC predictors and table ids; honors
+    DRI restarts and multiple DQT/DHT segments. Progressive/arithmetic
+    streams raise ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtabs: Dict[int, np.ndarray] = {}
     htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     w = h = None
-    qid = dc_id = ac_id = 0
+    comps: List[Tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    scan: List[Tuple[int, int]] = []  # per component in scan order: (dc_id, ac_id)
     restart = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -294,62 +351,151 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 b += 17 + nv
         elif marker == 0xC0:
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError("multi-component JPEG unsupported (grayscale only)")
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            qid = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component baseline JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("SOS component count mismatch")
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            scan = [(0, 0)] * ns
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                scan[by_id[cid]] = (tids >> 4, tids & 0xF)
             pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if w is None or h is None:
+    if w is None or h is None or not comps:
         raise ValueError("JPEG missing SOF0")
-    dct = htabs.get((0, dc_id))
-    act = htabs.get((1, ac_id))
-    q = qtabs.get(qid)
-    if dct is None or act is None or q is None:
-        raise ValueError("JPEG missing Huffman/quant tables")
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), np.float64)
+    if not scan:
+        raise ValueError("JPEG missing SOS")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64) for c in comps]
+    tables = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        dct = htabs.get((0, scan[ci][0]))
+        act = htabs.get((1, scan[ci][1]))
+        q = qtabs.get(tq)
+        if dct is None or act is None or q is None:
+            raise ValueError("JPEG missing Huffman/quant tables")
+        tables.append((dct, act, q))
     r = _BitReader(data, pos)
-    prev_dc = 0
-    nblock = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart and nblock and nblock % restart == 0:
+    preds = [0] * len(comps)
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and nmcu and nmcu % restart == 0:
                 r.sync_restart()
-                prev_dc = 0
-            nblock += 1
-            zq = np.zeros(64, np.int64)
-            cat = _huff_read(r, dct)
-            diff = _extend(r.receive(cat), cat) if cat else 0
-            prev_dc += diff
-            zq[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _huff_read(r, act)
-                rr, cat = rs >> 4, rs & 0xF
-                if cat == 0:
-                    if rr == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += rr
-                if k > 63:
-                    raise ValueError("AC coefficient run past block end")
-                zq[k] = _extend(r.receive(cat), cat)
-                k += 1
-            coef = np.zeros(64, np.float64)
-            coef[_ZZ] = zq * q  # dequantize in zigzag order, scatter to natural
-            block = _C.T @ coef.reshape(8, 8) @ _C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+                preds = [0] * len(comps)
+            nmcu += 1
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                dct, act, q = tables[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        block, preds[ci] = _decode_block(r, dct, act, q, preds[ci])
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255).astype(np.uint8)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(p[:h, :w])
+    return out
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w) uint8 grayscale: the single plane for
+    grayscale streams, the Y (BT.601 luma) plane for YCbCr color."""
+    return jpeg_decode_planes(data)[0]
+
+
+def jpeg_encode_color(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsampling: str = "420",
+    quant: np.ndarray | None = None,
+) -> bytes:
+    """Full-resolution (h, w) uint8 YCbCr planes → baseline color JPEG.
+    ``subsampling``: "420" (chroma box-averaged 2×2, Y sampling 2,2) or
+    "444". Luminance tables id 0, Annex K chrominance tables id 1 — the
+    decoder's per-component table dispatch is exercised for real."""
+    h, w = y.shape
+    if cb.shape != (h, w) or cr.shape != (h, w):
+        raise ValueError("YCbCr planes must share one shape")
+    if subsampling == "420":
+        hs = vs = 2
+    elif subsampling == "444":
+        hs = vs = 1
+    else:
+        raise ValueError("subsampling must be 420 or 444")
+    q = np.ones(64, np.uint16) if quant is None else np.asarray(quant, np.uint16).reshape(64)
+    qtab = np.empty(64, np.float64)
+    qtab[_ZZ] = q
+    qtab = qtab.reshape(8, 8)
+
+    mcuw, mcuh = 8 * hs, 8 * vs
+    mcux, mcuy = (w + mcuw - 1) // mcuw, (h + mcuh - 1) // mcuh
+    ypad = np.pad(y, ((0, mcuy * mcuh - h), (0, mcux * mcuw - w)), mode="edge").astype(np.float64) - 128.0
+    chroma = []
+    for p in (cb, cr):
+        pp = np.pad(p, ((0, mcuy * mcuh - h), (0, mcux * mcuw - w)), mode="edge").astype(np.float64)
+        if hs == 2:
+            pp = (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        chroma.append(pp - 128.0)
+
+    dc_l = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_l = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_c = _canonical_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_c = _canonical_codes(_AC_BITS_C, _AC_VALS_C)
+
+    bits = _Bits()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byi in range(vs):
+                for bxi in range(hs):
+                    y0, x0 = (my * vs + byi) * 8, (mx * hs + bxi) * 8
+                    blk = ypad[y0 : y0 + 8, x0 : x0 + 8]
+                    preds[0] = _encode_block(bits, _quantize_block(blk, qtab), dc_l, ac_l, preds[0])
+            for ci, plane in enumerate(chroma):
+                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                preds[1 + ci] = _encode_block(bits, _quantize_block(blk, qtab), dc_c, ac_c, preds[1 + ci])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qbytes = bytes(int(x) for x in q)
+    dqt = seg(0xFFDB, b"\x00" + qbytes) + seg(0xFFDB, b"\x01" + qbytes)
+    samp_y = (hs << 4) | vs
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xFFC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    sos = seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + bits.flush() + b"\xff\xd9"
 
 
 def jpeg_payload(doc_id: int) -> bytes:
@@ -358,3 +504,16 @@ def jpeg_payload(doc_id: int) -> bytes:
     quant table, so width/height/n_pixels/mean_pixel are SQL-replayable."""
     w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
     return jpeg_encode(np.full((h, w), doc_id % 256, np.uint8))
+
+
+def jpeg_payload_color(doc_id: int) -> bytes:
+    """Constant-plane 4:2:0 YCbCr JPEG, same dims as jpeg_payload; the
+    feature kernel reads the luma plane, so the same SQL oracle applies
+    (constant planes survive subsampling + the flat-quant roundtrip)."""
+    w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
+    return jpeg_encode_color(
+        np.full((h, w), doc_id % 256, np.uint8),
+        np.full((h, w), (doc_id * 3) % 256, np.uint8),
+        np.full((h, w), (doc_id * 7) % 256, np.uint8),
+        subsampling="420",
+    )

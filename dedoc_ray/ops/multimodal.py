@@ -92,6 +92,10 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         from dedoc_ray.ops.jpeg_codec import jpeg_payload
 
         img_fn = jpeg_payload
+    elif image_codec == "jpeg_color":
+        from dedoc_ray.ops.jpeg_codec import jpeg_payload_color
+
+        img_fn = jpeg_payload_color
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
     aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload}[audio_codec]
@@ -117,9 +121,10 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
 def _decode_payload(data: bytes):
     """→ (width, height, pixel ndarray). REAL codecs for BMP (24-bit),
     PNG (gray/RGB, stdlib-zlib DEFLATE), GIF (LZW) — ops/media_codecs.py —
-    and baseline JPEG (grayscale SOF0, stream-carried Huffman tables —
-    ops/jpeg_codec.py); the synthetic FIMG container for tests; color/
-    progressive JPEG stays gated on PIL (``_HAVE_PIL``, absent here)."""
+    and baseline JPEG, grayscale AND YCbCr color with 4:2:0/4:4:4
+    sampling (ops/jpeg_codec.py; color returns the BT.601 luma plane);
+    the synthetic FIMG container for tests; progressive/arithmetic JPEG
+    stays gated on PIL (``_HAVE_PIL``, absent here)."""
     if data[:2] == b"\xff\xd8":
         from dedoc_ray.ops.jpeg_codec import jpeg_decode
 
@@ -345,6 +350,15 @@ def image_features_jpeg(sf_dir: str):
     prediction, ZRL/EOB), dequantize, matrix IDCT (ops/jpeg_codec.py).
     Constant-gray corpus images decode bit-exactly → exact SQL oracle."""
     return media_corpus_real(sf_dir, image_codec="jpeg").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def image_features_jpeg_color(sf_dir: str):
+    """The image feature stage over 4:2:0 YCbCr color JPEG payloads — the
+    MCU-interleaved multi-component decode path (per-component sampling
+    factors, predictors and Huffman tables); features read the luma plane."""
+    return media_corpus_real(sf_dir, image_codec="jpeg_color").drop_columns(["audio", "video"]).map_batches(
         ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
     )
 

@@ -142,14 +142,15 @@ def duplicate_passages(sf_dir: str, k: int = K_DEFAULT, num_parts: int = 32):
     from dedoc_ray.ops.shuffle import hash_partition_apply
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # task-based stages: the kernels are stateless (k only) and actor-pool
+    # spinup costs ~10× the fold at bench scale (BASELINE round-2e pattern)
+    gram_fn, count_fn = PassageGramKernel(k), GramCountKernel(k)
     grams = docs.map_batches(
-        PassageGramKernel, fn_constructor_kwargs={"k": k},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        lambda b: gram_fn(b), batch_format="pyarrow", batch_size=512
     )
     dup_pos = hash_partition_apply(grams, ["hash"], _filter_dup_grams, num_parts=num_parts)
     counts = docs.map_batches(
-        GramCountKernel, fn_constructor_kwargs={"k": k},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        lambda b: count_fn(b), batch_format="pyarrow", batch_size=512
     )
     return hash_partition_apply(
         counts.union(dup_pos), ["doc_id"], _finalize_factory(k), num_parts=num_parts
@@ -238,13 +239,13 @@ def passage_strip(sf_dir: str, k: int = K_DEFAULT, num_parts: int = 32):
     from dedoc_ray.ops.shuffle import hash_partition_apply
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gram_fn, text_fn = PassageGramKernel(k), DocTextKernel()
     grams = docs.map_batches(
-        PassageGramKernel, fn_constructor_kwargs={"k": k},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        lambda b: gram_fn(b), batch_format="pyarrow", batch_size=512
     )
     foreign = hash_partition_apply(grams, ["hash"], _filter_foreign_grams, num_parts=num_parts)
     tagged = docs.map_batches(
-        DocTextKernel, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        lambda b: text_fn(b), batch_format="pyarrow", batch_size=512
     )
     return hash_partition_apply(
         tagged.union(foreign), ["doc_id"], _strip_factory(k), num_parts=num_parts

@@ -70,3 +70,55 @@ def test_payload_formula_matches_decode():
         img = jpeg_decode(jpeg_payload(d))
         assert img.shape == (10 + (d % 4) * 6, 12 + (d % 6) * 4)
         assert (img == d % 256).all()
+
+
+# ----------------------------------------------------------------- color
+
+
+def test_color_444_constant_planes_exact():
+    from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes, jpeg_encode_color
+
+    y = np.full((20, 25), 77, np.uint8)
+    cb = np.full((20, 25), 100, np.uint8)
+    cr = np.full((20, 25), 200, np.uint8)
+    py, pcb, pcr = jpeg_decode_planes(jpeg_encode_color(y, cb, cr, "444"))
+    assert (py == 77).all() and (pcb == 100).all() and (pcr == 200).all()
+
+
+def test_color_420_random_planes_within_one_level():
+    from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes, jpeg_encode_color
+
+    rng = np.random.RandomState(12)
+    y = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    cb = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    cr = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    py, pcb, pcr = jpeg_decode_planes(jpeg_encode_color(y, cb, cr, "420"))
+    assert np.abs(py.astype(int) - y.astype(int)).max() <= 1
+    # chroma comes back as the 2x2 box mean replicated to full res
+    want = (cb[0::2, 0::2].astype(int) + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4
+    # ±0.5 from the fractional box mean + ±1 from the DCT/quant roundtrip
+    assert np.abs(pcb[0::2, 0::2].astype(float) - want).max() <= 1.5
+    assert (pcb[0::2, 0::2] == pcb[1::2, 1::2]).all()  # replication, not interpolation
+
+
+def test_color_payload_luma_matches_grayscale_oracle():
+    from dedoc_ray.ops.jpeg_codec import jpeg_decode, jpeg_payload_color
+
+    for d in (0, 7, 123, 999):
+        img = jpeg_decode(jpeg_payload_color(d))  # returns the luma plane
+        assert img.shape == (10 + (d % 4) * 6, 12 + (d % 6) * 4)
+        assert (img == d % 256).all()
+
+
+def test_color_odd_dimensions_and_grayscale_still_ok():
+    from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes, jpeg_encode_color
+
+    rng = np.random.RandomState(3)
+    for h, w in ((1, 1), (7, 9), (17, 31)):
+        y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        cb = np.full((h, w), 128, np.uint8)
+        cr = np.full((h, w), 128, np.uint8)
+        py, pcb, pcr = jpeg_decode_planes(jpeg_encode_color(y, cb, cr, "420"))
+        assert py.shape == (h, w)
+        assert np.abs(py.astype(int) - y.astype(int)).max() <= 1
+        assert (pcb == 128).all() and (pcr == 128).all()
