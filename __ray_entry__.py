@@ -222,6 +222,18 @@ def q_extract_scan_bmp(sf_dir: str):
     return _office_extract(sf_dir, "scan_bmp").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_png(sf_dir: str):
+    """Scanned pages as grayscale PNG through the OCR route (PNG decode
+    with per-row unfilter → binarize → orientation → recognize)."""
+    return _office_extract(sf_dir, "scan_png").select_columns(["url", "status", "extracted_text"])
+
+
+def q_extract_scan_tiff(sf_dir: str):
+    """Scanned pages as grayscale TIFF (uncompressed + PackBits strips)
+    through the OCR route — the classic scanner container."""
+    return _office_extract(sf_dir, "scan_tiff").select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -1422,6 +1434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scan": q_extract_scan,
         "extract_scan_2col": q_extract_scan_2col,
         "extract_scan_bmp": q_extract_scan_bmp,
+        "extract_scan_png": q_extract_scan_png,
+        "extract_scan_tiff": q_extract_scan_tiff,
         "extract_scan_pdf": q_extract_scan_pdf,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
@@ -1710,6 +1724,10 @@ def oracle_sql() -> dict[str, str]:
                              f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_bmp": f"SELECT {office_url.format(ext='bmp')} AS url, 'ok' AS status, "
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_png": f"SELECT {office_url.format(ext='png')} AS url, 'ok' AS status, "
+                            f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_tiff": f"SELECT {office_url.format(ext='tif')} AS url, 'ok' AS status, "
+                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

@@ -488,3 +488,167 @@ def au_payload(doc_id: int) -> bytes:
     n = 500 + (doc_id % 50) * 20
     i = np.arange(n)
     return au_encode(((doc_id * 7 + i) % 200 - 100).astype(np.int16), rate)
+
+
+# ----------------------------------------------------------------- TIFF
+#
+# Baseline grayscale TIFF 6.0 — the classic document-scan container. The
+# decoder walks the IFD in either byte order (II/MM), reassembles strips,
+# and handles Compression=1 (none) and 32773 (PackBits); PhotometricInterp
+# 0 (WhiteIsZero) is inverted to the BlackIsZero convention; RGB
+# (SamplesPerPixel=3) reduces to the exact channel mean. LZW/JPEG-in-TIFF
+# raise ValueError. The encoder writes II, single-strip, gray-8.
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE). Literal-run greedy: repeats >= 3 become
+    replicate runs."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run & 0xFF, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        ln = min(i, lit_start + 128) - lit_start
+        out += bytes([ln - 1]) + data[lit_start : lit_start + ln]
+        i = lit_start + ln
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        b = data[i]
+        i += 1
+        if b == 128:  # noop per spec
+            continue
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        else:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:expect])
+
+
+def tiff_encode(gray: np.ndarray, packbits: bool = False) -> bytes:
+    """(h, w) uint8 grayscale → little-endian single-strip TIFF."""
+    h, w = gray.shape
+    body = np.ascontiguousarray(gray).tobytes()
+    if packbits:
+        body = b"".join(packbits_encode(gray[y].tobytes()) for y in range(h))
+    entries = [
+        (256, 4, 1, w),            # ImageWidth
+        (257, 4, 1, h),            # ImageLength
+        (258, 3, 1, 8),            # BitsPerSample
+        (259, 3, 1, 32773 if packbits else 1),  # Compression
+        (262, 3, 1, 1),            # Photometric: BlackIsZero
+        (273, 4, 1, 0),            # StripOffsets (patched below)
+        (277, 3, 1, 1),            # SamplesPerPixel
+        (278, 4, 1, h),            # RowsPerStrip (single strip)
+        (279, 4, 1, len(body)),    # StripByteCounts
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += body
+    return bytes(out)
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Grayscale/RGB baseline TIFF → (h, w) uint8 gray. II and MM byte
+    orders; strips; Compression 1/PackBits; WhiteIsZero inverted."""
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (magic,) = struct.unpack(e + "H", data[2:4])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd,) = struct.unpack(e + "I", data[4:8])
+    (n_ent,) = struct.unpack(e + "H", data[ifd : ifd + 2])
+    tags = {}
+    for i in range(n_ent):
+        off = ifd + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
+        raw = data[off + 8 : off + 12]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue  # RATIONAL etc. — not needed
+        total = size * cnt
+        if total > 4:
+            (ptr,) = struct.unpack(e + "I", raw)
+            raw = data[ptr : ptr + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = struct.unpack(e + str(cnt) + fmt, raw[:total])
+        tags[tag] = list(vals)
+    try:
+        w, h = tags[256][0], tags[257][0]
+    except KeyError:
+        raise ValueError("TIFF missing dimensions")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError("unsupported TIFF sample layout (8-bit gray/RGB only)")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits only)")
+    if photo not in (0, 1, 2):
+        raise ValueError("unsupported TIFF photometric interpretation")
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF missing strip layout")
+    rps = tags.get(278, [h])[0]
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offs, cnts)):
+        chunk = data[so : so + sc]
+        if len(chunk) != sc:
+            raise ValueError("truncated TIFF strip")
+        if comp == 32773:
+            rows = min(rps, h - si * rps)
+            chunk = packbits_decode(chunk, rows * w * spp)
+        raw += chunk
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF pixel data short")
+    px = np.frombuffer(bytes(raw[: h * w * spp]), np.uint8)
+    if spp == 3:
+        px = (px.reshape(h, w, 3).astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    else:
+        px = px.reshape(h, w)
+    if photo == 0:  # WhiteIsZero
+        px = (255 - px.astype(np.int16)).astype(np.uint8)
+    return px
+
+
+def tiff_payload(doc_id: int) -> bytes:
+    """Same pixel field as bmp_payload — one SQL oracle covers the family;
+    every third doc uses PackBits so both compressions run in the corpus."""
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return tiff_encode(((doc_id + x + y) % 256).astype(np.uint8), packbits=(doc_id % 3 == 0))

@@ -331,6 +331,14 @@ def read_scan(data: bytes) -> UnstructuredDoc:
         from dedoc_ray.ops.media_codecs import bmp_decode
 
         img = bmp_decode(data)
+    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+        from dedoc_ray.ops.media_codecs import png_decode
+
+        img = png_decode(data)
+    elif data[:2] in (b"II", b"MM"):
+        from dedoc_ray.ops.media_codecs import tiff_decode
+
+        img = tiff_decode(data)
     else:
         img = parse_pgm(data)
     file_hash = hashlib.md5(data).hexdigest()

@@ -32,7 +32,7 @@ XLS_EXT = (".xls",)
 PPT_EXT = (".ppt",)
 TEI_EXT = (".tei", ".tei.xml")
 NOTE_EXT = (".note.pickle",)
-PGM_EXT = (".pgm", ".bmp")
+PGM_EXT = (".pgm", ".bmp", ".png", ".tif", ".tiff")
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -94,6 +94,10 @@ def sniff_format(url: str, data: bytes) -> str:
         return "pgm"  # grayscale scan raster → OCR route
     if data[:2] == b"BM" and len(data) > 54 and data[14:15] in (b"\x28", b"\x6c", b"\x7c"):
         return "pgm"  # BMP raster (BITMAPINFO/V4/V5 header) → same OCR route
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "pgm"  # PNG raster → OCR route (reference supported_image_types)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "pgm"  # TIFF raster → OCR route
     if data[:5] == b"{\\rtf":
         return "rtf"
     if data[:4] == b"PK\x03\x04":

@@ -127,3 +127,22 @@ def scan_pdf(doc_id: int, text: str) -> bytes:
         + b"\nendstream endobj",
     ]
     return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
+def scan_png(doc_id: int, text: str) -> bytes:
+    """Same scanned page encoded as grayscale PNG (supported_image_types)."""
+    from dedoc_ray.ops.media_codecs import png_encode
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    return png_encode(render_page(lines, rotate_k=doc_id % 4))
+
+
+def scan_tiff(doc_id: int, text: str) -> bytes:
+    """Same scanned page as grayscale TIFF — the classic scanner output;
+    every third doc is PackBits-compressed so both strips paths run."""
+    from dedoc_ray.ops.media_codecs import tiff_encode
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    return tiff_encode(render_page(lines, rotate_k=doc_id % 4), packbits=(doc_id % 3 == 0))

@@ -464,17 +464,27 @@ _GENERATORS["pdf_table"] = pdf_table_bytes
 
 # scanned-document corpus (readers/scan_ocr.py OCR route): PGM page rasters
 # and textless PDFs carrying the raster as an image XObject
-from dedoc_ray.sources.scan_writer import scan_2col_pgm, scan_bmp, scan_pdf, scan_pgm  # noqa: E402
+from dedoc_ray.sources.scan_writer import (  # noqa: E402
+    scan_2col_pgm,
+    scan_bmp,
+    scan_pdf,
+    scan_pgm,
+    scan_png,
+    scan_tiff,
+)
 
 _GENERATORS["scan"] = scan_pgm
 _GENERATORS["scan2col"] = scan_2col_pgm
 _GENERATORS["scan_bmp"] = scan_bmp
+_GENERATORS["scan_png"] = scan_png
+_GENERATORS["scan_tiff"] = scan_tiff
 _GENERATORS["pdf_scan"] = scan_pdf
 
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt",
                  "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
                  "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
-                 "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf"}
+                 "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf",
+                 "scan_png": "png", "scan_tiff": "tif"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:

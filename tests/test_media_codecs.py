@@ -231,3 +231,74 @@ def test_new_payloads_equal_uncompressed_fields():
         sa, ra = au_decode(au_payload(d))
         sw, rw = wav_decode(wav_payload(d))
         assert ra == rw and (sa == sw).all()
+
+
+# ------------------------------------------------------------------ TIFF
+
+
+def test_tiff_roundtrip_both_compressions():
+    from dedoc_ray.ops.media_codecs import tiff_decode, tiff_encode
+
+    rng = np.random.RandomState(8)
+    for _ in range(6):
+        g = rng.randint(0, 256, (rng.randint(1, 40), rng.randint(1, 40))).astype(np.uint8)
+        assert (tiff_decode(tiff_encode(g)) == g).all()
+        assert (tiff_decode(tiff_encode(g, packbits=True)) == g).all()
+
+
+def test_tiff_big_endian_and_white_is_zero():
+    """Hand-build an MM (big-endian) WhiteIsZero TIFF and pin the decode."""
+    from dedoc_ray.ops.media_codecs import tiff_decode
+
+    g = np.array([[0, 100], [200, 255]], np.uint8)
+    inverted = (255 - g.astype(np.int16)).astype(np.uint8)
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8 << 16), (259, 3, 1, 1 << 16),
+        (262, 3, 1, 0), (273, 4, 1, 0), (277, 3, 1, 1 << 16), (278, 4, 1, 2),
+        (279, 4, 1, 4),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, 8)) + struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0) + inverted.tobytes()
+    assert (tiff_decode(bytes(out)) == g).all()
+
+
+def test_tiff_rejects_unsupported():
+    from dedoc_ray.ops.media_codecs import tiff_decode, tiff_encode
+
+    with pytest.raises(ValueError):
+        tiff_decode(b"XX*\x00" + b"\x00" * 20)
+    data = bytearray(tiff_encode(np.zeros((4, 4), np.uint8)))
+    # patch Compression (tag 259) value to 5 (LZW)
+    idx = data.index(struct.pack("<HHII", 259, 3, 1, 1))
+    data[idx + 8] = 5
+    with pytest.raises(ValueError, match="compression"):
+        tiff_decode(bytes(data))
+
+
+def test_packbits_edge_runs():
+    from dedoc_ray.ops.media_codecs import packbits_decode, packbits_encode
+
+    rng = np.random.RandomState(1)
+    for s in (b"", b"a", b"aaa", b"abcabc", b"a" * 300, b"ab" * 100,
+              bytes(rng.randint(0, 3, 999, dtype=np.uint8))):
+        assert packbits_decode(packbits_encode(s), len(s)) == s
+
+
+def test_scan_route_decodes_png_and_tiff_rasters():
+    from dedoc_ray.readers.scan_ocr import read_scan
+    from dedoc_ray.readers.sniff import sniff_format
+    from dedoc_ray.sources.scan_writer import scan_pgm, scan_png, scan_tiff
+
+    text = "alpha the beta the gamma"
+    want = [ln.line for ln in read_scan(scan_pgm(5, text)).lines]
+    for gen, ext in ((scan_png, "png"), (scan_tiff, "tif")):
+        data = gen(5, text)
+        assert sniff_format("", data) == "pgm"
+        assert sniff_format(f"https://x.test/p.{ext}", b"") == "pgm"
+        got = [ln.line for ln in read_scan(data).lines]
+        assert got == want
