@@ -106,16 +106,14 @@ def _word_counts(sf_dir: str):
 def bpe_merges(sf_dir: str, n_merges: int = N_MERGES_DEFAULT):
     """Learn the first ``n_merges`` BPE merges over the corpus; returns a
     pyarrow Table (rank, left, right) — tiny and deterministic."""
-    import ray
-
     words = _word_counts(sf_dir).materialize()  # vocabulary-bounded, reused every round
     merges: List[Tuple[str, str]] = []
     for rank in range(n_merges):
-        merges_ref = ray.put(list(merges))
+        # task-based: a fresh actor pool per round cost ~1.5s of spinup × R
+        # rounds; the "state" is a ≤R-pair list, cheap to ship per task
+        kernel = PairCountKernel(list(merges))
         pairs = words.map_batches(
-            PairCountKernel,
-            fn_constructor_kwargs={"merges_ref": merges_ref},
-            batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+            lambda b: kernel(b), batch_format="pyarrow", batch_size=4096
         ).to_pandas()
         if pairs.empty:
             break

@@ -108,7 +108,35 @@ def hll_registers(ds, col: str, tokenize: bool = False):
         return _HllKernel(col, tokenize)(batch)
 
     partials = ds.map_batches(fold, batch_format="pyarrow")
-    return partials.groupby("bucket").max("rho").rename_columns(["bucket", "rho"])
+
+    # merge = elementwise max over a FIXED m-register array. The native
+    # groupby("bucket").max would pay ~10 s of hash-aggregate actor spinup
+    # for <= m rows (the late_events finding); instead tree-combine: Ray
+    # coalesces partial blocks into 64k-row batches, each refolds to <= m
+    # rows (~16x reduction per level), then ONE bounded driver fold.
+    def combine(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(M, dtype=np.uint8)
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["rho"].to_numpy(zero_copy_only=False).astype(np.uint8)
+        np.maximum.at(regs, b, r)
+        nz = np.nonzero(regs)[0]
+        return pa.Table.from_pydict({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "rho": pa.array(regs[nz].astype(np.int64)),
+        })
+
+    combined = partials.map_batches(combine, batch_format="pyarrow", batch_size=65536)
+    df = combined.to_pandas()  # bounded: ceil(n_blocks/16) x <= m rows
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(df):
+        np.maximum.at(regs, df["bucket"].to_numpy(np.int64), df["rho"].to_numpy(np.uint8))
+    nz = np.nonzero(regs)[0]
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pydict({
+        "bucket": pa.array(nz.astype(np.int64)),
+        "rho": pa.array(regs[nz].astype(np.int64)),
+    }))
 
 
 def estimate_components(buckets: np.ndarray, rhos: np.ndarray) -> Tuple[int, int, int]:
