@@ -307,6 +307,34 @@ def q_extract_pptx(sf_dir: str):
     return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_ods(sf_dir: str):
+    """Native OpenDocument spreadsheet (the reference soffice-converts
+    ods → xlsx; readers/odt.py::read_ods parses content.xml directly):
+    same sheet-grid shape as extract_xlsx, repeated-empty filler trimmed."""
+    ds = _office_extract(sf_dir, "ods")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n_cells = [
+            sum(len(row) for tab in t for row in tab["cells"]) for t in batch["tables"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_tables": pa.compute.cast(batch["n_tables"], "int64"),
+                "n_cells": pa.array(n_cells, "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def q_extract_odp(sf_dir: str):
+    """Native OpenDocument presentation (reference: soffice odp → pptx;
+    readers/odt.py::read_odp): title frame → header line + one line per
+    text frame, byte-exact vs the pptx-shaped oracle."""
+    return _office_extract(sf_dir, "odp").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_note(sf_dir: str):
     """.note.pickle corpus through the restricted-unpickler NoteReader."""
     return _office_extract(sf_dir, "note").select_columns(["url", "status", "extracted_text"])
@@ -1447,6 +1475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_rtf": q_extract_rtf,
         "extract_xlsx": q_extract_xlsx,
         "extract_pptx": q_extract_pptx,
+        "extract_ods": q_extract_ods,
+        "extract_odp": q_extract_odp,
         "extract_doc": q_extract_doc,
         "extract_xls": q_extract_xls,
         "extract_ppt": q_extract_ppt,
@@ -1759,6 +1789,10 @@ def oracle_sql() -> dict[str, str]:
                             f"'2024-01-02T00:00:00Z' AS modified FROM documents",
         "extract_pptx": f"SELECT {office_url.format(ext='pptx')} AS url, 'ok' AS status, "
                         f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_ods": f"SELECT {office_url.format(ext='ods')} AS url, CAST(1 AS BIGINT) AS n_tables, "
+                       f"CAST(6 AS BIGINT) AS n_cells FROM documents",
+        "extract_odp": f"SELECT {office_url.format(ext='odp')} AS url, 'ok' AS status, "
+                       f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_doc": f"SELECT {office_url.format(ext='doc')} AS url, 'ok' AS status, "
                        f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_ppt": f"SELECT {office_url.format(ext='ppt')} AS url, 'ok' AS status, "

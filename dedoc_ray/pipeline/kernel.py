@@ -136,6 +136,14 @@ class ExtractKernel:
             from dedoc_ray.readers.odt import read_odt
 
             return read_odt(data)
+        if fmt == "ods":
+            from dedoc_ray.readers.odt import read_ods
+
+            return read_ods(data)
+        if fmt == "odp":
+            from dedoc_ray.readers.odt import read_odp
+
+            return read_odp(data)
         if fmt == "rtf":
             from dedoc_ray.readers.rtf import read_rtf
 

@@ -159,3 +159,100 @@ def read_odt(data: bytes) -> UnstructuredDoc:
             tbl.order = line_id[0]
             tables.append(tbl)
     return UnstructuredDoc(lines=lines, tables=tables, metadata=_odt_metadata(zf))
+
+
+# ------------------------------------------------------------- ODS / ODP
+#
+# The reference converts .ods → .xlsx and .odp → .pptx through soffice
+# (converters/concrete_converters/excel_converter.py:8, pptx_converter.py:8);
+# these native parsers produce the same IR the xlsx/pptx readers yield.
+
+DRAW = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
+
+ODS_MIMETYPE = b"application/vnd.oasis.opendocument.spreadsheet"
+ODP_MIMETYPE = b"application/vnd.oasis.opendocument.presentation"
+
+
+def _ods_cell_text(tc: ElementTree.Element) -> str:
+    ps = tc.findall(f"{TEXT}p")
+    if ps:
+        return "\n".join(_element_text(p) for p in ps).strip("\n")
+    val = tc.get(f"{OFFICE}value")
+    return val if val is not None else ""
+
+
+def read_ods(data: bytes) -> UnstructuredDoc:
+    """OpenDocument spreadsheet → one Table per sheet (page_id = sheet
+    index), mirroring read_xlsx. Handles table:number-columns-repeated /
+    number-rows-repeated (trailing empty repeats trimmed) and covered
+    cells from column spans."""
+    zf = _open_zip(data)
+    root = _xml(zf, "content.xml")
+    if root is None:
+        raise BadOfficeFile("no content.xml")
+    body = root.find(f"{OFFICE}body")
+    ss = body.find(f"{OFFICE}spreadsheet") if body is not None else None
+    if ss is None:
+        raise BadOfficeFile("no office:spreadsheet body")
+    tables: List[Table] = []
+    for sheet_idx, tbl_el in enumerate(ss.findall(f"{TABLE}table")):
+        grid: List[List[CellWithMeta]] = []
+        for tr in tbl_el.findall(f"{TABLE}table-row"):
+            row: List[CellWithMeta] = []
+            for tc in tr:
+                if tc.tag not in (f"{TABLE}table-cell", f"{TABLE}covered-table-cell"):
+                    continue
+                repeat = int(tc.get(f"{TABLE}number-columns-repeated", "1"))
+                text = "" if tc.tag == f"{TABLE}covered-table-cell" else _ods_cell_text(tc)
+                colspan = int(tc.get(f"{TABLE}number-columns-spanned", "1"))
+                if not text and repeat > 8:
+                    continue  # trailing empty filler (ODF writers pad to 16k cols)
+                for _ in range(repeat):
+                    row.append(CellWithMeta([LineWithMeta(text)] if text else [], colspan=colspan, rowspan=1))
+            while row and not row[-1].lines:
+                row.pop()
+            row_repeat = int(tr.get(f"{TABLE}number-rows-repeated", "1"))
+            if not row and row_repeat > 1:
+                continue  # trailing empty row filler
+            for _ in range(row_repeat):
+                grid.append([CellWithMeta(list(c.lines), c.colspan, c.rowspan) for c in row])
+        while grid and not grid[-1]:
+            grid.pop()
+        if grid:
+            tables.append(Table(grid, page_id=sheet_idx, uid=f"sheet_{sheet_idx}"))
+    return UnstructuredDoc(lines=[], tables=tables, metadata=_odt_metadata(zf))
+
+
+def read_odp(data: bytes) -> UnstructuredDoc:
+    """OpenDocument presentation → lines per draw:page (page_id = slide
+    index); the first text frame of each page is the title (header line),
+    the rest are paragraphs — mirroring read_pptx."""
+    zf = _open_zip(data)
+    root = _xml(zf, "content.xml")
+    if root is None:
+        raise BadOfficeFile("no content.xml")
+    body = root.find(f"{OFFICE}body")
+    pres = body.find(f"{OFFICE}presentation") if body is not None else None
+    if pres is None:
+        raise BadOfficeFile("no office:presentation body")
+    lines: List[LineWithMeta] = []
+    line_id = 0
+    for page_idx, page in enumerate(pres.findall(f"{DRAW}page")):
+        first = True
+        for frame in page.findall(f"{DRAW}frame"):
+            tb = frame.find(f"{DRAW}text-box")
+            if tb is None:
+                continue
+            for p in tb.findall(f"{TEXT}p"):
+                text = _element_text(p)
+                if not text:
+                    continue
+                if first:
+                    hl = HierarchyLevel(1, 1, False, HierarchyLevel.header)
+                    md = LineMetadata(page_id=page_idx, line_id=line_id, tag_hierarchy_level=hl)
+                    first = False
+                else:
+                    md = LineMetadata(page_id=page_idx, line_id=line_id)
+                lines.append(LineWithMeta(text + "\n", metadata=md))
+                line_id += 1
+    return UnstructuredDoc(lines=lines, metadata=_odt_metadata(zf))

@@ -26,6 +26,8 @@ EML_EXT = (".eml",)
 MHTML_EXT = (".mhtml", ".mht")
 ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz", ".7z")
 ODT_EXT = (".odt",)
+ODS_EXT = (".ods",)
+ODP_EXT = (".odp",)
 RTF_EXT = (".rtf",)
 DOC_EXT = (".doc",)
 XLS_EXT = (".xls",)
@@ -46,6 +48,8 @@ _EXT_TABLE = (
     (MHTML_EXT, "mhtml"),
     (ARCHIVE_EXT, "archive"),
     (ODT_EXT, "odt"),
+    (ODS_EXT, "ods"),
+    (ODP_EXT, "odp"),
     (RTF_EXT, "rtf"),
     (DOC_EXT, "doc"),
     (XLS_EXT, "xls"),
@@ -75,7 +79,16 @@ def _sniff_zip(data: bytes) -> str:
             return "xlsx"
         if name.startswith("ppt/"):
             return "pptx"
-    if "content.xml" in names:  # OpenDocument container
+    if "content.xml" in names:  # OpenDocument container — split by mimetype member
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                mime = zf.read("mimetype") if "mimetype" in names else b""
+        except (zipfile.BadZipFile, KeyError):
+            mime = b""
+        if b"spreadsheet" in mime:
+            return "ods"
+        if b"presentation" in mime:
+            return "odp"
         return "odt"
     return "archive"
 

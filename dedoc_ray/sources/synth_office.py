@@ -224,6 +224,54 @@ def odt_bytes(doc_id: int, text: str) -> bytes:
     )
 
 
+def ods_bytes(doc_id: int, text: str) -> bytes:
+    """Native OpenDocument spreadsheet: one sheet, 2x3 grid of values
+    doc_id*10+i (mirrors xlsx_bytes) with a trailing repeated-empty-cell
+    filler so the reader's number-columns-repeated trim path runs."""
+    rows = []
+    i = 0
+    for _ in range(2):
+        cells = []
+        for _ in range(3):
+            cells.append(f'<table:table-cell office:value-type="float" office:value="{doc_id * 10 + i}">'
+                         f"<text:p>{doc_id * 10 + i}</text:p></table:table-cell>")
+            i += 1
+        cells.append('<table:table-cell table:number-columns-repeated="1021"/>')
+        rows.append(f"<table:table-row>{''.join(cells)}</table:table-row>")
+    content = (f'<?xml version="1.0"?><office:document-content {_ODT_CONTENT_NS}>'
+               f'<office:body><office:spreadsheet><table:table table:name="Sheet1">'
+               f"{''.join(rows)}</table:table></office:spreadsheet></office:body>"
+               f"</office:document-content>")
+    return _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.spreadsheet"),
+            ("content.xml", content),
+        ]
+    )
+
+
+def odp_bytes(doc_id: int, text: str) -> bytes:
+    """Native OpenDocument presentation: one draw:page, title frame
+    'Slide {id}' + one text frame per chunk (mirrors pptx_bytes)."""
+    frames = [
+        "<draw:frame><draw:text-box>"
+        f"<text:p>Slide {doc_id}</text:p></draw:text-box></draw:frame>"
+    ]
+    for c in chunks_of(text):
+        frames.append(f"<draw:frame><draw:text-box><text:p>{escape(c)}</text:p></draw:text-box></draw:frame>")
+    ns = _ODT_CONTENT_NS + ' xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+    content = (f'<?xml version="1.0"?><office:document-content {ns}>'
+               f'<office:body><office:presentation><draw:page draw:name="page1">'
+               f"{''.join(frames)}</draw:page></office:presentation></office:body>"
+               f"</office:document-content>")
+    return _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.presentation"),
+            ("content.xml", content),
+        ]
+    )
+
+
 def rtf_bytes(doc_id: int, text: str) -> bytes:
     """Native RTF: title paragraph + one paragraph per chunk. Expected
     extracted text: 'Document {id}\n' + non-empty trimmed chunks joined by
@@ -313,6 +361,8 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "law": law_bytes,
     "pdf2col": pdf_twocol_bytes,
     "odt": odt_bytes,
+    "ods": ods_bytes,
+    "odp": odp_bytes,
     "rtf": rtf_bytes,
     "law_ml": law_ml_bytes,
     "fintoc": fintoc_bytes,

@@ -73,3 +73,67 @@ def test_kernel_routes_odt_rtf():
     assert r1["format"] == "odt" and r1["status"] == "ok"
     r2 = k.extract_row("https://x.test/a.rtf", rtf_bytes(1, "x"))
     assert r2["format"] == "rtf" and r2["status"] == "ok"
+
+
+# ------------------------------------------------------------- ODS / ODP
+
+
+def test_read_ods_grid_and_filler_trim():
+    from dedoc_ray.readers.odt import read_ods
+    from dedoc_ray.sources.synth_office import ods_bytes
+
+    doc = read_ods(ods_bytes(7, "alpha the beta"))
+    assert len(doc.tables) == 1
+    grid = doc.tables[0].cells
+    assert [[c.lines[0].line for c in row] for row in grid] == [
+        ["70", "71", "72"], ["73", "74", "75"],
+    ]
+
+
+def test_read_ods_repeated_rows_and_covered_cells():
+    from dedoc_ray.readers.odt import read_ods
+    from dedoc_ray.sources.synth_office import _zip_bytes
+
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        "<office:body><office:spreadsheet><table:table>"
+        '<table:table-row table:number-rows-repeated="2">'
+        '<table:table-cell table:number-columns-repeated="2"><text:p>x</text:p></table:table-cell>'
+        "</table:table-row>"
+        "<table:table-row>"
+        '<table:table-cell table:number-columns-spanned="2"><text:p>wide</text:p></table:table-cell>'
+        "<table:covered-table-cell/>"
+        "</table:table-row>"
+        "</table:table></office:spreadsheet></office:body></office:document-content>"
+    )
+    doc = read_ods(_zip_bytes([("content.xml", content)]))
+    grid = doc.tables[0].cells
+    assert len(grid) == 3
+    assert [c.lines[0].line for c in grid[0]] == ["x", "x"]
+    assert grid[2][0].lines[0].line == "wide" and grid[2][0].colspan == 2
+
+
+def test_read_odp_title_and_frames():
+    from dedoc_ray.core.hierarchy import HierarchyLevel
+    from dedoc_ray.readers.odt import read_odp
+    from dedoc_ray.sources.synth_office import odp_bytes
+
+    doc = read_odp(odp_bytes(3, "alpha the beta the gamma"))
+    texts = [ln.line for ln in doc.lines]
+    assert texts == ["Slide 3\n", "alpha\n", "beta\n", "gamma\n"]
+    assert doc.lines[0].metadata.tag_hierarchy_level.line_type == HierarchyLevel.header
+    assert doc.lines[1].metadata.tag_hierarchy_level.line_type != HierarchyLevel.header
+
+
+def test_sniff_splits_opendocument_family():
+    from dedoc_ray.readers.sniff import sniff_format
+    from dedoc_ray.sources.synth_office import odp_bytes, ods_bytes, odt_bytes
+
+    assert sniff_format("", odt_bytes(1, "a the b")) == "odt"
+    assert sniff_format("", ods_bytes(1, "a the b")) == "ods"
+    assert sniff_format("", odp_bytes(1, "a the b")) == "odp"
+    assert sniff_format("https://x.test/f.ods", b"") == "ods"
+    assert sniff_format("https://x.test/f.odp", b"") == "odp"
