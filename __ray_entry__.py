@@ -1377,6 +1377,15 @@ def q_audio_frames_wav(sf_dir: str):
     return audio_frames_wav(sf_dir)
 
 
+def q_video_frames_avi(sf_dir: str):
+    """Frame sampling over Motion-JPEG AVI video — RIFF LIST walk, one
+    baseline-JPEG decode per frame chunk. Constant-luma frames decode
+    bit-exactly → the same exact SQL oracle as the Y4M query."""
+    from dedoc_ray.ops.multimodal import video_frames_avi
+
+    return video_frames_avi(sf_dir)
+
+
 def q_video_frames_y4m(sf_dir: str):
     """Frame sampling over REAL YUV4MPEG2 raw video (FRAME-separated 4:2:0
     planes); checksum = integer mean luma of each sampled frame."""
@@ -1568,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "video_frames_y4m": q_video_frames_y4m,
+        "video_frames_avi": q_video_frames_avi,
         "language_id": q_language_id,
         "lineitem_pricing": q_lineitem_pricing,
         "events_hourly": q_events_hourly,
@@ -1936,6 +1946,7 @@ FROM base WHERE cls <= 3
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,
+        "video_frames_avi": VIDEO_FRAMES_Y4M_SQL,  # same frame field, MJPEG/AVI container
         "lineitem_pricing": LINEITEM_PRICING_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_sliding": events_sliding_sql(),

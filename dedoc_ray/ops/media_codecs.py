@@ -652,3 +652,74 @@ def tiff_payload(doc_id: int) -> bytes:
     w, h = 4 + doc_id % 8, 3 + doc_id % 5
     y, x = np.mgrid[0:h, 0:w]
     return tiff_encode(((doc_id + x + y) % 256).astype(np.uint8), packbits=(doc_id % 3 == 0))
+
+
+# ----------------------------------------------------------------- AVI/MJPEG
+#
+# Motion-JPEG in an AVI RIFF container — compressed video that needs no
+# external codec: each frame is a baseline JPEG (ops/jpeg_codec.py). The
+# decoder walks RIFF LISTs to the 'movi' payload and decodes every '..dc'
+# chunk; the encoder writes a minimal-but-valid avih/strl header pair.
+
+
+def avi_mjpeg_encode(frames: List[np.ndarray], fps: int = 25) -> bytes:
+    """[(h, w) uint8 gray] → AVI with one MJPG video stream."""
+    from dedoc_ray.ops.jpeg_codec import jpeg_encode
+
+    h, w = frames[0].shape
+    jpegs = [jpeg_encode(f) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 1000000 // fps, 0, 0, 0x10, len(jpegs), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpegs), 0, 0, 0, 0)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_mjpeg_decode(data: bytes) -> List[np.ndarray]:
+    """AVI/MJPG → [(h, w) uint8 gray luma planes], one per '..dc' chunk."""
+    from dedoc_ray.ops.jpeg_codec import jpeg_decode
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+
+    frames: List[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + clen > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif tag[2:4] == b"dc":
+                payload = data[body_start : body_start + clen]
+                if payload[:2] != b"\xff\xd8":
+                    raise ValueError("non-JPEG frame in MJPG stream")
+                frames.append(jpeg_decode(payload))
+            pos = body_start + clen + (clen & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames
+
+
+def avi_payload(doc_id: int) -> bytes:
+    """Same frame field as y4m_payload (constant luma (doc_id+f)%256 —
+    constant JPEG frames decode bit-exactly) → shared SQL oracle."""
+    n, w, h = 10 + doc_id % 20, 8 + (doc_id % 4) * 2, 8
+    frames = [np.full((h, w), (doc_id + f) % 256, np.uint8) for f in range(n)]
+    return avi_mjpeg_encode(frames)

@@ -79,7 +79,7 @@ def media_corpus(sf_dir: str):
     return docs.map_batches(media_batch, batch_format="pyarrow")
 
 
-def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = "wav"):
+def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = "wav", video_codec: str = "y4m"):
     """Same corpus shape but REAL container formats (ops/media_codecs.py):
     images as 24-bit BMP / PNG / GIF, audio as RIFF/WAVE PCM-16 / Sun AU,
     video as YUV4MPEG2 — the kernels decode these through actual format
@@ -99,6 +99,7 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
     aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload}[audio_codec]
+    vid_fn = {"y4m": mc.y4m_payload, "avi": mc.avi_payload}[video_codec]
 
     def gen(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
@@ -107,7 +108,7 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
                 "doc_id": batch["doc_id"],
                 "image": pa.array([img_fn(d) for d in doc_ids], "binary"),
                 "audio": pa.array([aud_fn(d) for d in doc_ids], "binary"),
-                "video": pa.array([mc.y4m_payload(d) for d in doc_ids], "binary"),
+                "video": pa.array([vid_fn(d) for d in doc_ids], "binary"),
             }
         )
 
@@ -261,6 +262,17 @@ class VideoFrameSampleKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_frames, n_sampled, checksum = [], [], []
         for data in batch["video"].to_pylist():
+            if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                # REAL compressed codec: Motion-JPEG in AVI — every frame
+                # runs the baseline JPEG decoder (ops/jpeg_codec.py)
+                from dedoc_ray.ops.media_codecs import avi_mjpeg_decode
+
+                planes = avi_mjpeg_decode(data)
+                sampled_means = [int(f.sum()) // f.size for f in planes[:: self.stride]]
+                n_frames.append(len(planes))
+                n_sampled.append(len(sampled_means))
+                checksum.append(sum(sampled_means))
+                continue
             if data[:9] == b"YUV4MPEG2":
                 # REAL codec: Y4M 4:2:0 raw video (ops/media_codecs.py);
                 # per-frame stat = integer mean of the sampled luma plane
@@ -400,6 +412,17 @@ SELECT doc_id,
             // ((4 + doc_id % 8) * (3 + doc_id % 5)) AS BIGINT) AS mean_pixel
 FROM documents
 """
+
+def video_frames_avi(sf_dir: str, stride: int = 6):
+    """The video frame-sampling stage over Motion-JPEG AVI — a REAL
+    compressed codec: the RIFF walk hands each '..dc' chunk to the
+    baseline JPEG decoder; constant frames decode bit-exactly so the
+    Y4M oracle applies unchanged."""
+    return media_corpus_real(sf_dir, video_codec="avi").drop_columns(["image", "audio"]).map_batches(
+        VideoFrameSampleKernel, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1,
+    )
+
 
 IMAGE_FEATURES_JPEG_SQL = """
 SELECT doc_id,

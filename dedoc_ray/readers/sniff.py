@@ -15,7 +15,7 @@ import zipfile
 from urllib.parse import urlparse
 
 HTML_EXT = (".html", ".htm", ".shtml")
-TXT_EXT = (".txt", ".txt.gz", ".text", ".log")
+TXT_EXT = (".txt", ".txt.gz", ".text", ".log", ".xml")  # xml→txt: reference xml_converter copies verbatim
 CSV_EXT = (".csv", ".tsv")
 JSON_EXT = (".json",)
 PDF_EXT = (".pdf",)

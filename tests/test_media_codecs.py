@@ -302,3 +302,39 @@ def test_scan_route_decodes_png_and_tiff_rasters():
         assert sniff_format(f"https://x.test/p.{ext}", b"") == "pgm"
         got = [ln.line for ln in read_scan(data).lines]
         assert got == want
+
+
+# ------------------------------------------------------------- AVI / MJPEG
+
+
+def test_avi_mjpeg_roundtrip_and_payload():
+    from dedoc_ray.ops.media_codecs import (
+        avi_mjpeg_decode,
+        avi_mjpeg_encode,
+        avi_payload,
+        y4m_decode,
+        y4m_payload,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (16, 24)).astype(np.uint8) for _ in range(7)]
+    out = avi_mjpeg_decode(avi_mjpeg_encode(frames))
+    assert len(out) == 7
+    for a, b in zip(out, frames):
+        assert a.shape == b.shape and np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # constant-frame payload matches the Y4M field exactly (shared oracle)
+    for d in (0, 3, 19, 255):
+        got = avi_mjpeg_decode(avi_payload(d))
+        want = y4m_decode(y4m_payload(d))
+        assert len(got) == len(want) and all((g == w).all() for g, w in zip(got, want))
+
+
+def test_avi_rejects_malformed():
+    from dedoc_ray.ops.media_codecs import avi_mjpeg_decode, avi_mjpeg_encode
+
+    with pytest.raises(ValueError):
+        avi_mjpeg_decode(b"RIFF\x00\x00\x00\x00WAVE")
+    data = bytearray(avi_mjpeg_encode([np.zeros((8, 8), np.uint8)]))
+    data = data[:-10]  # truncate into the frame chunk
+    with pytest.raises(ValueError):
+        avi_mjpeg_decode(bytes(data))
