@@ -1377,6 +1377,15 @@ def q_audio_frames_wav(sf_dir: str):
     return audio_frames_wav(sf_dir)
 
 
+def q_audio_frames_adpcm(sf_dir: str):
+    """Audio framing over IMA-ADPCM WAV (format tag 0x11) — a real
+    COMPRESSED audio codec, pure integer step-table decode; the fact
+    chunk preserves the sample count so the PCM oracle applies."""
+    from dedoc_ray.ops.multimodal import audio_frames_adpcm
+
+    return audio_frames_adpcm(sf_dir)
+
+
 def q_video_frames_avi(sf_dir: str):
     """Frame sampling over Motion-JPEG AVI video — RIFF LIST walk, one
     baseline-JPEG decode per frame chunk. Constant-luma frames decode
@@ -1576,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_color": q_image_features_jpeg_color,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
+        "audio_frames_adpcm": q_audio_frames_adpcm,
         "video_frames_y4m": q_video_frames_y4m,
         "video_frames_avi": q_video_frames_avi,
         "language_id": q_language_id,
@@ -1945,6 +1955,7 @@ FROM base WHERE cls <= 3
         "image_features_jpeg_color": IMAGE_FEATURES_JPEG_SQL,  # same dims/luma field
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
+        "audio_frames_adpcm": AUDIO_FRAMES_WAV_SQL,  # same (n, rate) field, IMA ADPCM
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,
         "video_frames_avi": VIDEO_FRAMES_Y4M_SQL,  # same frame field, MJPEG/AVI container
         "lineitem_pricing": LINEITEM_PRICING_SQL,

@@ -77,23 +77,34 @@ def wav_encode(samples: np.ndarray, rate: int) -> bytes:
 
 
 def wav_decode(data: bytes) -> Tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM-16 mono → (int16 samples, sample_rate). Walks chunks
-    in file order, skipping unknown ones (word-aligned) per the RIFF spec."""
+    """RIFF/WAVE mono → (int16 samples, sample_rate). Walks chunks in file
+    order, skipping unknown ones (word-aligned) per the RIFF spec. Format
+    tags: 1 (PCM-16) and 0x11 (IMA ADPCM — 4-bit compressed, decoded with
+    the standard step tables; sample count from the fact chunk)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, rate, samples = 12, None, None
+    pos, rate, samples, tag, fact_n = 12, None, None, None, None
+    raw = None
     while pos + 8 <= len(data):
         cid, clen = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         payload = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
-            if tag != 1 or channels != 1 or bits != 16:
-                raise ValueError("unsupported WAV variant (PCM-16 mono only)")
+            if channels != 1 or tag not in (1, 0x11) or (tag == 1 and bits != 16):
+                raise ValueError("unsupported WAV variant (mono PCM-16 / IMA ADPCM only)")
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack("<I", payload[:4])
         elif cid == b"data":
-            samples = np.frombuffer(payload[: len(payload) & ~1], "<i2")
+            raw = payload
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if tag == 0x11:
+        if fact_n is None:
+            raise ValueError("ADPCM WAV missing fact chunk")
+        samples = ima_adpcm_decode_block(raw, fact_n)
+    else:
+        samples = np.frombuffer(raw[: len(raw) & ~1], "<i2")
     return samples, rate
 
 
@@ -723,3 +734,97 @@ def avi_payload(doc_id: int) -> bytes:
     n, w, h = 10 + doc_id % 20, 8 + (doc_id % 4) * 2, 8
     frames = [np.full((h, w), (doc_id + f) % 256, np.uint8) for f in range(n)]
     return avi_mjpeg_encode(frames)
+
+
+# ----------------------------------------------------------------- IMA ADPCM
+#
+# WAV format tag 0x11 (IMA/DVI ADPCM): 4-bit differential coding with the
+# standard step-size table — the classic compressed-audio codec that is
+# pure integer arithmetic, so encode/decode are deterministic and the
+# decode is exact per spec. Mono, one block per file (block-align = data).
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767], np.int32)
+
+
+def _ima_step(pred: int, index: int, nibble: int):
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = max(-32768, min(32767, pred - diff if nibble & 8 else pred + diff))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble])))
+    return pred, index
+
+
+def ima_adpcm_encode(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono → WAV (format 0x11), single IMA block: 4-byte block
+    header (pred, index, reserved) + one nibble per remaining sample."""
+    s = samples.astype(np.int32)
+    pred, index = (int(s[0]), 0) if len(s) else (0, 0)
+    nibbles: List[int] = []
+    for x in s[1:]:
+        step = int(_IMA_STEPS[index])
+        delta = int(x) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, index = _ima_step(pred, index, nib)
+        nibbles.append(nib)
+    if len(nibbles) & 1:
+        nibbles.append(0)
+    packed = bytes((nibbles[i] | (nibbles[i + 1] << 4)) for i in range(0, len(nibbles), 2))
+    block = struct.pack("<hBB", int(s[0]) if len(s) else 0, 0, 0) + packed
+    n = len(s)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, rate // 2, len(block), 4, 2, n)
+    chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<II", 4, n)
+              + b"data" + struct.pack("<I", len(block)) + block)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def ima_adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
+    pred, index, _ = struct.unpack("<hBB", block[:4])
+    out = np.empty(n_samples, np.int16)
+    if n_samples == 0:
+        return out
+    out[0] = pred
+    k = 1
+    for byte in block[4:]:
+        for nib in (byte & 0xF, byte >> 4):
+            if k >= n_samples:
+                break
+            pred, index = _ima_step(pred, index, nib)
+            out[k] = pred
+            k += 1
+    if k < n_samples:
+        raise ValueError("truncated ADPCM block")
+    return out
+
+
+def adpcm_payload(doc_id: int) -> bytes:
+    """Same (n, rate) field as wav_payload, IMA-ADPCM-compressed — the
+    frame-stat oracle depends only on sample COUNT and rate, which the
+    codec preserves exactly (fact chunk), so the WAV SQL applies."""
+    rate = 8000 + (doc_id % 8) * 1000
+    n = 500 + (doc_id % 50) * 20
+    i = np.arange(n)
+    return ima_adpcm_encode(((doc_id * 7 + i) % 200 - 100).astype(np.int16), rate)

@@ -98,7 +98,7 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         img_fn = jpeg_payload_color
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
-    aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload}[audio_codec]
+    aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload, "adpcm": mc.adpcm_payload}[audio_codec]
     vid_fn = {"y4m": mc.y4m_payload, "avi": mc.avi_payload}[video_codec]
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -412,6 +412,15 @@ SELECT doc_id,
             // ((4 + doc_id % 8) * (3 + doc_id % 5)) AS BIGINT) AS mean_pixel
 FROM documents
 """
+
+def audio_frames_adpcm(sf_dir: str, frame_len: int = 400):
+    """The audio frame stage over IMA-ADPCM-compressed WAV (format tag
+    0x11) — a REAL compressed audio codec, integer step-table decode."""
+    return media_corpus_real(sf_dir, audio_codec="adpcm").drop_columns(["image", "video"]).map_batches(
+        AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
 
 def video_frames_avi(sf_dir: str, stride: int = 6):
     """The video frame-sampling stage over Motion-JPEG AVI — a REAL

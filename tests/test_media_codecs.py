@@ -338,3 +338,45 @@ def test_avi_rejects_malformed():
     data = data[:-10]  # truncate into the frame chunk
     with pytest.raises(ValueError):
         avi_mjpeg_decode(bytes(data))
+
+
+# ------------------------------------------------------------- IMA ADPCM
+
+
+def test_adpcm_tracks_smooth_signal_and_preserves_count():
+    from dedoc_ray.ops.media_codecs import ima_adpcm_encode, wav_decode
+
+    t = np.arange(3000)
+    s = (3000 * np.sin(t / 30)).astype(np.int16)
+    dec, rate = wav_decode(ima_adpcm_encode(s, 8000))
+    assert rate == 8000 and len(dec) == len(s)
+    assert np.abs(dec.astype(int) - s.astype(int)).mean() < 120
+    # ~4:1 compression vs PCM-16
+    assert len(ima_adpcm_encode(s, 8000)) < len(s)
+
+
+def test_adpcm_decode_is_deterministic_and_bounded():
+    from dedoc_ray.ops.media_codecs import ima_adpcm_encode, wav_decode
+
+    rng = np.random.RandomState(7)
+    s = rng.randint(-32768, 32768, 777).astype(np.int16)
+    a, _ = wav_decode(ima_adpcm_encode(s, 11025))
+    b, _ = wav_decode(ima_adpcm_encode(s, 11025))
+    assert (a == b).all() and len(a) == 777
+    assert a.min() >= -32768 and a.max() <= 32767
+
+
+def test_adpcm_payload_count_matches_wav_field():
+    from dedoc_ray.ops.media_codecs import adpcm_payload, wav_decode, wav_payload
+
+    for d in (0, 9, 123, 999):
+        sa, ra = wav_decode(adpcm_payload(d))
+        sw, rw = wav_decode(wav_payload(d))
+        assert ra == rw and len(sa) == len(sw)
+    with pytest.raises(ValueError):
+        # ADPCM without a fact chunk must be rejected
+        from dedoc_ray.ops.media_codecs import ima_adpcm_encode
+
+        data = ima_adpcm_encode(np.zeros(10, np.int16), 8000)
+        i = data.index(b"fact")
+        wav_decode(data[:i] + data[i + 16:])
