@@ -171,7 +171,7 @@ class ExtractKernel:
         if fmt == "pgm":
             from dedoc_ray.readers.scan_ocr import read_scan
 
-            return read_scan(data)
+            return read_scan(data, orientation=self.config.document_orientation)
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 

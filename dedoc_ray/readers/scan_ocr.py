@@ -275,17 +275,19 @@ def _decode_region(ink: np.ndarray) -> List[Tuple[str, bool, int]]:
     return lines
 
 
-def ocr_raster(img: np.ndarray) -> Tuple[List[Tuple[str, bool, int]], int]:
+def ocr_raster(img: np.ndarray, orientation: str = "auto") -> Tuple[List[Tuple[str, bool, int]], int]:
     """Grayscale page raster → ([(text, all_bold, x0_px)], rotation_k).
 
-    Binarize from the observed range, correct orientation, detect the
-    column count, then decode every 7-row band in reading order (columns
-    left→right, top→bottom within a column)."""
+    Binarize from the observed range, correct orientation (skipped when
+    ``orientation="no_change"`` — the reference's document_orientation
+    knob, api_args.py:35), detect the column count, then decode every
+    7-row band in reading order (columns left→right, top→bottom within
+    a column)."""
     lo, hi = int(img.min()), int(img.max())
     if hi - lo < 64:  # blank page — no ink/paper separation
         return [], 0
     ink = img < (lo + hi) // 2
-    k = detect_orientation(ink)
+    k = detect_orientation(ink) if orientation == "auto" else 0
     if k:
         ink = np.rot90(ink, -k)
     lines: List[Tuple[str, bool, int]] = []
@@ -322,11 +324,13 @@ def lines_from_recognized(
     return lines
 
 
-def read_scan(data: bytes) -> UnstructuredDoc:
+def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
     """Image scan → UnstructuredDoc (the image half of the reference's
     PdfImageReader, which accepts bare images alongside textless PDFs;
-    supported_image_types there spans bmp/png/jpg — here the
-    container-parseable rasters: PGM and 24-bit BMP)."""
+    supported_image_types there spans bmp/png/jpg/tiff — here the
+    container-parseable rasters: PGM, 24-bit BMP, PNG and TIFF).
+    ``orientation="no_change"`` skips rotation correction (the reference's
+    document_orientation query knob)."""
     if data[:2] == b"BM":
         from dedoc_ray.ops.media_codecs import bmp_decode
 
@@ -342,7 +346,7 @@ def read_scan(data: bytes) -> UnstructuredDoc:
     else:
         img = parse_pgm(data)
     file_hash = hashlib.md5(data).hexdigest()
-    recognized, k = ocr_raster(img)
+    recognized, k = ocr_raster(img, orientation=orientation)
     warnings: List[str] = []
     if k:
         warnings.append(f"scan orientation corrected {90 * k} degrees")

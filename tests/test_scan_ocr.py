@@ -131,3 +131,36 @@ def test_pdf_scan_pages_slice():
     doc = read_pdf_auto(data, pages=(1, None))  # only page 0 exists → empty slice
     assert doc.lines == []
     assert doc.warnings[0].endswith("scanned-image OCR route")
+
+
+def test_document_orientation_no_change_skips_rotation():
+    from dedoc_ray.readers.scan_ocr import read_scan
+    from dedoc_ray.sources.scan_writer import scan_pgm
+
+    rotated = scan_pgm(3, "alpha the beta")  # doc_id%4=3 → 270° rotation
+    auto = read_scan(rotated, orientation="auto")
+    fixed = read_scan(rotated, orientation="no_change")
+    assert any("orientation corrected" in w for w in auto.warnings)
+    assert not any("orientation corrected" in w for w in fixed.warnings)
+    # uncorrected rotated page cannot reproduce the reading order
+    assert [ln.line for ln in fixed.lines] != [ln.line for ln in auto.lines]
+    # an upright page reads identically under both modes
+    upright = scan_pgm(4, "alpha the beta")  # doc_id%4=0
+    a = read_scan(upright, orientation="auto")
+    b = read_scan(upright, orientation="no_change")
+    assert [ln.line for ln in a.lines] == [ln.line for ln in b.lines]
+
+
+def test_kernel_threads_document_orientation():
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+    from dedoc_ray.sources.scan_writer import scan_pgm
+
+    import pyarrow as pa
+
+    batch = pa.Table.from_pydict(
+        {"url": ["https://x.test/p.pgm"], "html": [scan_pgm(1, "alpha the beta")]}
+    )
+    auto_out = ExtractKernel(config=PipelineConfig())(batch).to_pylist()[0]
+    fixed_out = ExtractKernel(config=PipelineConfig(document_orientation="no_change"))(batch).to_pylist()[0]
+    assert auto_out["extracted_text"] != fixed_out["extracted_text"]
