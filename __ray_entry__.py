@@ -1377,6 +1377,16 @@ def q_audio_frames_wav(sf_dir: str):
     return audio_frames_wav(sf_dir)
 
 
+def q_image_features_jpeg_prog(sf_dir: str):
+    """Image features over PROGRESSIVE JPEG (SOF2): multi-scan decode —
+    DC successive approximation (Al=1 first pass + one-bit refinement
+    scan) and the AC spectral band with EOB-run coding. Constant images
+    reconstruct bit-exactly → the baseline JPEG SQL oracle applies."""
+    from dedoc_ray.ops.multimodal import image_features_jpeg_prog
+
+    return image_features_jpeg_prog(sf_dir)
+
+
 def q_audio_frames_adpcm(sf_dir: str):
     """Audio framing over IMA-ADPCM WAV (format tag 0x11) — a real
     COMPRESSED audio codec, pure integer step-table decode; the fact
@@ -1583,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_gif": q_image_features_gif,
         "image_features_jpeg": q_image_features_jpeg,
         "image_features_jpeg_color": q_image_features_jpeg_color,
+        "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "audio_frames_adpcm": q_audio_frames_adpcm,
@@ -1953,6 +1964,7 @@ FROM base WHERE cls <= 3
         "image_features_gif": IMAGE_FEATURES_BMP_SQL,  # same pixel field, real GIF decode
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
         "image_features_jpeg_color": IMAGE_FEATURES_JPEG_SQL,  # same dims/luma field
+        "image_features_jpeg_prog": IMAGE_FEATURES_JPEG_SQL,  # same field, SOF2 multi-scan
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "audio_frames_adpcm": AUDIO_FRAMES_WAV_SQL,  # same (n, rate) field, IMA ADPCM

@@ -357,7 +357,9 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
@@ -416,9 +418,253 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
     return out
 
 
+def _decode_progressive(data: bytes) -> List[np.ndarray]:
+    """Progressive JPEG (SOF2), grayscale — the multi-scan path: spectral
+    selection (per-scan Ss..Se bands with EOB-run coding) and DC successive
+    approximation (first scan at Al + one-bit refinement scans). Scans
+    accumulate into a per-block coefficient store; dequantize + IDCT run
+    once after EOI. Honest gates raise ValueError: 3-component progressive
+    and AC successive-approximation refinement (Ah>0 on an AC band)."""
+    pos = 2
+    qtabs: Dict[int, np.ndarray] = {}
+    htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    w = h = None
+    qid = 0
+    restart = 0
+    coefs: np.ndarray | None = None
+    bw = bh = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 2 + ln > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(body[b + 1 : b + 65], np.uint8).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
+                htabs[(tc, th)] = _decode_tree(bits, vals)
+                b += 17 + nv
+        elif marker == 0xC2:
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("multi-component progressive JPEG unsupported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled progressive JPEG unsupported")
+            qid = body[8]
+            bh, bw = (h + 7) // 8, (w + 7) // 8
+            coefs = np.zeros((bh * bw, 64), np.int64)
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0xF
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            r = _BitReader(data, pos + 2 + ln)
+            pos = _decode_prog_scan(
+                r, coefs, ss, se, ah, al,
+                htabs.get((0, dc_id)), htabs.get((1, ac_id)), restart,
+            )
+            continue  # r consumed up to the next marker
+        pos += 2 + ln
+    if coefs is None or w is None:
+        raise ValueError("progressive JPEG missing SOF2 or scans")
+    q = qtabs.get(qid)
+    if q is None:
+        raise ValueError("JPEG missing quant table")
+    out = np.zeros((bh * 8, bw * 8), np.float64)
+    for bi in range(bh * bw):
+        full = np.zeros(64, np.float64)
+        full[_ZZ] = coefs[bi] * q
+        by, bx = divmod(bi, bw)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ full.reshape(8, 8) @ _C
+    return [np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]]
+
+
+def _decode_prog_scan(r: _BitReader, coefs, ss, se, ah, al, dct, act, restart) -> int:
+    """Decode one progressive scan into the coefficient store; returns the
+    stream position of the next marker."""
+    nblocks = coefs.shape[0]
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan must be DC (Ss=Se=0) or an AC band (Ss>=1)")
+    if ss == 0:  # DC scan
+        if ah == 0:
+            if dct is None:
+                raise ValueError("DC scan without its Huffman table")
+            pred = 0
+            for bi in range(nblocks):
+                if restart and bi and bi % restart == 0:
+                    r.sync_restart()
+                    pred = 0
+                cat = _huff_read(r, dct)
+                diff = _extend(r.receive(cat), cat) if cat else 0
+                pred += diff
+                coefs[bi, 0] = pred << al
+        else:  # DC refinement: one raw bit per block
+            for bi in range(nblocks):
+                if restart and bi and bi % restart == 0:
+                    r.sync_restart()
+                if r.bit():
+                    coefs[bi, 0] |= 1 << al
+    else:  # AC band
+        if ah != 0:
+            raise ValueError("AC successive-approximation refinement unsupported")
+        if act is None:
+            raise ValueError("AC scan without its Huffman table")
+        eobrun = 0
+        for bi in range(nblocks):
+            if restart and bi and bi % restart == 0:
+                r.sync_restart()
+                eobrun = 0
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_read(r, act)
+                rr, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if rr == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.receive(rr)
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("AC coefficient run past band end")
+                coefs[bi, k] = _extend(r.receive(s), s) << al
+                k += 1
+    r.n = 0  # drop pad bits; r.pos now points at the next marker
+    return r.pos
+
+
+def jpeg_encode_progressive(gray: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """(h, w) uint8 grayscale → progressive JPEG (SOF2), three scans:
+    DC at Al=1 → DC refinement bit → full AC band 1..63 with EOB-run
+    coding. Coefficients are identical to the baseline encoder's, so the
+    decoded image is bit-identical to the baseline roundtrip."""
+    h, w = gray.shape
+    q = np.ones(64, np.uint16) if quant is None else np.asarray(quant, np.uint16).reshape(64)
+    qtab = np.empty(64, np.float64)
+    qtab[_ZZ] = q
+    qtab = qtab.reshape(8, 8)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(gray, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge").astype(np.float64) - 128.0
+    blocks = [
+        _quantize_block(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qtab)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    # progressive AC needs EOBn symbols (rs = g<<4, s=0) that Annex K's
+    # baseline table lacks — Huffman tables are stream-carried, so build a
+    # flat 9-bit canonical table holding both (176 symbols < 511, the
+    # all-ones code stays unused as T.81 requires)
+    ac_bits_p = [0] * 16
+    ac_vals_p = _AC_VALS + [g << 4 for g in range(1, 15)]
+    ac_bits_p[8] = len(ac_vals_p)  # all codes 9 bits long
+    ac_codes = _canonical_codes(ac_bits_p, ac_vals_p)
+
+    # scan 1: DC, Al=1 (successive approximation first pass)
+    b1 = _Bits()
+    pred = 0
+    for zq in blocks:
+        v = int(zq[0]) >> 1  # arithmetic shift = DC point transform
+        diff = v - pred
+        pred = v
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        b1.put(code, ln)
+        if cat:
+            b1.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+    # scan 2: DC refinement, Ah=1 Al=0 — the low bit, raw
+    b2 = _Bits()
+    for zq in blocks:
+        b2.put(int(zq[0]) & 1, 1)
+
+    # scan 3: AC 1..63, Al=0, EOB-run coding
+    b3 = _Bits()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        while eobrun:
+            g = min(eobrun.bit_length() - 1, 14)
+            take = min(eobrun, (1 << (g + 1)) - 1)
+            code, ln = ac_codes[g << 4]
+            b3.put(code, ln)
+            if g:
+                b3.put(take - (1 << g), g)
+            eobrun -= take
+
+    for zq in blocks:
+        last_nz = max((k for k in range(1, 64) if zq[k]), default=0)
+        if last_nz == 0:
+            eobrun += 1
+            continue
+        flush_eob()
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = int(zq[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]
+                b3.put(zc, zl)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            b3.put(code, ln)
+            b3.put(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last_nz < 63:
+            eobrun += 1
+    flush_eob()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, b"\x10" + bytes(ac_bits_p) + bytes(ac_vals_p)
+    )
+    sos1 = seg(0xFFDA, b"\x01\x01\x00" + bytes([0, 0, 0x01]))  # Ss=0 Se=0 Ah=0 Al=1
+    sos2 = seg(0xFFDA, b"\x01\x01\x00" + bytes([0, 0, 0x10]))  # Ah=1 Al=0 refinement
+    sos3 = seg(0xFFDA, b"\x01\x01\x00" + bytes([1, 63, 0x00]))  # AC band
+    return (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos1 + b1.flush() + sos2 + b2.flush() + sos3 + b3.flush() + b"\xff\xd9"
+    )
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) uint8 grayscale: the single plane for
-    grayscale streams, the Y (BT.601 luma) plane for YCbCr color."""
+    """JPEG → (h, w) uint8 grayscale: the single plane for grayscale
+    streams (baseline SOF0 or progressive SOF2), the Y (BT.601 luma)
+    plane for YCbCr color."""
     return jpeg_decode_planes(data)[0]
 
 
@@ -504,6 +750,14 @@ def jpeg_payload(doc_id: int) -> bytes:
     quant table, so width/height/n_pixels/mean_pixel are SQL-replayable."""
     w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
     return jpeg_encode(np.full((h, w), doc_id % 256, np.uint8))
+
+
+def jpeg_payload_progressive(doc_id: int) -> bytes:
+    """Constant-gray PROGRESSIVE JPEG (SOF2, three scans), same dims and
+    pixel field as jpeg_payload — the baseline SQL oracle applies since
+    the coefficient store reconstructs identically."""
+    w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
+    return jpeg_encode_progressive(np.full((h, w), doc_id % 256, np.uint8))
 
 
 def jpeg_payload_color(doc_id: int) -> bytes:

@@ -96,6 +96,10 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         from dedoc_ray.ops.jpeg_codec import jpeg_payload_color
 
         img_fn = jpeg_payload_color
+    elif image_codec == "jpeg_prog":
+        from dedoc_ray.ops.jpeg_codec import jpeg_payload_progressive
+
+        img_fn = jpeg_payload_progressive
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
     aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload, "adpcm": mc.adpcm_payload}[audio_codec]
@@ -412,6 +416,15 @@ SELECT doc_id,
             // ((4 + doc_id % 8) * (3 + doc_id % 5)) AS BIGINT) AS mean_pixel
 FROM documents
 """
+
+def image_features_jpeg_prog(sf_dir: str):
+    """The image feature stage over PROGRESSIVE JPEG (SOF2) — multi-scan
+    coefficient accumulation: DC successive approximation + refinement
+    scan + AC spectral band with EOB-run decode (ops/jpeg_codec.py)."""
+    return media_corpus_real(sf_dir, image_codec="jpeg_prog").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
 
 def audio_frames_adpcm(sf_dir: str, frame_len: int = 400):
     """The audio frame stage over IMA-ADPCM-compressed WAV (format tag

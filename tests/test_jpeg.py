@@ -122,3 +122,55 @@ def test_color_odd_dimensions_and_grayscale_still_ok():
         assert py.shape == (h, w)
         assert np.abs(py.astype(int) - y.astype(int)).max() <= 1
         assert (pcb == 128).all() and (pcr == 128).all()
+
+
+# ----------------------------------------------------------- progressive
+
+
+def test_progressive_matches_baseline_bit_for_bit():
+    """SOF2 multi-scan reconstruction accumulates the SAME quantized
+    coefficients the baseline stream carries — decoded pixels must be
+    identical, not merely close."""
+    from dedoc_ray.ops.jpeg_codec import jpeg_encode_progressive
+
+    rng = np.random.RandomState(6)
+    for shape in ((8, 8), (10, 13), (33, 47), (1, 1)):
+        g = rng.randint(0, 256, shape).astype(np.uint8)
+        assert (jpeg_decode(jpeg_encode(g)) == jpeg_decode(jpeg_encode_progressive(g))).all()
+
+
+def test_progressive_constant_exactness_and_eob_runs():
+    from dedoc_ray.ops.jpeg_codec import jpeg_encode_progressive
+
+    for v in (0, 7, 128, 255):
+        g = np.full((10, 13), v, np.uint8)
+        assert (jpeg_decode(jpeg_encode_progressive(g)) == g).all()
+    # a 6x6-block page of near-constant gray → one long EOB run across blocks
+    g = np.full((48, 48), 100, np.uint8)
+    g[0, 0] = 101
+    assert (jpeg_decode(jpeg_encode_progressive(g)) == jpeg_decode(jpeg_encode(g))).all()
+
+
+def test_progressive_rejects_unsupported_shapes():
+    from dedoc_ray.ops.jpeg_codec import jpeg_encode_progressive
+
+    data = bytearray(jpeg_encode_progressive(np.full((16, 16), 9, np.uint8)))
+    sof = data.find(b"\xff\xc2")
+    data[sof + 9] = 3  # claim 3 components
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(data))
+    # AC refinement scans (Ah>0 on an AC band) are the documented gate
+    data = bytearray(jpeg_encode_progressive(np.full((16, 16), 9, np.uint8)))
+    i = data.find(bytes([1, 63, 0x00]))  # the AC SOS tail Ss=1 Se=63 AhAl=0
+    data[i + 2] = 0x10
+    with pytest.raises(ValueError, match="refinement"):
+        jpeg_decode(bytes(data))
+
+
+def test_progressive_payload_matches_formula():
+    from dedoc_ray.ops.jpeg_codec import jpeg_payload_progressive
+
+    for d in (0, 5, 100, 999):
+        img = jpeg_decode(jpeg_payload_progressive(d))
+        assert img.shape == (10 + (d % 4) * 6, 12 + (d % 6) * 4)
+        assert (img == d % 256).all()
