@@ -8,9 +8,13 @@ decode with 0xFF00 byte unstuffing and RSTn restart handling, DC prediction,
 run-length AC with ZRL/EOB, dequantize, inverse zigzag, 8x8 IDCT (exact
 orthonormal matrix form: C.T @ B @ C), level shift, clamp, edge crop.
 
-Scope: grayscale (one component) 8-bit baseline, the honest subset — color
-subsampling/progressive raise ValueError. The encoder exists to generate
-corpora and roundtrip tests (standard Annex K luminance tables by default).
+Scope: 8-bit baseline grayscale AND YCbCr color (4:2:0/4:4:4 MCU-interleave,
+Annex-K chroma tables), plus PROGRESSIVE (SOF2) grayscale with full
+successive approximation — DC refinement bits and the T.81 G.1.2.3 AC
+refinement path (EOB runs, buffered correction bits). The honest gates:
+arithmetic coding, 12-bit precision, multi-component progressive. Encoders
+for every supported shape generate corpora and the bit-identity tests
+(progressive reconstruction must equal the baseline decode exactly).
 
 Exactness contract used by the SQL oracle: with a flat quantization table
 (all ones) a CONSTANT image decodes bit-exactly (DC-only blocks survive the
@@ -423,8 +427,9 @@ def _decode_progressive(data: bytes) -> List[np.ndarray]:
     selection (per-scan Ss..Se bands with EOB-run coding) and DC successive
     approximation (first scan at Al + one-bit refinement scans). Scans
     accumulate into a per-block coefficient store; dequantize + IDCT run
-    once after EOI. Honest gates raise ValueError: 3-component progressive
-    and AC successive-approximation refinement (Ah>0 on an AC band)."""
+    once after EOI; AC successive-approximation refinement (Ah>0 bands,
+    T.81 G.1.2.3 correction bits) is fully supported. The one honest gate:
+    3-component progressive raises ValueError."""
     pos = 2
     qtabs: Dict[int, np.ndarray] = {}
     htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
@@ -525,9 +530,7 @@ def _decode_prog_scan(r: _BitReader, coefs, ss, se, ah, al, dct, act, restart) -
                     r.sync_restart()
                 if r.bit():
                     coefs[bi, 0] |= 1 << al
-    else:  # AC band
-        if ah != 0:
-            raise ValueError("AC successive-approximation refinement unsupported")
+    elif ah == 0:  # AC band, first pass at this Al
         if act is None:
             raise ValueError("AC scan without its Huffman table")
         eobrun = 0
@@ -555,15 +558,72 @@ def _decode_prog_scan(r: _BitReader, coefs, ss, se, ah, al, dct, act, restart) -
                     raise ValueError("AC coefficient run past band end")
                 coefs[bi, k] = _extend(r.receive(s), s) << al
                 k += 1
+    else:  # AC successive-approximation refinement (T.81 G.1.2.3)
+        if act is None:
+            raise ValueError("AC scan without its Huffman table")
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        for bi in range(nblocks):
+            if restart and bi and bi % restart == 0:
+                r.sync_restart()
+                eobrun = 0
+            row = coefs[bi]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_read(r, act)
+                    rr, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.receive(rr)
+                            break  # correction bits for the rest handled below
+                        # rr == 15: ZRL — skip 16 zero-HISTORY positions
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement scan symbol must have s=1")
+                        val = p1 if r.bit() else m1
+                    # advance: correction bits on nonzero-history coefficients,
+                    # count rr zero-history positions, then place val (if any)
+                    while k <= se:
+                        c = int(row[k])
+                        if c != 0:
+                            if r.bit() and (c & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if rr == 0:
+                                if s:
+                                    row[k] = val
+                                k += 1
+                                break
+                            rr -= 1
+                        k += 1
+            if eobrun > 0:
+                # inside an EOB run: correction bits still flow for every
+                # nonzero-history coefficient left in this block's band
+                while k <= se:
+                    c = int(row[k])
+                    if c != 0:
+                        if r.bit() and (c & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
     r.n = 0  # drop pad bits; r.pos now points at the next marker
     return r.pos
 
 
-def jpeg_encode_progressive(gray: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """(h, w) uint8 grayscale → progressive JPEG (SOF2), three scans:
-    DC at Al=1 → DC refinement bit → full AC band 1..63 with EOB-run
-    coding. Coefficients are identical to the baseline encoder's, so the
-    decoded image is bit-identical to the baseline roundtrip."""
+def jpeg_encode_progressive(
+    gray: np.ndarray, quant: np.ndarray | None = None, refine_ac: bool = False
+) -> bytes:
+    """(h, w) uint8 grayscale → progressive JPEG (SOF2). Default scans:
+    DC at Al=1 → DC refinement bit → full AC band 1..63 at Al=0 with
+    EOB-run coding. With ``refine_ac`` the AC band is itself split into a
+    successive-approximation pair (first pass at Al=1, then the T.81
+    G.1.2.3 refinement scan with buffered correction bits). Coefficients
+    are identical to the baseline encoder's, so the decoded image is
+    bit-identical to the baseline roundtrip either way."""
     h, w = gray.shape
     q = np.ones(64, np.uint16) if quant is None else np.asarray(quant, np.uint16).reshape(64)
     qtab = np.empty(64, np.float64)
@@ -604,45 +664,113 @@ def jpeg_encode_progressive(gray: np.ndarray, quant: np.ndarray | None = None) -
     for zq in blocks:
         b2.put(int(zq[0]) & 1, 1)
 
-    # scan 3: AC 1..63, Al=0, EOB-run coding
-    b3 = _Bits()
-    eobrun = 0
+    def ac_first_scan(al: int) -> bytes:
+        """AC band 1..63, Ah=0 at point transform ``al`` — EOB-run coding
+        over the truncated magnitudes sign·(|c| >> al)."""
+        b3 = _Bits()
+        eobrun = 0
 
-    def flush_eob() -> None:
-        nonlocal eobrun
-        while eobrun:
-            g = min(eobrun.bit_length() - 1, 14)
-            take = min(eobrun, (1 << (g + 1)) - 1)
-            code, ln = ac_codes[g << 4]
-            b3.put(code, ln)
-            if g:
-                b3.put(take - (1 << g), g)
-            eobrun -= take
+        def flush_eob() -> None:
+            nonlocal eobrun
+            while eobrun:
+                g = min(eobrun.bit_length() - 1, 14)
+                take = min(eobrun, (1 << (g + 1)) - 1)
+                code, ln = ac_codes[g << 4]
+                b3.put(code, ln)
+                if g:
+                    b3.put(take - (1 << g), g)
+                eobrun -= take
 
-    for zq in blocks:
-        last_nz = max((k for k in range(1, 64) if zq[k]), default=0)
-        if last_nz == 0:
-            eobrun += 1
-            continue
-        flush_eob()
-        run = 0
-        for k in range(1, last_nz + 1):
-            v = int(zq[k])
-            if v == 0:
-                run += 1
+        for zq in blocks:
+            vals = [
+                (abs(int(zq[k])) >> al) * (1 if zq[k] >= 0 else -1) for k in range(64)
+            ]
+            last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
+            if last_nz == 0:
+                eobrun += 1
                 continue
-            while run > 15:
-                zc, zl = ac_codes[0xF0]
-                b3.put(zc, zl)
-                run -= 16
-            cat = _category(v)
-            code, ln = ac_codes[(run << 4) | cat]
-            b3.put(code, ln)
-            b3.put(v if v > 0 else v + (1 << cat) - 1, cat)
+            flush_eob()
             run = 0
-        if last_nz < 63:
-            eobrun += 1
-    flush_eob()
+            for k in range(1, last_nz + 1):
+                v = vals[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    b3.put(zc, zl)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                b3.put(code, ln)
+                b3.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+        flush_eob()
+        return b3.flush()
+
+    def ac_refine_scan(al: int) -> bytes:
+        """AC band refinement (Ah = al+1 → Al = al): newly-significant
+        coefficients as s=1 symbols, history coefficients as buffered
+        correction bits flushed after the next symbol (T.81 G.1.2.3 /
+        the libjpeg encode_mcu_AC_refine discipline)."""
+        b4 = _Bits()
+        eobrun = 0
+        pending: List[int] = []  # correction bits awaiting the next EOBn
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pending
+            while eobrun:
+                g = min(eobrun.bit_length() - 1, 14)
+                take = min(eobrun, (1 << (g + 1)) - 1)
+                code, ln = ac_codes[g << 4]
+                b4.put(code, ln)
+                if g:
+                    b4.put(take - (1 << g), g)
+                eobrun -= take
+            for bit in pending:
+                b4.put(bit, 1)
+            pending = []
+
+        for zq in blocks:
+            absv = [abs(int(zq[k])) >> al for k in range(64)]
+            eobpos = max((k for k in range(1, 64) if absv[k] == 1), default=0)
+            run = 0
+            br: List[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                if run > 15 and k <= eobpos:
+                    flush_eob()
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]
+                        b4.put(zc, zl)
+                        run -= 16
+                        for bit in br:
+                            b4.put(bit, 1)
+                        br = []
+                if t > 1:
+                    br.append(t & 1)  # history coefficient: correction bit
+                    continue
+                # newly significant (t == 1)
+                flush_eob()
+                code, ln = ac_codes[(run << 4) | 1]
+                b4.put(code, ln)
+                b4.put(1 if int(zq[k]) >= 0 else 0, 1)
+                for bit in br:
+                    b4.put(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return b4.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -654,11 +782,13 @@ def jpeg_encode_progressive(gray: np.ndarray, quant: np.ndarray | None = None) -
     )
     sos1 = seg(0xFFDA, b"\x01\x01\x00" + bytes([0, 0, 0x01]))  # Ss=0 Se=0 Ah=0 Al=1
     sos2 = seg(0xFFDA, b"\x01\x01\x00" + bytes([0, 0, 0x10]))  # Ah=1 Al=0 refinement
-    sos3 = seg(0xFFDA, b"\x01\x01\x00" + bytes([1, 63, 0x00]))  # AC band
-    return (
-        b"\xff\xd8" + dqt + sof + dht
-        + sos1 + b1.flush() + sos2 + b2.flush() + sos3 + b3.flush() + b"\xff\xd9"
-    )
+    out = b"\xff\xd8" + dqt + sof + dht + sos1 + b1.flush() + sos2 + b2.flush()
+    if refine_ac:
+        out += seg(0xFFDA, b"\x01\x01\x00" + bytes([1, 63, 0x01])) + ac_first_scan(1)
+        out += seg(0xFFDA, b"\x01\x01\x00" + bytes([1, 63, 0x10])) + ac_refine_scan(0)
+    else:
+        out += seg(0xFFDA, b"\x01\x01\x00" + bytes([1, 63, 0x00])) + ac_first_scan(0)
+    return out + b"\xff\xd9"
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:

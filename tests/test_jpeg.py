@@ -159,12 +159,32 @@ def test_progressive_rejects_unsupported_shapes():
     data[sof + 9] = 3  # claim 3 components
     with pytest.raises(ValueError):
         jpeg_decode(bytes(data))
-    # AC refinement scans (Ah>0 on an AC band) are the documented gate
+    # a combined 0..63 scan is sequential-only, illegal under SOF2
     data = bytearray(jpeg_encode_progressive(np.full((16, 16), 9, np.uint8)))
     i = data.find(bytes([1, 63, 0x00]))  # the AC SOS tail Ss=1 Se=63 AhAl=0
-    data[i + 2] = 0x10
-    with pytest.raises(ValueError, match="refinement"):
+    data[i] = 0
+    with pytest.raises(ValueError, match="AC band"):
         jpeg_decode(bytes(data))
+
+
+def test_progressive_ac_successive_approximation_matches_baseline():
+    """The full T.81 G.1.2.3 path: AC first pass at Al=1 + refinement scan
+    with buffered correction bits — still bit-identical to baseline."""
+    from dedoc_ray.ops.jpeg_codec import jpeg_encode_progressive
+
+    rng = np.random.RandomState(17)
+    for shape in ((8, 8), (24, 88), (33, 47)):
+        g = rng.randint(0, 256, shape).astype(np.uint8)
+        want = jpeg_decode(jpeg_encode(g))
+        got = jpeg_decode(jpeg_encode_progressive(g, refine_ac=True))
+        assert (got == want).all(), shape
+    # larger quant steps mix zero / newly-significant / history coefficients
+    q = np.full(64, 4, np.uint16)
+    g = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+    assert (
+        jpeg_decode(jpeg_encode_progressive(g, quant=q, refine_ac=True))
+        == jpeg_decode(jpeg_encode(g, quant=q))
+    ).all()
 
 
 def test_progressive_payload_matches_formula():
