@@ -1082,6 +1082,39 @@ def _hll_token_registers(sf_dir: str):
     return hll_registers(ds, "text", tokenize=True)
 
 
+def q_hll_union(sf_dir: str):
+    """The HLL MERGEABILITY contract, oracled: sketch the even-doc_id and
+    odd-doc_id halves of the corpus independently (two crawls), merge by
+    element-wise register max, and the result is BIT-EQUAL to sketching
+    the whole corpus — so the oracle is the same register SQL as
+    hll_tokens. This is the property a cross-crawl distinct count relies
+    on at 100 TB: per-crawl sketches persist, unions are free."""
+    import numpy as np
+    import ray.data as rd
+
+    from dedoc_ray.ops.sketch import M, hll_registers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def half(par: int):
+        def pick(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), par)).select(["text"])
+
+        return hll_registers(docs.map_batches(pick, batch_format="pyarrow"), "text", tokenize=True)
+
+    halves = [half(0), half(1)]
+    regs = np.zeros(M, dtype=np.int64)
+    for h in halves:  # each is materialized and <= m rows
+        df = h.to_pandas()
+        np.maximum.at(regs, df["bucket"].to_numpy("int64"), df["rho"].to_numpy("int64"))
+    nz = np.nonzero(regs)[0]
+    return pa.Table.from_pydict(
+        {"bucket": pa.array(nz.astype("int64")), "rho": pa.array(regs[nz], "int64")}
+    )
+
+
 def q_hll_tokens(sf_dir: str):
     """HyperLogLog distinct-token sketch: bounded-state alternative to a
     full-corpus `unique` shuffle — per-batch register partials, one tiny
@@ -1387,6 +1420,16 @@ def q_image_features_jpeg_prog(sf_dir: str):
     return image_features_jpeg_prog(sf_dir)
 
 
+def q_audio_frames_flac(sf_dir: str):
+    """Audio framing over FLAC — real LOSSLESS compression (Rice-coded
+    residuals, fixed/LPC predictors, CRC-verified frames). Decode equals
+    the PCM field bit-for-bit, so the WAV oracle applies unchanged; the
+    losslessness property itself is pinned in pytest."""
+    from dedoc_ray.ops.multimodal import audio_frames_flac
+
+    return audio_frames_flac(sf_dir)
+
+
 def q_audio_frames_adpcm(sf_dir: str):
     """Audio framing over IMA-ADPCM WAV (format tag 0x11) — a real
     COMPRESSED audio codec, pure integer step-table decode; the fact
@@ -1568,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "hll_tokens": q_hll_tokens,
+        "hll_union": q_hll_union,
         "bloom_delta": q_bloom_delta,
         "cc_prep": q_cc_prep,
         "cms_stopwords": q_cms_stopwords,
@@ -1597,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "audio_frames_adpcm": q_audio_frames_adpcm,
+        "audio_frames_flac": q_audio_frames_flac,
         "video_frames_y4m": q_video_frames_y4m,
         "video_frames_avi": q_video_frames_avi,
         "language_id": q_language_id,
@@ -1942,6 +1987,7 @@ FROM base WHERE cls <= 3
         "decontaminate": DECONTAMINATE_SQL,
         "simhash": simhash_sql(),
         "hll_tokens": _hll_sketch.hll_registers_sql(_HLL_TOKENS_CTE),
+        "hll_union": _hll_sketch.hll_registers_sql(_HLL_TOKENS_CTE),  # merge == whole-corpus sketch
         "bloom_delta": _BLOOM_DELTA_SQL,
         "cc_prep": _CC_PREP_SQL,
         "cms_stopwords": _hll_sketch.cms_estimate_sql(),
@@ -1968,6 +2014,7 @@ FROM base WHERE cls <= 3
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "audio_frames_adpcm": AUDIO_FRAMES_WAV_SQL,  # same (n, rate) field, IMA ADPCM
+        "audio_frames_flac": AUDIO_FRAMES_WAV_SQL,  # same field, lossless FLAC
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,
         "video_frames_avi": VIDEO_FRAMES_Y4M_SQL,  # same frame field, MJPEG/AVI container
         "lineitem_pricing": LINEITEM_PRICING_SQL,

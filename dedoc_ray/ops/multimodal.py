@@ -102,7 +102,12 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         img_fn = jpeg_payload_progressive
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
-    aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload, "adpcm": mc.adpcm_payload}[audio_codec]
+    if audio_codec == "flac":
+        from dedoc_ray.ops.flac_codec import flac_payload
+
+        aud_fn = flac_payload
+    else:
+        aud_fn = {"wav": mc.wav_payload, "au": mc.au_payload, "adpcm": mc.adpcm_payload}[audio_codec]
     vid_fn = {"y4m": mc.y4m_payload, "avi": mc.avi_payload}[video_codec]
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -234,6 +239,13 @@ class AudioFrameKernel:
                 from dedoc_ray.ops.media_codecs import au_decode
 
                 samples, rate = au_decode(data)
+                n = len(samples)
+            elif data[:4] == b"fLaC":
+                # REAL lossless codec: FLAC (ops/flac_codec.py) — Rice
+                # residuals, fixed/LPC predictors, CRC-checked frames
+                from dedoc_ray.ops.flac_codec import flac_decode
+
+                samples, rate = flac_decode(data)
                 n = len(samples)
             elif data[:4] == AUD_MAGIC:
                 (n,) = struct.unpack("<I", data[4:8])
@@ -430,6 +442,16 @@ def audio_frames_adpcm(sf_dir: str, frame_len: int = 400):
     """The audio frame stage over IMA-ADPCM-compressed WAV (format tag
     0x11) — a REAL compressed audio codec, integer step-table decode."""
     return media_corpus_real(sf_dir, audio_codec="adpcm").drop_columns(["image", "video"]).map_batches(
+        AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def audio_frames_flac(sf_dir: str, frame_len: int = 400):
+    """The audio frame stage over FLAC — a real LOSSLESS compressed codec
+    (ops/flac_codec.py): the decoded samples equal the PCM field exactly,
+    so the WAV oracle applies unchanged."""
+    return media_corpus_real(sf_dir, audio_codec="flac").drop_columns(["image", "video"]).map_batches(
         AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
