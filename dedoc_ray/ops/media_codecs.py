@@ -1,11 +1,9 @@
-"""Real codecs for the uncompressed media container family — BMP, WAV, Y4M.
+"""Real codecs for the public media container family.
 
-The multimodal stages (ops/multimodal.py) were designed with the decode step
-swappable: compressed codecs (JPEG/MP3/H.264) need PIL/ffmpeg, absent in this
-container, and stay gated. But the classic UNCOMPRESSED containers are plain
-public formats parseable with struct + numpy — so this module implements them
-for real, moving the image/audio/video decode stages from "stub" to "actual
-codec" for:
+The multimodal stages (ops/multimodal.py) dispatch their decode step on
+magic bytes to the parsers in this module — every format below is a plain
+public specification implemented with struct + numpy (JPEG and FLAC live in
+their own modules, ops/jpeg_codec.py and ops/flac_codec.py):
 
 - **BMP** (Windows bitmap, BITMAPINFOHEADER, 24-bit BGR, bottom-up rows,
   4-byte row stride padding) → grayscale pixel matrix (ITU-R-601-ish mean

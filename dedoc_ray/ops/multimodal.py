@@ -1,14 +1,22 @@
-"""Multimodal column stages — image/audio payloads as opaque binary columns.
+"""Multimodal column stages — image/audio/video payloads as binary columns.
 
-The Ray-side plumbing is real and tested: typed binary columns with metadata,
-actor-pool ``map_batches`` stages with SMALL batch sizes (binary payloads ×
-concurrency must fit the worker heap — SURVEY.md §4 memory row), deterministic
-output schemas. The codecs are STUBS: the container has no PIL/cv2/ffmpeg, so
-decode parses a deterministic synthetic container and real-codec branches are
-gated behind import-try (clearly marked below). Swapping in a real decoder
-changes ONLY ``_decode_payload`` — the distributed shape stays.
+The Ray-side plumbing: typed binary columns with metadata, actor-pool
+``map_batches`` stages with SMALL batch sizes (binary payloads × concurrency
+must fit the worker heap — SURVEY.md §4 memory row), deterministic output
+schemas. The decode step is magic-dispatched over REAL codecs implemented in
+this repo (no PIL/cv2/ffmpeg needed):
 
-Synthetic containers (pure functions of doc_id, so DuckDB can oracle them):
+- images: BMP, PNG, GIF (ops/media_codecs.py), TIFF, and JPEG — baseline
+  grayscale, YCbCr color, progressive SOF2 (ops/jpeg_codec.py);
+- audio: WAV PCM-16 + IMA ADPCM, Sun AU + G.711 µ-law, lossless FLAC
+  (ops/flac_codec.py);
+- video: YUV4MPEG2 raw and Motion-JPEG AVI.
+
+Codecs with no public-license implementation path here stay gated behind
+import-try (``_HAVE_PIL``): MP3, H.264, arithmetic-coded JPEG.
+
+A tiny synthetic container family (FIMG/FAUD/FVID, pure functions of doc_id)
+remains for plumbing tests that want zero codec cost:
 
 - image: b"FIMG" + width:u16 + height:u16 + pixels (w*h bytes, all
   ``doc_id % 256``); width = 16 + doc_id % 32, height = 16 + doc_id % 24.
