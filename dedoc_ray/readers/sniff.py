@@ -15,7 +15,8 @@ import zipfile
 from urllib.parse import urlparse
 
 HTML_EXT = (".html", ".htm", ".shtml")
-TXT_EXT = (".txt", ".txt.gz", ".text", ".log", ".xml")  # xml→txt: reference xml_converter copies verbatim
+TXT_EXT = (".txt", ".txt.gz", ".txt.bz2", ".txt.xz", ".text", ".log",
+           ".xml")  # xml→txt: reference xml_converter copies verbatim
 CSV_EXT = (".csv", ".tsv")
 JSON_EXT = (".json",)
 PDF_EXT = (".pdf",)
@@ -24,7 +25,8 @@ XLSX_EXT = (".xlsx",)
 PPTX_EXT = (".pptx",)
 EML_EXT = (".eml",)
 MHTML_EXT = (".mhtml", ".mht")
-ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz", ".7z")
+ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz", ".7z",
+               ".tar.bz2", ".tbz2", ".tar.xz", ".txz")
 ODT_EXT = (".odt",)
 ODS_EXT = (".ods",)
 ODP_EXT = (".odp",)
@@ -127,6 +129,8 @@ def sniff_format(url: str, data: bytes) -> str:
         return "archive"  # native 7z (readers/sevenzip.py)
     if data[:2] == b"\x1f\x8b":
         return "txt"  # .txt.gz analogue
+    if data[:3] == b"BZh" or data[:6] == b"\xfd7zXZ\x00":
+        return "txt"  # bz2/xz single-file text (stdlib decompress)
     head = data[:4096]
     if b"MIME-Version:" in head and b"multipart/related" in head:
         return "mhtml"

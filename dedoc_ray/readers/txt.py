@@ -54,6 +54,14 @@ def _indent_annotation(line: str) -> Annotation:
 def read_txt(data: bytes, encoding: Optional[str] = None) -> UnstructuredDoc:
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
+    elif data[:3] == b"BZh":
+        import bz2
+
+        data = bz2.decompress(data)
+    elif data[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        data = lzma.decompress(data)
     enc = encoding or _detect_encoding(data)
     file_hash = hashlib.md5(data).hexdigest()
     try:

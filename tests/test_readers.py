@@ -121,3 +121,37 @@ class TestSniff:
         assert sniff_format("https://x/n", b'{"k": 1}') == "json"
         assert sniff_format("https://x/n", b"plain words here") == "txt"
         assert sniff_format("https://x/n", b"\xff\xfe\xfa\x01\x02") == "bad_file"
+
+
+def test_txt_bz2_and_xz_payloads():
+    import bz2
+    import lzma
+
+    from dedoc_ray.readers.sniff import sniff_format
+    from dedoc_ray.readers.txt import read_txt
+
+    raw = "alpha\nbeta\n".encode("utf-8")
+    for blob in (bz2.compress(raw), lzma.compress(raw)):
+        assert sniff_format("", blob) == "txt"
+        doc = read_txt(blob)
+        assert [ln.line for ln in doc.lines] == ["alpha\n", "beta\n"]
+
+
+def test_tar_bz2_and_xz_archives():
+    import io
+    import tarfile
+
+    from dedoc_ray.readers.archive import read_archive
+    from dedoc_ray.readers.sniff import sniff_format
+
+    for comp, ext in (("bz2", ".tar.bz2"), ("xz", ".tar.xz")):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode=f"w:{comp}") as tf:
+            payload = b"member body"
+            info = tarfile.TarInfo("a.txt")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        data = buf.getvalue()
+        assert sniff_format(f"https://x.test/f{ext}", b"") == "archive"
+        doc = read_archive(data)
+        assert doc.attachments[0][:2] == ("a.txt", 11)
