@@ -1420,6 +1420,16 @@ def q_image_features_jpeg_prog(sf_dir: str):
     return image_features_jpeg_prog(sf_dir)
 
 
+def q_image_features_jpeg_prog_color(sf_dir: str):
+    """Image features over PROGRESSIVE COLOR JPEG (SOF2, 4:2:0): the
+    multi-component progressive path — MCU-interleaved DC scans with
+    per-component predictors + non-interleaved per-component AC bands.
+    Constant planes reconstruct bit-exactly → the baseline JPEG oracle."""
+    from dedoc_ray.ops.multimodal import image_features_jpeg_prog_color
+
+    return image_features_jpeg_prog_color(sf_dir)
+
+
 def q_audio_frames_flac(sf_dir: str):
     """Audio framing over FLAC — real LOSSLESS compression (Rice-coded
     residuals, fixed/LPC predictors, CRC-verified frames). Decode equals
@@ -1638,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg": q_image_features_jpeg,
         "image_features_jpeg_color": q_image_features_jpeg_color,
         "image_features_jpeg_prog": q_image_features_jpeg_prog,
+        "image_features_jpeg_prog_color": q_image_features_jpeg_prog_color,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "audio_frames_adpcm": q_audio_frames_adpcm,
@@ -2011,6 +2022,7 @@ FROM base WHERE cls <= 3
         "image_features_jpeg": IMAGE_FEATURES_JPEG_SQL,
         "image_features_jpeg_color": IMAGE_FEATURES_JPEG_SQL,  # same dims/luma field
         "image_features_jpeg_prog": IMAGE_FEATURES_JPEG_SQL,  # same field, SOF2 multi-scan
+        "image_features_jpeg_prog_color": IMAGE_FEATURES_JPEG_SQL,  # same field, 3-comp SOF2
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "audio_frames_adpcm": AUDIO_FRAMES_WAV_SQL,  # same (n, rate) field, IMA ADPCM

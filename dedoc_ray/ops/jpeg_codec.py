@@ -9,12 +9,13 @@ run-length AC with ZRL/EOB, dequantize, inverse zigzag, 8x8 IDCT (exact
 orthonormal matrix form: C.T @ B @ C), level shift, clamp, edge crop.
 
 Scope: 8-bit baseline grayscale AND YCbCr color (4:2:0/4:4:4 MCU-interleave,
-Annex-K chroma tables), plus PROGRESSIVE (SOF2) grayscale with full
-successive approximation — DC refinement bits and the T.81 G.1.2.3 AC
-refinement path (EOB runs, buffered correction bits). The honest gates:
-arithmetic coding, 12-bit precision, multi-component progressive. Encoders
-for every supported shape generate corpora and the bit-identity tests
-(progressive reconstruction must equal the baseline decode exactly).
+Annex-K chroma tables), plus PROGRESSIVE (SOF2) — grayscale AND
+multi-component color (MCU-interleaved DC scans, per-component AC bands) —
+with full successive approximation: DC refinement bits and the T.81
+G.1.2.3 AC refinement path (EOB runs, buffered correction bits). The
+honest gates: arithmetic coding and 12-bit precision. Encoders for every
+supported shape generate corpora and the bit-identity tests (progressive
+reconstruction must equal the baseline decode exactly).
 
 Exactness contract used by the SQL oracle: with a flat quantization table
 (all ones) a CONSTANT image decodes bit-exactly (DC-only blocks survive the
@@ -434,10 +435,12 @@ def _decode_progressive(data: bytes) -> List[np.ndarray]:
     qtabs: Dict[int, np.ndarray] = {}
     htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     w = h = None
-    qid = 0
     restart = 0
-    coefs: np.ndarray | None = None
-    bw = bh = 0
+    comps: List[Tuple[int, int, int, int]] = []
+    stores: List[np.ndarray] = []
+    geoms: List[Tuple[int, int, int, int, int]] = []  # (pad_bw, true_bw, true_bh, hi, vi)
+    mcux = mcuy = 0
+    hmax = vmax = 1
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -469,72 +472,141 @@ def _decode_progressive(data: bytes) -> List[np.ndarray]:
                 b += 17 + nv
         elif marker == 0xC2:
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError("multi-component progressive JPEG unsupported")
-            if body[7] != 0x11:
-                raise ValueError("subsampled progressive JPEG unsupported")
-            qid = body[8]
-            bh, bw = (h + 7) // 8, (w + 7) // 8
-            coefs = np.zeros((bh * bw, 64), np.int64)
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component progressive JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi, vi, tq in comps:
+                pad_bw, pad_bh = mcux * hi, mcuy * vi
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                geoms.append((pad_bw, (cw + 7) // 8, (ch + 7) // 8, hi, vi))
+                stores.append(np.zeros((pad_bh * pad_bw, 64), np.int64))
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
-            if coefs is None:
+            if not comps:
                 raise ValueError("SOS before SOF2")
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0xF
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            by_id = {comps[i][0]: i for i in range(len(comps))}
+            scan_list = []
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                if cid not in by_id:
+                    raise ValueError("SOS names an unknown component")
+                scan_list.append((by_id[cid], tids >> 4, tids & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             r = _BitReader(data, pos + 2 + ln)
             pos = _decode_prog_scan(
-                r, coefs, ss, se, ah, al,
-                htabs.get((0, dc_id)), htabs.get((1, ac_id)), restart,
+                r, stores, geoms, scan_list, htabs, (mcux, mcuy),
+                ss, se, ahal >> 4, ahal & 0xF, restart,
             )
             continue  # r consumed up to the next marker
         pos += 2 + ln
-    if coefs is None or w is None:
+    if not comps or w is None:
         raise ValueError("progressive JPEG missing SOF2 or scans")
-    q = qtabs.get(qid)
-    if q is None:
-        raise ValueError("JPEG missing quant table")
-    out = np.zeros((bh * 8, bw * 8), np.float64)
-    for bi in range(bh * bw):
-        full = np.zeros(64, np.float64)
-        full[_ZZ] = coefs[bi] * q
-        by, bx = divmod(bi, bw)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ full.reshape(8, 8) @ _C
-    return [np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]]
+    planes: List[np.ndarray] = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        q = qtabs.get(tq)
+        if q is None:
+            raise ValueError("JPEG missing quant table")
+        pad_bw, true_bw, true_bh, _, _ = geoms[ci]
+        pad_bh = mcuy * vi
+        out = np.zeros((pad_bh * 8, pad_bw * 8), np.float64)
+        coefs = stores[ci]
+        for bi in range(pad_bh * pad_bw):
+            full = np.zeros(64, np.float64)
+            full[_ZZ] = coefs[bi] * q
+            by, bx = divmod(bi, pad_bw)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ full.reshape(8, 8) @ _C
+        p = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(p[:h, :w])
+    return planes
 
 
-def _decode_prog_scan(r: _BitReader, coefs, ss, se, ah, al, dct, act, restart) -> int:
-    """Decode one progressive scan into the coefficient store; returns the
-    stream position of the next marker."""
-    nblocks = coefs.shape[0]
+def _decode_prog_scan(
+    r: _BitReader, stores, geoms, scan_list, htabs, mcu_dims, ss, se, ah, al, restart
+) -> int:
+    """Decode one progressive scan into the per-component coefficient
+    stores; returns the stream position of the next marker. DC scans may
+    be MCU-interleaved (Ns>1) or single-component; AC scans are always
+    single-component over that component's TRUE block grid."""
     if ss == 0 and se != 0:
         raise ValueError("progressive scan must be DC (Ss=Se=0) or an AC band (Ss>=1)")
-    if ss == 0:  # DC scan
+    if ss == 0 and len(scan_list) > 1:  # interleaved DC over the MCU grid
+        mcux, mcuy = mcu_dims
+        tables = []
+        for ci, dc_id, _ in scan_list:
+            dct = htabs.get((0, dc_id))
+            if ah == 0 and dct is None:
+                raise ValueError("DC scan without its Huffman table")
+            tables.append(dct)
+        preds = [0] * len(scan_list)
+        nmcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and nmcu and nmcu % restart == 0:
+                    r.sync_restart()
+                    preds = [0] * len(scan_list)
+                nmcu += 1
+                for si, (ci, dc_id, _) in enumerate(scan_list):
+                    pad_bw, _, _, hi, vi = geoms[ci]
+                    store = stores[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            flat = (my * vi + byi) * pad_bw + (mx * hi + bxi)
+                            if ah == 0:
+                                cat = _huff_read(r, tables[si])
+                                diff = _extend(r.receive(cat), cat) if cat else 0
+                                preds[si] += diff
+                                store[flat, 0] = preds[si] << al
+                            elif r.bit():
+                                store[flat, 0] |= 1 << al
+        r.n = 0
+        return r.pos
+
+    if len(scan_list) != 1:
+        raise ValueError("AC progressive scans must be single-component")
+    ci, dc_id, ac_id = scan_list[0]
+    pad_bw, true_bw, true_bh, _, _ = geoms[ci]
+    coefs = stores[ci]
+    flats = [(i // true_bw) * pad_bw + (i % true_bw) for i in range(true_bh * true_bw)]
+    nblocks = len(flats)
+    dct = htabs.get((0, dc_id))
+    act = htabs.get((1, ac_id))
+    if ss == 0:  # single-component DC scan
         if ah == 0:
             if dct is None:
                 raise ValueError("DC scan without its Huffman table")
             pred = 0
-            for bi in range(nblocks):
+            for bi, flat in enumerate(flats):
                 if restart and bi and bi % restart == 0:
                     r.sync_restart()
                     pred = 0
                 cat = _huff_read(r, dct)
                 diff = _extend(r.receive(cat), cat) if cat else 0
                 pred += diff
-                coefs[bi, 0] = pred << al
+                coefs[flat, 0] = pred << al
         else:  # DC refinement: one raw bit per block
-            for bi in range(nblocks):
+            for bi, flat in enumerate(flats):
                 if restart and bi and bi % restart == 0:
                     r.sync_restart()
                 if r.bit():
-                    coefs[bi, 0] |= 1 << al
+                    coefs[flat, 0] |= 1 << al
     elif ah == 0:  # AC band, first pass at this Al
         if act is None:
             raise ValueError("AC scan without its Huffman table")
         eobrun = 0
-        for bi in range(nblocks):
+        for bi, flat in enumerate(flats):
             if restart and bi and bi % restart == 0:
                 r.sync_restart()
                 eobrun = 0
@@ -556,18 +628,18 @@ def _decode_prog_scan(r: _BitReader, coefs, ss, se, ah, al, dct, act, restart) -
                 k += rr
                 if k > se:
                     raise ValueError("AC coefficient run past band end")
-                coefs[bi, k] = _extend(r.receive(s), s) << al
+                coefs[flat, k] = _extend(r.receive(s), s) << al
                 k += 1
     else:  # AC successive-approximation refinement (T.81 G.1.2.3)
         if act is None:
             raise ValueError("AC scan without its Huffman table")
         p1, m1 = 1 << al, -1 << al
         eobrun = 0
-        for bi in range(nblocks):
+        for bi, flat in enumerate(flats):
             if restart and bi and bi % restart == 0:
                 r.sync_restart()
                 eobrun = 0
-            row = coefs[bi]
+            row = coefs[flat]
             k = ss
             if eobrun == 0:
                 while k <= se:
@@ -791,6 +863,154 @@ def jpeg_encode_progressive(
     return out + b"\xff\xd9"
 
 
+def jpeg_encode_progressive_color(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, subsampling: str = "420"
+) -> bytes:
+    """Full-resolution YCbCr planes → PROGRESSIVE color JPEG (SOF2):
+    one MCU-interleaved DC scan at Al=1, an interleaved DC refinement
+    scan, then three per-component AC band scans — the multi-component
+    progressive path. Coefficients match jpeg_encode_color's exactly, so
+    decoded planes are bit-identical to the baseline color roundtrip."""
+    h, w = y.shape
+    if subsampling == "420":
+        hs = vs = 2
+    elif subsampling == "444":
+        hs = vs = 1
+    else:
+        raise ValueError("subsampling must be 420 or 444")
+    q = np.ones(64, np.uint16)
+    qtab = np.empty(64, np.float64)
+    qtab[_ZZ] = q
+    qtab = qtab.reshape(8, 8)
+    mcuw, mcuh = 8 * hs, 8 * vs
+    mcux, mcuy = (w + mcuw - 1) // mcuw, (h + mcuh - 1) // mcuh
+    ypad = np.pad(y, ((0, mcuy * mcuh - h), (0, mcux * mcuw - w)), mode="edge").astype(np.float64) - 128.0
+    planes = [ypad]
+    for p in (cb, cr):
+        pp = np.pad(p, ((0, mcuy * mcuh - h), (0, mcux * mcuw - w)), mode="edge").astype(np.float64)
+        if hs == 2:
+            pp = (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        planes.append(pp - 128.0)
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    # per-comp zq grids over the PAD block grid
+    grids = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        pad_bh, pad_bw = mcuy * vi, mcux * hi
+        grid = [
+            [_quantize_block(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qtab) for bx in range(pad_bw)]
+            for by in range(pad_bh)
+        ]
+        grids.append(grid)
+
+    dc_l = _canonical_codes(_DC_BITS, _DC_VALS)
+    dc_c = _canonical_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_bits_p = [0] * 16
+    ac_vals_p = _AC_VALS + [g << 4 for g in range(1, 15)]
+    ac_bits_p[8] = len(ac_vals_p)
+    ac_codes = _canonical_codes(ac_bits_p, ac_vals_p)
+    dc_tabs = [dc_l, dc_c, dc_c]
+
+    # scan 1: interleaved DC at Al=1
+    b1 = _Bits()
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hi, vi = samp[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        v = int(grids[ci][my * vi + byi][mx * hi + bxi][0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        cat = _category(diff)
+                        code, ln = dc_tabs[ci][cat]
+                        b1.put(code, ln)
+                        if cat:
+                            b1.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    # scan 2: interleaved DC refinement bits
+    b2 = _Bits()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hi, vi = samp[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        b2.put(int(grids[ci][my * vi + byi][mx * hi + bxi][0]) & 1, 1)
+
+    def ac_scan(ci: int) -> bytes:
+        hi, vi = samp[ci]
+        cw = (w * hi + hs - 1) // hs
+        ch = (h * vi + vs - 1) // vs
+        true_bw, true_bh = (cw + 7) // 8, (ch + 7) // 8
+        b3 = _Bits()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            while eobrun:
+                g = min(eobrun.bit_length() - 1, 14)
+                take = min(eobrun, (1 << (g + 1)) - 1)
+                code, ln = ac_codes[g << 4]
+                b3.put(code, ln)
+                if g:
+                    b3.put(take - (1 << g), g)
+                eobrun -= take
+
+        for i in range(true_bh * true_bw):
+            zq = grids[ci][i // true_bw][i % true_bw]
+            last_nz = max((k for k in range(1, 64) if zq[k]), default=0)
+            if last_nz == 0:
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(zq[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    b3.put(zc, zl)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                b3.put(code, ln)
+                b3.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+        flush_eob()
+        return b3.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qbytes = bytes(int(x) for x in q)
+    dqt = seg(0xFFDB, b"\x00" + qbytes) + seg(0xFFDB, b"\x01" + qbytes)
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xFFC4, b"\x10" + bytes(ac_bits_p) + bytes(ac_vals_p))
+        + seg(0xFFC4, b"\x11" + bytes(ac_bits_p) + bytes(ac_vals_p))
+    )
+    sos_dc1 = seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x10, 3, 0x10]) + bytes([0, 0, 0x01]))
+    sos_dc2 = seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x10, 3, 0x10]) + bytes([0, 0, 0x10]))
+    out = b"\xff\xd8" + dqt + sof + dht + sos_dc1 + b1.flush() + sos_dc2 + b2.flush()
+    for ci, cid in enumerate((1, 2, 3)):
+        tid = 0x00 if ci == 0 else 0x01
+        out += seg(0xFFDA, b"\x01" + bytes([cid, tid]) + bytes([1, 63, 0x00])) + ac_scan(ci)
+    return out + b"\xff\xd9"
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
     """JPEG → (h, w) uint8 grayscale: the single plane for grayscale
     streams (baseline SOF0 or progressive SOF2), the Y (BT.601 luma)
@@ -888,6 +1108,17 @@ def jpeg_payload_progressive(doc_id: int) -> bytes:
     the coefficient store reconstructs identically."""
     w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
     return jpeg_encode_progressive(np.full((h, w), doc_id % 256, np.uint8))
+
+
+def jpeg_payload_progressive_color(doc_id: int) -> bytes:
+    """Constant-plane 4:2:0 PROGRESSIVE color JPEG (interleaved DC scans +
+    per-component AC bands), same dims/luma field as jpeg_payload."""
+    w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
+    return jpeg_encode_progressive_color(
+        np.full((h, w), doc_id % 256, np.uint8),
+        np.full((h, w), (doc_id * 3) % 256, np.uint8),
+        np.full((h, w), (doc_id * 7) % 256, np.uint8),
+    )
 
 
 def jpeg_payload_color(doc_id: int) -> bytes:

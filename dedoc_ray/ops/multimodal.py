@@ -108,6 +108,10 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         from dedoc_ray.ops.jpeg_codec import jpeg_payload_progressive
 
         img_fn = jpeg_payload_progressive
+    elif image_codec == "jpeg_prog_color":
+        from dedoc_ray.ops.jpeg_codec import jpeg_payload_progressive_color
+
+        img_fn = jpeg_payload_progressive_color
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
     if audio_codec == "flac":
@@ -452,6 +456,15 @@ def audio_frames_adpcm(sf_dir: str, frame_len: int = 400):
     return media_corpus_real(sf_dir, audio_codec="adpcm").drop_columns(["image", "video"]).map_batches(
         AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def image_features_jpeg_prog_color(sf_dir: str):
+    """The image feature stage over PROGRESSIVE COLOR JPEG — interleaved
+    DC scans over the MCU grid + per-component AC band scans with distinct
+    Huffman table ids; features read the luma plane."""
+    return media_corpus_real(sf_dir, image_codec="jpeg_prog_color").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
     )
 
 

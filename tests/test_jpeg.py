@@ -194,3 +194,34 @@ def test_progressive_payload_matches_formula():
         img = jpeg_decode(jpeg_payload_progressive(d))
         assert img.shape == (10 + (d % 4) * 6, 12 + (d % 6) * 4)
         assert (img == d % 256).all()
+
+
+def test_progressive_color_matches_baseline_color():
+    """Multi-component SOF2: interleaved DC scans (per-component
+    predictors) + per-component AC bands — planes bit-identical to the
+    baseline color decode for both subsamplings."""
+    from dedoc_ray.ops.jpeg_codec import (
+        jpeg_decode_planes,
+        jpeg_encode_color,
+        jpeg_encode_progressive_color,
+    )
+
+    rng = np.random.RandomState(8)
+    for shape in ((16, 16), (20, 25), (7, 9)):
+        for sub in ("420", "444"):
+            y = rng.randint(0, 256, shape).astype(np.uint8)
+            cb = rng.randint(0, 256, shape).astype(np.uint8)
+            cr = rng.randint(0, 256, shape).astype(np.uint8)
+            base = jpeg_decode_planes(jpeg_encode_color(y, cb, cr, sub))
+            prog = jpeg_decode_planes(jpeg_encode_progressive_color(y, cb, cr, sub))
+            for a, b in zip(base, prog):
+                assert (a == b).all(), (shape, sub)
+
+
+def test_progressive_color_payload_matches_formula():
+    from dedoc_ray.ops.jpeg_codec import jpeg_payload_progressive_color
+
+    for d in (0, 5, 100, 999):
+        img = jpeg_decode(jpeg_payload_progressive_color(d))
+        assert img.shape == (10 + (d % 4) * 6, 12 + (d % 6) * 4)
+        assert (img == d % 256).all()
