@@ -13,7 +13,7 @@ Annex-K chroma tables), plus PROGRESSIVE (SOF2) — grayscale AND
 multi-component color (MCU-interleaved DC scans, per-component AC bands) —
 with full successive approximation: DC refinement bits and the T.81
 G.1.2.3 AC refinement path (EOB runs, buffered correction bits). The
-honest gates: arithmetic coding and 12-bit precision. Encoders for every
+one honest gate left: arithmetic coding. Encoders for every
 supported shape generate corpora and the bit-identity tests (progressive
 reconstruction must equal the baseline decode exactly).
 
@@ -160,19 +160,40 @@ def _quantize_block(block: np.ndarray, qtab_nat: np.ndarray) -> np.ndarray:
     return np.round(coef / qtab_nat).astype(np.int64).reshape(64)[_ZZ]
 
 
-def jpeg_encode(gray: np.ndarray, quant: np.ndarray | None = None, restart: int = 0) -> bytes:
-    """(h, w) uint8 grayscale → baseline JPEG (single component, Annex K
-    Huffman tables, flat all-ones quantization by default — near-lossless
+def jpeg_encode(
+    gray: np.ndarray, quant: np.ndarray | None = None, restart: int = 0, precision: int = 8
+) -> bytes:
+    """(h, w) grayscale → baseline JPEG (single component, Annex K Huffman
+    tables at 8-bit, flat all-ones quantization by default — near-lossless
     and exactly lossless on constant blocks). ``quant`` is zigzag order as
     in the DQT segment; ``restart`` emits a DRI segment + RSTn markers
-    every that many MCUs."""
+    every that many MCUs. ``precision=12`` takes uint16 samples 0..4095
+    (extended-sequential: DC categories to 15, AC to 14 — Annex K tables
+    stop at 11/10, so stream-carried flat tables are emitted instead)."""
     h, w = gray.shape
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     q = np.ones(64, np.uint16) if quant is None else np.asarray(quant, np.uint16).reshape(64)
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    if precision == 8:
+        dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+        ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+        dht_payload = (b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS),
+                       b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    else:
+        dc_bits = [0] * 16
+        dc_vals = list(range(16))  # categories 0..15
+        dc_bits[4] = 16  # all 5-bit codes (16 < 31, all-ones unused)
+        ac_bits = [0] * 16
+        ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        ac_bits[8] = len(ac_vals)  # flat 9-bit table (226 < 511)
+        dc_codes = _canonical_codes(dc_bits, dc_vals)
+        ac_codes = _canonical_codes(ac_bits, ac_vals)
+        dht_payload = (b"\x00" + bytes(dc_bits) + bytes(dc_vals),
+                       b"\x10" + bytes(ac_bits) + bytes(ac_vals))
 
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.pad(gray, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge").astype(np.float64) - 128.0
+    shift = float(1 << (precision - 1))
+    padded = np.pad(gray, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge").astype(np.float64) - shift
     qtab = np.empty(64, np.float64)
     qtab[_ZZ] = q  # DQT carries zigzag order; scatter to natural order
     qtab = qtab.reshape(8, 8)
@@ -196,10 +217,8 @@ def jpeg_encode(gray: np.ndarray, quant: np.ndarray | None = None, restart: int 
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    dht = seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
-        0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
-    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", precision, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xFFC4, dht_payload[0]) + seg(0xFFC4, dht_payload[1])
     sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
     dri = seg(0xFFDD, struct.pack(">H", restart)) if restart else b""
     pieces.append(bits.flush())
@@ -325,6 +344,7 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
     comps: List[Tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     scan: List[Tuple[int, int]] = []  # per component in scan order: (dc_id, ac_id)
     restart = 0
+    precision = 8
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -355,7 +375,9 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
                 htabs[(tc, th)] = _decode_tree(bits, vals)
                 b += 17 + nv
         elif marker == 0xC0:
-            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision not in (8, 12):
+                raise ValueError("only 8- or 12-bit precision supported")
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component baseline JPEG supported")
             comps = []
@@ -415,8 +437,11 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
                         x0 = (mx * hi + bxi) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
     out = []
+    shift = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     for ci, (cid, hi, vi, tq) in enumerate(comps):
-        p = np.clip(np.round(planes[ci] + 128.0), 0, 255).astype(np.uint8)
+        p = np.clip(np.round(planes[ci] + shift), 0, maxv).astype(dtype)
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out.append(p[:h, :w])

@@ -225,3 +225,19 @@ def test_progressive_color_payload_matches_formula():
         img = jpeg_decode(jpeg_payload_progressive_color(d))
         assert img.shape == (10 + (d % 4) * 6, 12 + (d % 6) * 4)
         assert (img == d % 256).all()
+
+
+def test_12bit_precision_roundtrip():
+    """Extended-sequential 12-bit: constant values decode bit-exactly
+    (uint16 plane), random within one level; stream-carried wide Huffman
+    tables (DC categories to 15, AC to 14)."""
+    rng = np.random.RandomState(2)
+    for v in (0, 1, 2048, 4095):
+        g = np.full((10, 13), v, np.uint16)
+        out = jpeg_decode(jpeg_encode(g, precision=12))
+        assert out.dtype == np.uint16 and (out == g).all(), v
+    g = rng.randint(0, 4096, (30, 41)).astype(np.uint16)
+    out = jpeg_decode(jpeg_encode(g, precision=12))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+    with pytest.raises(ValueError):
+        jpeg_encode(g, precision=10)
