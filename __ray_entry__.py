@@ -1420,6 +1420,24 @@ def q_image_features_jpeg_prog(sf_dir: str):
     return image_features_jpeg_prog(sf_dir)
 
 
+def q_image_features_tiff(sf_dir: str):
+    """Image features over REAL TIFF payloads — IFD walk, strip assembly,
+    PackBits decompression on every third doc (ops/media_codecs.py)."""
+    from dedoc_ray.ops.multimodal import image_features_tiff
+
+    return image_features_tiff(sf_dir)
+
+
+def q_image_features_mixed(sf_dir: str):
+    """Image features over a HETEROGENEOUS corpus: each doc's container is
+    doc_id % 6 of BMP/PNG/GIF/TIFF/JPEG/color-JPEG, one stream, per-row
+    magic dispatch — the shape a real crawl's media column has. Exact SQL
+    oracle switches the dims/mean formula on the same modulus."""
+    from dedoc_ray.ops.multimodal import image_features_mixed
+
+    return image_features_mixed(sf_dir)
+
+
 def q_image_features_jpeg_prog_color(sf_dir: str):
     """Image features over PROGRESSIVE COLOR JPEG (SOF2, 4:2:0): the
     multi-component progressive path — MCU-interleaved DC scans with
@@ -1649,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_color": q_image_features_jpeg_color,
         "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "image_features_jpeg_prog_color": q_image_features_jpeg_prog_color,
+        "image_features_tiff": q_image_features_tiff,
+        "image_features_mixed": q_image_features_mixed,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
         "audio_frames_adpcm": q_audio_frames_adpcm,
@@ -1781,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         AUDIO_FRAMES_WAV_SQL,
         IMAGE_FEATURES_BMP_SQL,
         IMAGE_FEATURES_JPEG_SQL,
+        IMAGE_FEATURES_MIXED_SQL,
         IMAGE_FEATURES_SQL,
         VIDEO_FRAMES_SQL,
         VIDEO_FRAMES_Y4M_SQL,
@@ -2023,6 +2044,8 @@ FROM base WHERE cls <= 3
         "image_features_jpeg_color": IMAGE_FEATURES_JPEG_SQL,  # same dims/luma field
         "image_features_jpeg_prog": IMAGE_FEATURES_JPEG_SQL,  # same field, SOF2 multi-scan
         "image_features_jpeg_prog_color": IMAGE_FEATURES_JPEG_SQL,  # same field, 3-comp SOF2
+        "image_features_tiff": IMAGE_FEATURES_BMP_SQL,  # same pixel field, TIFF container
+        "image_features_mixed": IMAGE_FEATURES_MIXED_SQL,
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "audio_frames_adpcm": AUDIO_FRAMES_WAV_SQL,  # same (n, rate) field, IMA ADPCM

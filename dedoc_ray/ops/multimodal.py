@@ -113,7 +113,8 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
 
         img_fn = jpeg_payload_progressive_color
     else:
-        img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload}[image_codec]
+        img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload,
+                  "tiff": mc.tiff_payload}[image_codec]
     if audio_codec == "flac":
         from dedoc_ray.ops.flac_codec import flac_payload
 
@@ -169,6 +170,12 @@ def _decode_payload(data: bytes):
         from dedoc_ray.ops.media_codecs import gif_decode
 
         gray = gif_decode(data)
+        h, w = gray.shape
+        return w, h, gray.reshape(-1)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from dedoc_ray.ops.media_codecs import tiff_decode
+
+        gray = tiff_decode(data)
         h, w = gray.shape
         return w, h, gray.reshape(-1)
     if data[:4] != IMG_MAGIC:
@@ -457,6 +464,65 @@ def audio_frames_adpcm(sf_dir: str, frame_len: int = 400):
         AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
     )
+
+
+def image_features_tiff(sf_dir: str):
+    """The image feature stage over REAL TIFF payloads (IFD walk, strips,
+    PackBits on every third doc) — same kernel, magic-dispatched decode."""
+    return media_corpus_real(sf_dir, image_codec="tiff").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def media_corpus_mixed(sf_dir: str):
+    """HETEROGENEOUS image corpus — the real-crawl shape: each doc's format
+    is picked by doc_id % 6 across BMP/PNG/GIF/TIFF/JPEG/color-JPEG, all
+    flowing through ONE stream into the magic-dispatched decode."""
+    import ray.data as rd
+
+    from dedoc_ray.ops import media_codecs as mc
+    from dedoc_ray.ops.jpeg_codec import jpeg_payload, jpeg_payload_color
+
+    fns = [mc.bmp_payload, mc.png_payload, mc.gif_payload, mc.tiff_payload,
+           jpeg_payload, jpeg_payload_color]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "image": pa.array([fns[d % 6](d) for d in doc_ids], "binary"),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
+def image_features_mixed(sf_dir: str):
+    """Image features over the mixed-format corpus — one actor stage, six
+    container formats, per-row magic dispatch (the production contract)."""
+    return media_corpus_mixed(sf_dir).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+IMAGE_FEATURES_MIXED_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 6 <= 3 THEN 4 + doc_id % 8
+                 ELSE 12 + (doc_id % 6) * 4 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 6 <= 3 THEN 3 + doc_id % 5
+                 ELSE 10 + (doc_id % 4) * 6 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 6 <= 3 THEN (4 + doc_id % 8) * (3 + doc_id % 5)
+                 ELSE (12 + (doc_id % 6) * 4) * (10 + (doc_id % 4) * 6) END AS BIGINT) AS n_pixels,
+       CAST(CASE WHEN doc_id % 6 <= 3 THEN
+                 list_sum(flatten(list_transform(range(0, 3 + doc_id % 5),
+                          y -> list_transform(range(0, 4 + doc_id % 8),
+                                              x -> (doc_id + x + y) % 256))))
+                 // ((4 + doc_id % 8) * (3 + doc_id % 5))
+                 ELSE doc_id % 256 END AS BIGINT) AS mean_pixel
+FROM documents
+"""
 
 
 def image_features_jpeg_prog_color(sf_dir: str):

@@ -4,6 +4,7 @@ malformed-input rejection (the kernels' ValueError contract)."""
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from dedoc_ray.ops.media_codecs import (
@@ -380,3 +381,24 @@ def test_adpcm_payload_count_matches_wav_field():
         data = ima_adpcm_encode(np.zeros(10, np.int16), 8000)
         i = data.index(b"fact")
         wav_decode(data[:i] + data[i + 16:])
+
+
+def test_mixed_corpus_dispatch_covers_all_six_formats():
+    from dedoc_ray.ops.multimodal import ImageFeatureKernel
+    from dedoc_ray.ops import media_codecs as mc
+    from dedoc_ray.ops.jpeg_codec import jpeg_payload, jpeg_payload_color
+
+    fns = [mc.bmp_payload, mc.png_payload, mc.gif_payload, mc.tiff_payload,
+           jpeg_payload, jpeg_payload_color]
+    ids = list(range(12))  # two of each format
+    batch = pa.Table.from_pydict(
+        {"doc_id": ids, "image": [fns[d % 6](d) for d in ids]}
+    )
+    out = ImageFeatureKernel()(batch).to_pylist()
+    for row in out:
+        d = row["doc_id"]
+        if d % 6 <= 3:
+            assert row["width"] == 4 + d % 8 and row["height"] == 3 + d % 5
+        else:
+            assert row["width"] == 12 + (d % 6) * 4 and row["height"] == 10 + (d % 4) * 6
+            assert row["mean_pixel"] == d % 256
