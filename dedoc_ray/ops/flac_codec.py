@@ -123,11 +123,11 @@ def _utf8_number(w: _BitWriter, n: int) -> None:
     if n < 0x80:
         w.put(n, 8)
         return
-    # multi-byte UTF-8-style
+    # multi-byte UTF-8-style; an nbytes form holds (7-nbytes) lead bits +
+    # 6*(nbytes-1) continuation bits = 5*nbytes+1 bits of payload
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)) and nbytes < 7:
+    while nbytes < 7 and n >= (1 << (5 * nbytes + 1)):
         nbytes += 1
-    payload_bits = 6 - nbytes + 5 * (nbytes - 1) if nbytes < 7 else 36
     lead = (0xFF << (8 - nbytes)) & 0xFF if nbytes < 7 else 0xFE
     w.put(lead | ((n >> (6 * (nbytes - 1))) & ((1 << (7 - nbytes)) - 1)), 8)
     for i in range(nbytes - 2, -1, -1):

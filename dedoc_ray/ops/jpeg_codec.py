@@ -496,7 +496,11 @@ def _decode_progressive(data: bytes) -> List[np.ndarray]:
                 htabs[(tc, th)] = _decode_tree(bits, vals)
                 b += 17 + nv
         elif marker == 0xC2:
-            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                # the reconstruction below hardcodes the 8-bit level shift
+                # (+128, clip 0..255) — refuse rather than decode wrong values
+                raise ValueError("only 8-bit precision progressive JPEG supported")
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component progressive JPEG supported")
             comps = []

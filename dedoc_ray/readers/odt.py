@@ -197,28 +197,39 @@ def read_ods(data: bytes) -> UnstructuredDoc:
     tables: List[Table] = []
     for sheet_idx, tbl_el in enumerate(ss.findall(f"{TABLE}table")):
         grid: List[List[CellWithMeta]] = []
+        pending_rows = 0  # empty-row repeats held until real content follows
         for tr in tbl_el.findall(f"{TABLE}table-row"):
             row: List[CellWithMeta] = []
+            pending = 0  # empty-cell repeats held until real content follows
             for tc in tr:
                 if tc.tag not in (f"{TABLE}table-cell", f"{TABLE}covered-table-cell"):
                     continue
                 repeat = int(tc.get(f"{TABLE}number-columns-repeated", "1"))
                 text = "" if tc.tag == f"{TABLE}covered-table-cell" else _ods_cell_text(tc)
                 colspan = int(tc.get(f"{TABLE}number-columns-spanned", "1"))
-                if not text and repeat > 8:
-                    continue  # trailing empty filler (ODF writers pad to 16k cols)
+                if not text:
+                    # hold — only materialize if a non-empty cell follows, so
+                    # mid-row gaps keep columns aligned while the 16k-column
+                    # filler ODF writers pad rows with is still dropped
+                    pending += repeat
+                    continue
+                row.extend(CellWithMeta([]) for _ in range(pending))
+                pending = 0
                 for _ in range(repeat):
-                    row.append(CellWithMeta([LineWithMeta(text)] if text else [], colspan=colspan, rowspan=1))
-            while row and not row[-1].lines:
-                row.pop()
+                    row.append(CellWithMeta([LineWithMeta(text)], colspan=colspan, rowspan=1))
             row_repeat = int(tr.get(f"{TABLE}number-rows-repeated", "1"))
-            if not row and row_repeat > 1:
-                continue  # trailing empty row filler
+            if not row:
+                pending_rows += row_repeat  # blank row run: flush only if content follows
+                continue
+            for _ in range(pending_rows):
+                grid.append([])
+            pending_rows = 0
             for _ in range(row_repeat):
                 grid.append([CellWithMeta(list(c.lines), c.colspan, c.rowspan) for c in row])
-        while grid and not grid[-1]:
-            grid.pop()
         if grid:
+            width = max(len(r) for r in grid)
+            for r in grid:  # rectangularize (reference pads via soffice→xlsx grid)
+                r.extend(CellWithMeta([]) for _ in range(width - len(r)))
             tables.append(Table(grid, page_id=sheet_idx, uid=f"sheet_{sheet_idx}"))
     return UnstructuredDoc(lines=[], tables=tables, metadata=_odt_metadata(zf))
 

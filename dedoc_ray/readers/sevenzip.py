@@ -147,6 +147,7 @@ def _parse_streams_info(data: bytes, pos: int):
     folders: List[Tuple[bytes, bytes, int, int]] = []
     sub_counts: Optional[List[int]] = None
     sub_sizes: Optional[List[List[int]]] = None
+    folder_crc_defined: List[bool] = []
     while True:
         t = data[pos]
         pos += 1
@@ -209,8 +210,8 @@ def _parse_streams_info(data: bytes, pos: int):
                 if t2 == K_END:
                     break
                 if t2 == K_CRC:
-                    defined, pos = _read_all_defined(data, pos, len(folders))
-                    pos += 4 * sum(defined)
+                    folder_crc_defined, pos = _read_all_defined(data, pos, len(folders))
+                    pos += 4 * sum(folder_crc_defined)
                 else:
                     raise Bad7z(f"unexpected id 0x{t2:02x} in UnpackInfo")
         elif t == K_SUBSTREAMS:
@@ -238,7 +239,13 @@ def _parse_streams_info(data: bytes, pos: int):
                     sub_sizes = sub_sizes_flat
                 elif t2 == K_CRC:
                     counts = sub_counts if sub_counts is not None else [1] * len(folders)
-                    total = sum(counts)
+                    # digests are omitted for single-substream folders whose
+                    # CRC was already defined in UnpackInfo (7zFormat.txt)
+                    total = sum(
+                        c
+                        for fi, c in enumerate(counts)
+                        if not (c == 1 and fi < len(folder_crc_defined) and folder_crc_defined[fi])
+                    )
                     defined, pos = _read_all_defined(data, pos, total)
                     pos += 4 * sum(defined)
                 else:
@@ -280,7 +287,7 @@ def _parse_files_info(data: bytes, pos: int):
             names = raw.split("\x00")[:-1]
     if len(names) != n_files:
         raise Bad7z("file-name count mismatch")
-    return names, empty_stream, pos
+    return names, empty_stream, empty_file, pos
 
 
 def _parse_header(data: bytes, hdr: bytes) -> List[Tuple[str, bytes]]:
@@ -294,6 +301,7 @@ def _parse_header(data: bytes, hdr: bytes) -> List[Tuple[str, bytes]]:
     sub_counts = sub_sizes = None
     names: List[str] = []
     empty_stream: List[bool] = []
+    empty_file: List[bool] = []
     while pos < len(hdr):
         t = hdr[pos]
         pos += 1
@@ -302,7 +310,7 @@ def _parse_header(data: bytes, hdr: bytes) -> List[Tuple[str, bytes]]:
         if t == K_MAIN_STREAMS:
             pack_pos, pack_sizes, folders, sub_counts, sub_sizes, pos = _parse_streams_info(hdr, pos)
         elif t == K_FILES_INFO:
-            names, empty_stream, pos = _parse_files_info(hdr, pos)
+            names, empty_stream, empty_file, pos = _parse_files_info(hdr, pos)
         else:
             raise Bad7z(f"unsupported header section 0x{t:02x}")
 
@@ -324,9 +332,16 @@ def _parse_header(data: bytes, hdr: bytes) -> List[Tuple[str, bytes]]:
 
     members: List[Tuple[str, bytes]] = []
     si = 0
+    ei = 0  # index into the empty-stream-ordered kEmptyFile bitfield
     for i, name in enumerate(names):
         if empty_stream and empty_stream[i]:
-            members.append((name, b""))
+            # empty-stream + empty-file bit set = zero-byte FILE; bit clear
+            # (or bitfield absent with no payload) = directory — skip, the
+            # reference's ArchiveReader lists files only
+            is_file = empty_file[ei] if ei < len(empty_file) else False
+            ei += 1
+            if is_file:
+                members.append((name, b""))
         else:
             if si >= len(streams):
                 raise Bad7z("more files than substreams")
@@ -448,6 +463,10 @@ def sevenzip_encode(
     if empties:
         bf = _write_bitfield([not p for _, p in members])
         hdr += bytes([K_EMPTY_STREAM]) + write_num(len(bf)) + bf
+        # every empty-stream entry we write is a zero-byte FILE, not a
+        # directory — mark them so readers (ours included) keep them
+        ef = _write_bitfield([True] * sum(1 for _, p in members if not p))
+        hdr += bytes([K_EMPTY_FILE]) + write_num(len(ef)) + ef
     names_blob = b"\x00" + "".join(n + "\x00" for n, _ in members).encode("utf-16-le")
     hdr += bytes([K_NAME]) + write_num(len(names_blob)) + names_blob
     hdr += bytes([K_END, K_END])

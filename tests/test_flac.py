@@ -66,3 +66,16 @@ def test_kernel_branches_on_flac_magic():
     out = AudioFrameKernel()(batch).to_pylist()[0]
     n = 500 + (7 % 50) * 20
     assert out["n_samples"] == n and out["n_frames"] == n // 400
+
+
+def test_utf8_frame_number_byte_lengths():
+    # ADVICE r2: 2-byte form holds only 11 bits (0..2047); 2048 needs 3 bytes
+    from dedoc_ray.ops.flac_codec import _BitReader, _BitWriter, _read_utf8_number, _utf8_number
+
+    for n, nbytes in [(0, 1), (127, 1), (128, 2), (2047, 2), (2048, 3),
+                      (65535, 3), (65536, 4), ((1 << 31) - 1, 6), (1 << 31, 7), ((1 << 36) - 1, 7)]:
+        w = _BitWriter()
+        _utf8_number(w, n)
+        blob = bytes(w.buf)
+        assert len(blob) == nbytes, (n, len(blob), nbytes)
+        assert _read_utf8_number(_BitReader(blob)) == n

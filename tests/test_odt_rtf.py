@@ -137,3 +137,62 @@ def test_sniff_splits_opendocument_family():
     assert sniff_format("", odp_bytes(1, "a the b")) == "odp"
     assert sniff_format("https://x.test/f.ods", b"") == "ods"
     assert sniff_format("https://x.test/f.odp", b"") == "odp"
+
+
+def test_read_ods_midrow_empty_run_preserves_positions():
+    # ADVICE r2: 'A, 10 empty, B' must keep B at column 11; repeated blank
+    # rows mid-grid must survive as empty rows (soffice→xlsx grid semantics)
+    from dedoc_ray.readers.odt import read_ods
+    from dedoc_ray.sources.synth_office import _zip_bytes
+
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        "<office:body><office:spreadsheet><table:table>"
+        "<table:table-row>"
+        "<table:table-cell><text:p>A</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="10"/>'
+        "<table:table-cell><text:p>B</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="16372"/>'
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="3"/>'
+        "<table:table-row>"
+        "<table:table-cell><text:p>C</text:p></table:table-cell>"
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="1048000"/>'
+        "</table:table></office:spreadsheet></office:body></office:document-content>"
+    )
+    doc = read_ods(_zip_bytes([("content.xml", content)]))
+    grid = doc.tables[0].cells
+    texts = [[(c.lines[0].line if c.lines else "") for c in row] for row in grid]
+    assert len(grid) == 5  # row1 + 3 blank + C-row; the 1M trailing filler dropped
+    assert texts[0][0] == "A" and texts[0][11] == "B" and len(texts[0]) == 12
+    assert texts[1] == texts[2] == texts[3] == [""] * 12
+    assert texts[4][0] == "C"
+
+
+def test_sevenzip_empty_file_vs_directory():
+    # ADVICE r2: empty-stream entries with the kEmptyFile bit CLEAR are
+    # directories and must be skipped; with the bit SET they are 0-byte files
+    from dedoc_ray.readers.sevenzip import (
+        K_EMPTY_FILE, sevenzip_decode, sevenzip_encode,
+    )
+
+    members = [("a.txt", b"hello"), ("zero.txt", b""), ("b.txt", b"world")]
+    blob = sevenzip_encode(members, encoded_header=False)
+    assert sevenzip_decode(blob) == members  # writer marks kEmptyFile now
+
+    # flip the kEmptyFile bit off -> 'zero.txt' becomes a directory entry
+    idx = blob.rindex(bytes([K_EMPTY_FILE]))
+    patched = bytearray(blob)
+    assert patched[idx + 1] == 1  # one-byte bitfield follows
+    patched[idx + 2] = 0x00       # clear the bit
+    import struct, zlib
+    # re-stamp the next-header CRC in the start header
+    body_len, hdr_len = struct.unpack("<QQ", patched[12:28])
+    hdr_off = 32 + body_len
+    patched[28:32] = struct.pack("<I", zlib.crc32(bytes(patched[hdr_off:hdr_off + hdr_len])))
+    patched[8:12] = struct.pack("<I", zlib.crc32(bytes(patched[12:32])))
+    assert sevenzip_decode(bytes(patched)) == [("a.txt", b"hello"), ("b.txt", b"world")]
