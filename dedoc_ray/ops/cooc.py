@@ -70,43 +70,122 @@ class _CoocPartialKernel:
 
 
 def pmi_topk(sf_dir: str, window: int = WINDOW, min_count: int = MIN_COUNT,
-             k: int = TOPK) -> pa.Table:
+             k: int = TOPK, num_parts: int = 32) -> pa.Table:
     """Top-k within-window pairs by integer PMI score →
-    (a, b, n_pair, score) pyarrow table."""
+    (a, b, n_pair, score) pyarrow table.
+
+    Two passes over the corpus, GloVe-style (vocab pass, then co-occurrence
+    pass), and the driver never touches an unbounded table:
+
+    1. unigram pass: per-batch Counter partials → ONE keyed shuffle →
+       per-partition sums. Only tokens with cnt ≥ ceil(min_count/(2·window))
+       reach the driver (a pair with n_pair ≥ min_count forces both unigram
+       counts above that bound, since one token occurrence joins at most
+       2·window pairs) plus one total-row per partition → broadcast via
+       ray.put;
+    2. pair pass: per-batch pair partials → ONE keyed shuffle on (a, b) →
+       per-partition sum, min_count filter, integer-PMI scoring against the
+       broadcast unigram dict, LOCAL top-k truncation. The driver folds
+       ≤ k·num_parts pre-truncated rows.
+    """
+    import math
+
+    import ray
     import ray.data as rd
 
+    from dedoc_ray.ops.shuffle import hash_partition_apply
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    def fold(batch: pa.Table) -> pa.Table:
-        # task-based: state is one compiled regex; actor-pool spinup would
-        # dominate the fold at bench scale
-        return _CoocPartialKernel(window)(batch)
 
-    partials = docs.map_batches(fold, batch_format="pyarrow", batch_size=512)
-    merged = partials.groupby(["a", "b"]).sum("cnt").rename_columns(["a", "b", "cnt"])
+    # -- pass 1: unigram counts (vocab-bounded driver fold + broadcast)
+    def uni_fold(batch: pa.Table) -> pa.Table:
+        unis: Counter = Counter()
+        tok = _TOK_RE
+        for text in batch["text"].to_pylist():
+            unis.update(tok.findall((text or "").lower()))
+        return pa.Table.from_pydict({
+            "a": pa.array(list(unis.keys()), "string"),
+            "cnt": pa.array(list(unis.values()), "int64"),
+        })
 
-    # split the one merged stream driver-side ONLY for the bounded parts:
-    # unigrams (vocab-sized) and ≥min_count pairs (thresholded)
+    uni_keep = max(1, math.ceil(min_count / (2 * window)))
+
+    def uni_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="string"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        agg = part.groupby("a", as_index=False)["cnt"].sum()
+        total = int(agg["cnt"].sum())
+        kept = agg[agg["cnt"] >= uni_keep]
+        # one ''-keyed total row per partition carries the full token mass
+        # (the pruned tail still counts toward N)
+        return pd.concat(
+            [kept, pd.DataFrame({"a": [""], "cnt": [total]})], ignore_index=True
+        ).astype({"cnt": "int64"})
+
+    uni_partials = docs.map_batches(uni_fold, batch_format="pyarrow", batch_size=512)
+    uni_rows = hash_partition_apply(uni_partials, ["a"], uni_part, num_parts=num_parts)
     uni: dict = {}
-    surviving: List[tuple] = []
     total = 0
-    for row in merged.iter_rows():
-        if row["b"] == "":
-            uni[row["a"]] = row["cnt"]
+    for row in uni_rows.iter_rows():  # bounded: vocab(≥uni_keep) + num_parts
+        if row["a"] == "":
             total += row["cnt"]
-        elif row["cnt"] >= min_count:
-            surviving.append((row["a"], row["b"], row["cnt"]))
+        else:
+            uni[row["a"]] = row["cnt"]
+    uni_ref = ray.put(uni)
+    total_n = total
 
-    scored = []
-    for a, b, c in surviving:
-        score = (c * total * _SCALE) // (uni[a] * uni[b])
-        scored.append((a, b, c, score))
-    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
-    top = scored[:k]
+    # -- pass 2: pair counts → score → local top-k → bounded driver merge
+    def pair_fold(batch: pa.Table) -> pa.Table:
+        pairs: Counter = Counter()
+        tok = _TOK_RE
+        for text in batch["text"].to_pylist():
+            toks = tok.findall((text or "").lower())
+            for d in range(1, window + 1):
+                for a, b in zip(toks, toks[d:]):
+                    if a != b:
+                        pairs[(a, b) if a < b else (b, a)] += 1
+        keys = list(pairs.keys())
+        return pa.Table.from_pydict({
+            "a": pa.array([p[0] for p in keys], "string"),
+            "b": pa.array([p[1] for p in keys], "string"),
+            "cnt": pa.array([pairs[p] for p in keys], "int64"),
+        })
+
+    def pair_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "a": pd.Series([], dtype="string"), "b": pd.Series([], dtype="string"),
+            "n_pair": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="int64"),
+        })
+        if part.empty:
+            return empty
+        agg = part.groupby(["a", "b"], as_index=False)["cnt"].sum()
+        agg = agg[agg["cnt"] >= min_count]
+        if agg.empty:
+            return empty
+        udict = ray.get(uni_ref)  # zero-copy local fetch, once per partition
+        # python-int arithmetic: cnt·N·SCALE overflows int64 at corpus scale
+        scores = [
+            (int(c) * total_n * _SCALE) // (udict[a] * udict[b])
+            for a, b, c in zip(agg["a"], agg["b"], agg["cnt"])
+        ]
+        out = pd.DataFrame({
+            "a": agg["a"].to_numpy(), "b": agg["b"].to_numpy(),
+            "n_pair": agg["cnt"].to_numpy(), "score": scores,
+        })
+        out = out.sort_values(["score", "a", "b"], ascending=[False, True, True], kind="stable")
+        return out.head(k).astype({"n_pair": "int64", "score": "int64"})
+
+    pair_partials = docs.map_batches(pair_fold, batch_format="pyarrow", batch_size=512)
+    per_part = hash_partition_apply(pair_partials, ["a", "b"], pair_part, num_parts=num_parts)
+
+    merged = per_part.to_pandas()  # ≤ k·num_parts pre-truncated rows
+    merged = merged.sort_values(["score", "a", "b"], ascending=[False, True, True], kind="stable").head(k)
     return pa.Table.from_pydict({
-        "a": pa.array([t[0] for t in top], "string"),
-        "b": pa.array([t[1] for t in top], "string"),
-        "n_pair": pa.array([t[2] for t in top], "int64"),
-        "score": pa.array([t[3] for t in top], "int64"),
+        "a": pa.array(merged["a"].tolist(), "string"),
+        "b": pa.array(merged["b"].tolist(), "string"),
+        "n_pair": pa.array([int(v) for v in merged["n_pair"]], "int64"),
+        "score": pa.array([int(v) for v in merged["score"]], "int64"),
     })
 
 

@@ -185,6 +185,15 @@ def read_xls(data: bytes) -> UnstructuredDoc:
             cur = None
         elif rec == _BIFF_SST:
             sst = _parse_sst(payload)
+        elif cur is not None and rec == 0x00BD:  # MULRK: a run of RK cells
+            rw, col_first = struct.unpack_from("<HH", payload, 0)
+            (col_last,) = struct.unpack_from("<H", payload, len(payload) - 2)
+            for k in range(col_last - col_first + 1):
+                off = 4 + 6 * k
+                if off + 6 > len(payload) - 2:
+                    break
+                (rk,) = struct.unpack_from("<I", payload, off + 2)  # skip ixfe
+                cur[(rw, col_first + k)] = _decode_rk(rk)
         elif cur is not None and rec in (_BIFF_NUMBER, _BIFF_RK, _BIFF_LABELSST, _BIFF_LABEL):
             rw, col = struct.unpack_from("<HH", payload, 0)
             if rec == _BIFF_NUMBER:

@@ -342,12 +342,74 @@ def _group_lines(ops: List[Tuple[float, float, str, float, str]], line_margin: f
     return lines
 
 
+def _structured_page_items(data: bytes):
+    """Parse ``data`` through the real object layer (readers/pdf_objects.py:
+    xref walk, full filter set, page tree) and interpret each page's content
+    char-by-char (readers/pdf_text.py). Returns
+    ``(per_page_items, rotated_warnings)`` where each page entry is
+    ``(already_assembled, items)`` — assembled line tuples for upright pages,
+    raw show-ops for rotated pages (the op-level rotation mapping is shared
+    with the legacy path). Returns None when the file has no usable document
+    structure (the synthetic bare-stream subset) so the caller can fall back
+    to the whole-file stream scan."""
+    from dedoc_ray.readers.pdf_objects import PdfDocument, PdfError
+    from dedoc_ray.readers.pdf_text import assemble_lines, interpret_page
+
+    try:
+        doc = PdfDocument(data)
+        tree_pages = list(doc.pages())
+    except PdfError as e:
+        if "encrypted" in str(e).lower():
+            raise
+        return None, None
+    if not tree_pages:
+        return None, None
+    per_page = []
+    rotated: List[str] = []
+    for idx, page in enumerate(tree_pages):
+        content = doc.page_content(page)
+        rot_raw = doc.resolve(page.get("Rotate")) or 0
+        rot = int(rot_raw) % 360 if isinstance(rot_raw, (int, float)) else 0
+        if rot:
+            # rotated pages go through the op-level mapping (display-space
+            # unrotation is defined on whole show-ops) — content already
+            # filter-decoded by the object layer
+            cmaps = {}
+            resources = doc.resolve(page.get("Resources")) or {}
+            fdict = doc.resolve(resources.get("Font")) if isinstance(resources, dict) else {}
+            if isinstance(fdict, dict):
+                from dedoc_ray.readers.pdf_text import Font
+
+                for fname, fobj in fdict.items():
+                    font = Font.build(doc, fname, fobj)
+                    if font.tounicode:
+                        cmaps[fname] = font.tounicode
+            ops = []
+            for block in _BT_RE.findall(content):
+                ops.extend(op for op in _iter_text_ops(block, cmaps) if op[4])
+            mb = doc.resolve(page.get("MediaBox"))
+            if isinstance(mb, list) and len(mb) == 4:
+                pw, ph = float(doc.resolve(mb[2])), float(doc.resolve(mb[3]))
+            else:
+                pw, ph = 612.0, 792.0
+            ops = _unrotate_ops(ops, rot, pw, ph)
+            if ops:
+                rotated.append(f"page {idx} rotated {rot}")
+            per_page.append((False, ops))
+        else:
+            chars = interpret_page(doc, content, page.get("Resources"))
+            per_page.append((True, assemble_lines(chars)))
+    return per_page, rotated
+
+
 def read_pdf_textlayer(
     data: bytes, pages: tuple = (0, None), one_column: bool = False, merge_paragraphs: bool = False
 ) -> UnstructuredDoc:
     """``pages``: (start, stop) 0-based page slice — the reference's
     ``pages="first:last"`` knob (parameter_utils.py:111-129, applied
-    pdf_base_reader.py:108-124)."""
+    pdf_base_reader.py:108-124). Files with a usable xref/catalog go through
+    the real object layer + char-level interpreter (pdf_objects/pdf_text);
+    bare-stream files fall back to the legacy whole-file scan."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF")
     page_start, page_stop = pages
@@ -356,36 +418,61 @@ def read_pdf_textlayer(
     line_id = 0
     page_id = 0
     saw_text = False
-    expanded = _expand_objstm(data)
-    scan = data + expanded if expanded else data  # dict scans see ObjStm contents
-    orientations = _page_orientations(scan)
-    cmaps = _font_cmaps(scan)
     rotated_pages: List[str] = []
-    for stream_m in _STREAM_RE.finditer(data):
-        payload = stream_m.group(1)
-        try:
-            payload = zlib.decompress(payload)
-        except zlib.error:
-            pass
-        blocks = _BT_RE.findall(payload)
-        if not blocks:
+
+    per_page_items = None
+    try:
+        per_page_items, rotated_warns = _structured_page_items(data)
+    except Exception as e:
+        if "encrypted" in str(e).lower():
+            raise ValueError("PDF is encrypted (no-password decryption unsupported)")
+        per_page_items = None
+    if per_page_items is not None:
+        rotated_pages = rotated_warns or []
+    else:
+        # legacy path: whole-file stream scan (bare-stream synthetic subset
+        # and files whose structure defeats the parser)
+        expanded = _expand_objstm(data)
+        scan = data + expanded if expanded else data  # dict scans see ObjStm contents
+        orientations = _page_orientations(scan)
+        cmaps = _font_cmaps(scan)
+        per_page_items = []
+        pg = 0
+        for stream_m in _STREAM_RE.finditer(data):
+            payload = stream_m.group(1)
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                pass
+            blocks = _BT_RE.findall(payload)
+            if not blocks:
+                continue
+            page_ops: List[Tuple[float, float, str, float, str]] = []
+            for block in blocks:
+                page_ops.extend(op for op in _iter_text_ops(block, cmaps) if op[4])
+            if pg < len(orientations) and orientations[pg][0]:
+                rot, pw, ph = orientations[pg]
+                page_ops = _unrotate_ops(page_ops, rot, pw, ph)
+                rotated_pages.append(f"page {pg} rotated {rot}")
+            per_page_items.append((False, page_ops))
+            pg += 1
+
+    for already_assembled, page_items in per_page_items:
+        if not page_items:
+            page_id += 1
             continue
         if page_id < page_start or (page_stop is not None and page_id >= page_stop):
             page_id += 1
             saw_text = True  # text exists, just outside the requested slice
             continue
-        page_ops: List[Tuple[float, float, str, float, str]] = []
-        for block in blocks:
-            page_ops.extend(op for op in _iter_text_ops(block, cmaps) if op[4])
-        if page_id < len(orientations) and orientations[page_id][0]:
-            rot, pw, ph = orientations[page_id]
-            page_ops = _unrotate_ops(page_ops, rot, pw, ph)
-            rotated_pages.append(f"page {page_id} rotated {rot}")
         # columns left→right, LAParams-style line grouping within each,
         # y desc inside a column (multi-column reading order);
         # is_one_column_document="true" forces a single column
-        for col_ops in ([page_ops] if one_column else _split_columns(page_ops)):
-            grouped = _group_lines(col_ops)
+        for col_ops in ([page_items] if one_column else _split_columns(page_items)):
+            if already_assembled:
+                grouped = sorted(col_ops, key=lambda t: (-t[1], t[0]))
+            else:
+                grouped = _group_lines(col_ops)
             if merge_paragraphs and len(grouped) > 1:
                 # trained paragraph-continuation classifier over the line
                 # geometry (reference ScanParagraphClassifierExtractor runs

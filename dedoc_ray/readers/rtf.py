@@ -93,6 +93,12 @@ def rtf_to_text(data: bytes) -> str:
                 # \'xx — hex byte in the active code page; the two hex chars
                 # arrive as the NEXT text run's head
                 continue
+            if esc == b"*":
+                # {\*\dest ...} — ignorable destination: skip the whole
+                # group unless a handler exists (we handle none beyond the
+                # named skip list), per RTF 1.x spec §"\*"
+                skip_until_depth = depth
+                continue
             out.append(_SPECIAL.get(esc, esc.decode("latin-1")))
             continue
         if text:

@@ -24,7 +24,54 @@ from dedoc_ray.readers.base import UnstructuredDoc
 _SPACE_REGEX = re.compile(r"^\s+")
 
 
+def _native_detect(data: bytes, default: str = "utf-8") -> str:
+    """Stdlib-only charset detection: BOMs, then strict-utf-8, then a
+    letter-frequency vote across the common single-byte Cyrillic code pages
+    (the reference reaches the same set through chardet —
+    dedoc/utils/utils.py:196-213). Used when charset_normalizer is absent."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return "utf-32"
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    sample = data[:65536]
+    try:
+        sample.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    best_enc, best_score = default, -1.0
+    for enc in ("cp1251", "koi8-r", "cp866", "iso-8859-5", "cp1252"):
+        try:
+            text = sample.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        # score: fraction of non-ascii chars that land on Cyrillic letters
+        # (or Latin-1 letters for cp1252), penalize control chars
+        hi = [c for c in text if ord(c) > 127]
+        if not hi:
+            return "utf-8"
+        good = sum(1 for c in hi if "Ѐ" <= c <= "џ" or c in "—–«»“”…№" or "À" <= c <= "ÿ")
+        ctrl = sum(1 for c in text if ord(c) < 32 and c not in "\r\n\t\f")
+        score = good / len(hi) - 0.05 * ctrl
+        if score > best_score:
+            best_enc, best_score = enc, score
+    return best_enc
+
+
 def _detect_encoding(data: bytes, default: str = "utf-8") -> str:
+    # valid strict UTF-8 with no UTF-16/32 BOM IS utf-8 — statistical
+    # detectors occasionally misfile symbol-heavy utf-8 (e.g. as cp932)
+    if data[:2] not in (b"\xff\xfe", b"\xfe\xff") and b"\x00" not in data[:4096]:
+        try:
+            data[:65536].decode("utf-8")
+            return "utf-8"
+        except UnicodeDecodeError as e:
+            if e.start >= 65532:  # multibyte char split at the sample edge
+                return "utf-8"
     try:
         from charset_normalizer import from_bytes
 
@@ -33,7 +80,7 @@ def _detect_encoding(data: bytes, default: str = "utf-8") -> str:
             return best.encoding
     except Exception:
         pass
-    return default
+    return _native_detect(data, default)
 
 
 def _starting_spacing(line: Optional[str]) -> int:
@@ -68,6 +115,8 @@ def read_txt(data: bytes, encoding: Optional[str] = None) -> UnstructuredDoc:
         text = data.decode(enc, errors="ignore")
     except LookupError:
         text = data.decode("utf-8", errors="ignore")
+    if text[:1] == "﻿":  # strip the BOM the decoder surfaced as U+FEFF
+        text = text[1:]
 
     lines: List[LineWithMeta] = []
     number_of_empty_lines = 0
