@@ -1420,6 +1420,16 @@ def q_image_features_jpeg_prog(sf_dir: str):
     return image_features_jpeg_prog(sf_dir)
 
 
+def q_image_features_jpeg_arith(sf_dir: str):
+    """Image features over ARITHMETIC-coded JPEG (SOF9, T.81 Annex G):
+    QM-coder entropy decode with DC diff-conditioning and the AC Kx
+    split. Interop with libjpeg is pinned in tests/test_jpeg_arith.py;
+    constant images reconstruct bit-exactly → the baseline SQL oracle."""
+    from dedoc_ray.ops.multimodal import image_features_jpeg_arith
+
+    return image_features_jpeg_arith(sf_dir)
+
+
 def q_image_features_tiff(sf_dir: str):
     """Image features over REAL TIFF payloads — IFD walk, strip assembly,
     PackBits decompression on every third doc (ops/media_codecs.py)."""
@@ -1667,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_color": q_image_features_jpeg_color,
         "image_features_jpeg_prog": q_image_features_jpeg_prog,
         "image_features_jpeg_prog_color": q_image_features_jpeg_prog_color,
+        "image_features_jpeg_arith": q_image_features_jpeg_arith,
         "image_features_tiff": q_image_features_tiff,
         "image_features_mixed": q_image_features_mixed,
         "audio_frames_wav": q_audio_frames_wav,
@@ -2044,6 +2055,7 @@ FROM base WHERE cls <= 3
         "image_features_jpeg_color": IMAGE_FEATURES_JPEG_SQL,  # same dims/luma field
         "image_features_jpeg_prog": IMAGE_FEATURES_JPEG_SQL,  # same field, SOF2 multi-scan
         "image_features_jpeg_prog_color": IMAGE_FEATURES_JPEG_SQL,  # same field, 3-comp SOF2
+        "image_features_jpeg_arith": IMAGE_FEATURES_JPEG_SQL,  # same field, SOF9 QM coder
         "image_features_tiff": IMAGE_FEATURES_BMP_SQL,  # same pixel field, TIFF container
         "image_features_mixed": IMAGE_FEATURES_MIXED_SQL,
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,

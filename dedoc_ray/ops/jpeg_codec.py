@@ -386,7 +386,11 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker == 0xC2:
             return _decode_progressive(data)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC9:  # arithmetic sequential (T.81 Annex G)
+            from dedoc_ray.ops.jpeg_arith import arith_decode_planes
+
+            return arith_decode_planes(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])

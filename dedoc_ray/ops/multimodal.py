@@ -112,6 +112,10 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         from dedoc_ray.ops.jpeg_codec import jpeg_payload_progressive_color
 
         img_fn = jpeg_payload_progressive_color
+    elif image_codec == "jpeg_arith":
+        from dedoc_ray.ops.jpeg_arith import jpeg_payload_arith
+
+        img_fn = jpeg_payload_arith
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload,
                   "tiff": mc.tiff_payload}[image_codec]
@@ -406,6 +410,17 @@ def image_features_jpeg_color(sf_dir: str):
     MCU-interleaved multi-component decode path (per-component sampling
     factors, predictors and Huffman tables); features read the luma plane."""
     return media_corpus_real(sf_dir, image_codec="jpeg_color").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def image_features_jpeg_arith(sf_dir: str):
+    """The image feature stage over ARITHMETIC-coded JPEG payloads (SOF9,
+    T.81 Annexes D/F/G — QM coder, DC diff-conditioning contexts, AC Kx
+    split; ops/jpeg_arith.py). Decoder interop is pinned against libjpeg
+    in both directions in tests/test_jpeg_arith.py; constant-gray corpus
+    images decode bit-exactly → the baseline exact SQL oracle applies."""
+    return media_corpus_real(sf_dir, image_codec="jpeg_arith").drop_columns(["audio", "video"]).map_batches(
         ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
     )
 

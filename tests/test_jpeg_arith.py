@@ -1,0 +1,195 @@
+"""Arithmetic-coded JPEG (SOF9): QM coder + interop validation.
+
+Self-consistent encoder/decoder pairs can hide convention errors, so the
+decisive tests here are cross-IMPLEMENTATION: when gcc + libjpeg headers
+are present (they are in this container), a tiny C harness produces real
+libjpeg arithmetic streams for our decoder, and decodes our encoder's
+streams — both directions must agree at the pixel level (±1 for the
+integer-vs-float IDCT). Cross-PATH identity with the proven Huffman
+baseline covers the rest.
+"""
+
+import os
+import random
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from dedoc_ray.ops.jpeg_arith import (
+    ArithDecoder,
+    ArithEncoder,
+    arith_decode_planes,
+    arith_encode_gray,
+    jpeg_payload_arith,
+)
+from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes, jpeg_encode
+
+
+def test_qm_coder_roundtrip_random_contexts():
+    rng = random.Random(7)
+    for _ in range(25):
+        n_ctx = rng.randint(1, 8)
+        enc = ArithEncoder()
+        enc_st = [[0, 0] for _ in range(n_ctx)]
+        bits = []
+        for _ in range(rng.randint(5, 4000)):
+            ctx = rng.randrange(n_ctx)
+            d = int(rng.random() < (0.05 + 0.9 * ctx / n_ctx))
+            bits.append((ctx, d))
+            enc.encode(d, enc_st[ctx])
+        payload = enc.flush()
+        dec = ArithDecoder(payload + b"\xff\xd9", 0)
+        dec_st = [[0, 0] for _ in range(n_ctx)]
+        for ctx, d in bits:
+            assert dec.decode(dec_st[ctx]) == d
+
+
+def test_arith_roundtrip_and_cross_path_vs_huffman():
+    # same pixels through the Huffman baseline and the arithmetic path:
+    # identical quantized coefficients => identical reconstruction
+    rng = np.random.RandomState(11)
+    for h, w in [(8, 8), (24, 40), (17, 23), (64, 64)]:
+        img = (rng.rand(h, w) * 255).astype(np.uint8)
+        via_arith = arith_decode_planes(arith_encode_gray(img))[0]
+        via_huff = jpeg_decode_planes(jpeg_encode(img))[0]
+        assert np.array_equal(via_arith, via_huff)
+
+
+def test_arith_constant_block_lossless():
+    for v in (0, 1, 127, 200, 255):
+        img = np.full((30, 44), v, np.uint8)
+        out = arith_decode_planes(arith_encode_gray(img))[0]
+        assert np.array_equal(out, img)
+
+
+def test_payload_dims_and_mean():
+    for doc_id in (0, 7, 123, 9999):
+        plane = arith_decode_planes(jpeg_payload_arith(doc_id))[0]
+        assert plane.shape == (10 + (doc_id % 4) * 6, 12 + (doc_id % 6) * 4)
+        assert int(plane.mean().round()) == doc_id % 256
+
+
+def test_dispatch_through_baseline_entrypoint():
+    # jpeg_decode_planes routes SOF9 streams to the arithmetic decoder
+    img = np.full((16, 16), 90, np.uint8)
+    out = jpeg_decode_planes(arith_encode_gray(img))[0]
+    assert np.array_equal(out, img)
+
+
+# ----------------------------------------------------- libjpeg interop
+
+_JTOOL_SRC = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <jpeglib.h>
+static int read_pnm(const char *path, unsigned char **buf, int *w, int *h, int *comps) {
+    FILE *f = fopen(path, "rb"); if (!f) return 1;
+    char magic[3] = {0}; int maxv;
+    if (fscanf(f, "%2s", magic) != 1) return 1;
+    *comps = strcmp(magic, "P6") == 0 ? 3 : 1;
+    if (fscanf(f, "%d %d %d", w, h, &maxv) != 3) return 1;
+    fgetc(f);
+    size_t n = (size_t)(*w) * (*h) * (*comps);
+    *buf = malloc(n);
+    if (fread(*buf, 1, n, f) != n) return 1;
+    fclose(f); return 0;
+}
+int main(int argc, char **argv) {
+    if (argc < 4) return 2;
+    if (strcmp(argv[1], "enc") == 0) {
+        unsigned char *img; int w, h, comps;
+        if (read_pnm(argv[2], &img, &w, &h, &comps)) return 3;
+        struct jpeg_compress_struct c; struct jpeg_error_mgr e;
+        c.err = jpeg_std_error(&e); jpeg_create_compress(&c);
+        FILE *out = fopen(argv[3], "wb"); jpeg_stdio_dest(&c, out);
+        c.image_width = w; c.image_height = h; c.input_components = comps;
+        c.in_color_space = comps == 3 ? JCS_RGB : JCS_GRAYSCALE;
+        jpeg_set_defaults(&c); jpeg_set_quality(&c, atoi(argv[4]), TRUE);
+        c.arith_code = TRUE; c.optimize_coding = FALSE;
+        jpeg_start_compress(&c, TRUE);
+        while (c.next_scanline < c.image_height) {
+            JSAMPROW row = img + (size_t)c.next_scanline * w * comps;
+            jpeg_write_scanlines(&c, &row, 1);
+        }
+        jpeg_finish_compress(&c); fclose(out); jpeg_destroy_compress(&c);
+        return 0;
+    }
+    if (strcmp(argv[1], "dec") == 0) {
+        struct jpeg_decompress_struct c; struct jpeg_error_mgr e;
+        c.err = jpeg_std_error(&e); jpeg_create_decompress(&c);
+        FILE *in = fopen(argv[2], "rb"); if (!in) return 3;
+        jpeg_stdio_src(&c, in); jpeg_read_header(&c, TRUE); jpeg_start_decompress(&c);
+        int w = c.output_width, h = c.output_height, comps = c.output_components;
+        unsigned char *buf = malloc((size_t)w * h * comps);
+        while (c.output_scanline < (unsigned)h) {
+            JSAMPROW row = buf + (size_t)c.output_scanline * w * comps;
+            jpeg_read_scanlines(&c, &row, 1);
+        }
+        jpeg_finish_decompress(&c); fclose(in);
+        FILE *out = fopen(argv[3], "wb");
+        fprintf(out, "%s\n%d %d\n255\n", comps == 3 ? "P6" : "P5", w, h);
+        fwrite(buf, 1, (size_t)w * h * comps, out); fclose(out);
+        jpeg_destroy_decompress(&c);
+        return 0;
+    }
+    return 2;
+}
+"""
+
+_HAVE_TOOLCHAIN = shutil.which("gcc") is not None and os.path.exists("/usr/include/jpeglib.h")
+
+
+@pytest.fixture(scope="module")
+def jtool(tmp_path_factory):
+    if not _HAVE_TOOLCHAIN:
+        pytest.skip("no gcc/libjpeg headers for interop harness")
+    d = tmp_path_factory.mktemp("jarith")
+    src = d / "jtool.c"
+    src.write_text(_JTOOL_SRC)
+    exe = d / "jtool"
+    r = subprocess.run(["gcc", "-O2", "-o", str(exe), str(src), "-ljpeg"], capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"gcc failed: {r.stderr[:200]}")
+    return str(exe)
+
+
+def _read_pgm(path):
+    d = open(path, "rb").read()
+    head, _, rest = d.partition(b"255\n")
+    dims = head.split()
+    w, h = int(dims[1]), int(dims[2])
+    return np.frombuffer(rest, np.uint8)[: w * h].reshape(h, w)
+
+
+def test_decode_real_libjpeg_arith_stream(jtool, tmp_path):
+    rng = np.random.RandomState(5)
+    img = ((rng.rand(56, 72) * 80) + (np.indices((56, 72)).sum(0) % 100)).astype(np.uint8)
+    pgm = tmp_path / "in.pgm"
+    pgm.write_bytes(b"P5\n72 56\n255\n" + img.tobytes())
+    jpg = tmp_path / "a.jpg"
+    out = tmp_path / "truth.pgm"
+    subprocess.run([jtool, "enc", str(pgm), str(jpg), "85"], check=True)
+    subprocess.run([jtool, "dec", str(jpg), str(out)], check=True)
+    blob = jpg.read_bytes()
+    assert b"\xff\xc9" in blob  # SOF9: really arithmetic
+    mine = arith_decode_planes(blob)[0]
+    truth = _read_pgm(out)
+    assert np.abs(mine.astype(int) - truth.astype(int)).max() <= 1
+
+
+def test_libjpeg_decodes_our_arith_stream(jtool, tmp_path):
+    rng = np.random.RandomState(9)
+    for h, w in [(40, 64), (17, 23)]:
+        img = (rng.rand(h, w) * 255).astype(np.uint8)
+        blob = arith_encode_gray(img)
+        jpg = tmp_path / "m.jpg"
+        jpg.write_bytes(blob)
+        out = tmp_path / "m.pgm"
+        r = subprocess.run([jtool, "dec", str(jpg), str(out)], capture_output=True)
+        assert r.returncode == 0, r.stderr[:200]
+        theirs = _read_pgm(out)
+        mine = arith_decode_planes(blob)[0]
+        assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 1
