@@ -569,6 +569,43 @@ def q_extract_law(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_extract_law_foiv(sf_dir: str):
+    """Law "hat" classification (reference
+    classifying_law_structure_extractor.py:47-208): the first lines route
+    each document to the law extractor (Статья articles) or the FOIV
+    extractor (dotted items + letter subitems). The corpus alternates
+    ЗАКОН / ПРИКАЗ hats by doc_id parity, so route + node counts are
+    SQL-replayable."""
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.extract import extract_pages
+    from dedoc_ray.sources.synth_office import office_corpus
+
+    ds = extract_pages(office_corpus(sf_dir, "law_foiv"), config=PipelineConfig(document_type="law"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        nodes = batch["nodes"].to_pylist()
+        warns = batch["warnings"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "routed": pa.array(
+                    ["foiv" if any("foiv_law" in w for w in ws) else "law" for ws in warns], "string"
+                ),
+                "n_articles": pa.array(
+                    [sum(1 for n in ns if n["line_type"] == "article") for ns in nodes], "int64"
+                ),
+                "n_items": pa.array(
+                    [sum(1 for n in ns if n["line_type"] == "item") for ns in nodes], "int64"
+                ),
+                "n_subitems": pa.array(
+                    [sum(1 for n in ns if n["line_type"] == "subitem") for ns in nodes], "int64"
+                ),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_law_ml(sf_dir: str):
     """Trained law line-type classifier E2E: article headers in
     abbreviation/case variants the regex skeleton misses; the oracle counts
@@ -1600,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_csv": q_extract_csv,
         "extract_law": q_extract_law,
         "extract_law_ml": q_extract_law_ml,
+        "extract_law_foiv": q_extract_law_foiv,
         "extract_tz": q_extract_tz,
         "extract_tz_ml": q_extract_tz_ml,
         "extract_diploma": q_extract_diploma,
@@ -1969,6 +2007,11 @@ FROM base WHERE cls <= 3
                        f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
         "extract_law_ml": f"SELECT {office_url.format(ext='txt')} AS url, "
                           f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_articles FROM documents",
+        "extract_law_foiv": f"SELECT {office_url.format(ext='txt')} AS url, "
+                            f"CASE WHEN doc_id % 2 = 1 THEN 'foiv' ELSE 'law' END AS routed, "
+                            f"CAST(CASE WHEN doc_id % 2 = 0 THEN len(string_split(text, ' the ')) ELSE 0 END AS BIGINT) AS n_articles, "
+                            f"CAST(CASE WHEN doc_id % 2 = 1 THEN len(string_split(text, ' the ')) ELSE 0 END AS BIGINT) AS n_items, "
+                            f"CAST(CASE WHEN doc_id % 2 = 1 THEN len(string_split(text, ' the ')) ELSE 0 END AS BIGINT) AS n_subitems FROM documents",
         "extract_fintoc": f"SELECT {office_url.format(ext='txt')} AS url, "
                           f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_titles FROM documents",
         "extract_tz": f"SELECT {office_url.format(ext='txt')} AS url, "

@@ -244,6 +244,14 @@ class ExtractKernel:
                 lines = self.fintoc.apply(doc.lines)
             elif self.law_ml is not None:
                 lines = self.law_ml.apply(doc.lines)
+            elif self.config.document_type in ("law", "law_txt") and not self.config.patterns:
+                # dynamic law-vs-foiv routing from the document "hat"
+                # (reference ClassifyingLawStructureExtractor.extract)
+                from dedoc_ray.structure.domain import law_route_for_lines
+
+                route_patterns, route_warning = law_route_for_lines([ln.line for ln in doc.lines])
+                lines = extract_structure(doc.lines, PatternComposition(route_patterns))
+                doc.warnings.append(route_warning)
             else:
                 lines = extract_structure(doc.lines, self.patterns)
             if self.config.document_type != "other":

@@ -318,6 +318,25 @@ def law_bytes(doc_id: int, text: str) -> bytes:
     return ("\n".join(lines) + "\n").encode("utf-8")
 
 
+def law_foiv_bytes(doc_id: int, text: str) -> bytes:
+    """Mixed law/foiv corpus for hat classification: odd doc_ids carry a
+    ПРИКАЗ hat (routes to the foiv extractor → dotted items + letter
+    subitems), even ones a ЗАКОН hat (law extractor → Статья articles).
+    Counts per route are SQL-replayable from doc_id parity + chunk count."""
+    chunks = chunks_of(text)
+    if doc_id % 2:
+        lines = [f"ПРИКАЗ от 17.12.2013 № {doc_id % 90 + 1}/8"]
+        for i, c in enumerate(chunks, 1):
+            lines.append(f"{i}. provision body {c.replace(chr(10), ' ')}")
+            lines.append(f"а) subclause for part {i}")
+    else:
+        lines = [f"ЗАКОН О ДОКУМЕНТАХ {doc_id % 97}"]
+        for i, c in enumerate(chunks, 1):
+            lines.append(f"Статья {i}")
+            lines.append(f"text: {c}")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 _LAW_ART_FORMS = ["Статья {i}.", "Ст. {i}.", "Article {i}", "ARTICLE {i}", "Art. {i}."]
 
 
@@ -365,6 +384,7 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "odp": odp_bytes,
     "rtf": rtf_bytes,
     "law_ml": law_ml_bytes,
+    "law_foiv": law_foiv_bytes,
     "fintoc": fintoc_bytes,
 }
 
@@ -530,7 +550,7 @@ _GENERATORS["scan_png"] = scan_png
 _GENERATORS["scan_tiff"] = scan_tiff
 _GENERATORS["pdf_scan"] = scan_pdf
 
-_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "fintoc": "txt",
+_EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "law_foiv": "txt", "fintoc": "txt",
                  "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
                  "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
                  "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf",

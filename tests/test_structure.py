@@ -130,3 +130,40 @@ def test_toc_detection_rejects_short_and_descending_runs():
     ]
     mark_toc(desc)
     assert all(l.metadata.tag_hierarchy_level.line_type == "unknown" for l in desc)
+
+
+def test_law_hat_classification_routing():
+    # reference ClassifyingLawStructureExtractor: first-lines keywords route
+    # law vs foiv; order/state/instruction are foiv, закон deferred to last
+    from dedoc_ray.structure.domain import FOIV_TYPES, classify_law_hat
+
+    assert classify_law_hat(["ПРИКАЗ № 47/823 от 17.12.2013 г."]) == "order"
+    assert classify_law_hat(["П Р И К А 3 № 5"]) == "order"  # OCR з→3 + spacing
+    assert classify_law_hat(["ЯМАЛО-НЕНЕЦКИЙ АВТОНОМНЫЙ ОКРУГ", "ЗАКОН О СВЯЗИ"]) == "law"
+    # ЗАКОН ... КОДЕКС hack: закон match is deferred, кодекс wins
+    assert classify_law_hat(["ЗАКОН РОССИЙСКОЙ ФЕДЕРАЦИИ", "ГРАЖДАНСКИЙ КОДЕКС"]) == "code"
+    assert classify_law_hat(["ПОСТАНОВЛЕНИЕ от 1.1.2000 № 34"]) == "decree"
+    assert classify_law_hat(["ИНСТРУКЦИЯ"]) == "instruction"
+    assert classify_law_hat(["совершенно обычный текст без ключевых слов"]) == ""
+    # keyword beyond the 7x3-line hat window is ignored
+    lines = [f"line {i}" for i in range(30)] + ["ПРИКАЗ № 1"]
+    assert classify_law_hat(lines) == ""
+    assert "order" in FOIV_TYPES and "state" in FOIV_TYPES and "instruction" in FOIV_TYPES
+
+
+def test_law_foiv_kernel_routing():
+    from collections import Counter
+
+    from dedoc_ray.pipeline.config import PipelineConfig
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+    from dedoc_ray.sources.synth_office import law_foiv_bytes
+
+    k = ExtractKernel(config=PipelineConfig(document_type="law"))
+    law_row = k.extract_row("a.txt", law_foiv_bytes(2, "alpha the beta the gamma"))
+    foiv_row = k.extract_row("b.txt", law_foiv_bytes(3, "alpha the beta the gamma"))
+    assert any("Use law classifier" in w for w in law_row["warnings"])
+    assert any("Use foiv_law classifier" in w for w in foiv_row["warnings"])
+    law_types = Counter(n["line_type"] for n in law_row["nodes"])
+    foiv_types = Counter(n["line_type"] for n in foiv_row["nodes"])
+    assert law_types["article"] == 3 and law_types["item"] == 0
+    assert foiv_types["item"] == 3 and foiv_types["subitem"] == 3 and foiv_types["article"] == 0
