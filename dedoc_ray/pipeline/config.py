@@ -45,6 +45,10 @@ class PipelineConfig:
     encoding: Optional[str] = None         # txt/csv override
     pages: Optional[str] = None            # "first:last" per-document page slice (pdf)
     html_fields: Optional[List[str]] = None  # json keys whose values parse as HTML (api_args.py:45)
+    # GROBID-shaped article service (reference article_reader.py:25-62):
+    # when set, PDFs route through readers/grobid_client.py (bounded
+    # in-flight, retry/backoff) and the TEI response is parsed natively
+    article_service_url: str = ""
 
     # pdf routing (api_args.py: pdf_with_text_layer / fast detection / columns)
     pdf_with_text_layer: str = "auto"      # "auto" (classifier) | "true" (always) | "false" (OCR route) | "tabby"/"auto_tabby" (tables too)

@@ -78,6 +78,13 @@ class ExtractKernel:
         # classifiers are request-cached the same way)
         self.fintoc = None
         self.law_ml = None
+        # external-service client built ONCE per actor (bounded in-flight,
+        # retry/backoff — readers/grobid_client.py)
+        self.grobid = None
+        if config.article_service_url:
+            from dedoc_ray.readers.grobid_client import GrobidClient
+
+            self.grobid = GrobidClient(config.article_service_url)
         if config.document_type == "fintoc":
             from dedoc_ray.structure.ml_classifier import FintocTitleClassifier
 
@@ -108,6 +115,17 @@ class ExtractKernel:
             return read_csv(data, delimiter=self.config.delimiter, encoding=self.config.encoding)
         if fmt == "json":
             return read_json(data, html_fields=self.config.html_fields)
+        if fmt == "pdf" and self.grobid is not None:
+            # article route: PDF → GROBID-shaped service → TEI → native
+            # parse (reference ArticleReader.read); service failures become
+            # warning rows, never exceptions
+            from dedoc_ray.readers.article import read_tei
+
+            tei, warning = self.grobid.process(data)
+            if tei is None:
+                return UnstructuredDoc(lines=[], warnings=[warning])
+            doc = read_tei(tei)
+            return doc
         if fmt == "pdf":
             from dedoc_ray.readers.pdf import read_pdf_auto
 
