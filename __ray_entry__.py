@@ -199,6 +199,15 @@ def q_extract_scan(sf_dir: str):
     return _office_extract(sf_dir, "scan").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_multifont(sf_dir: str):
+    """Multifont OCR (round-2 verdict #10): pages in a PROPORTIONAL-width
+    font at two integer scales that the fixed-width 5x7 LUT cannot read;
+    the kernel falls back to glyph templates LEARNED from a rendered
+    atlas image (readers/scan_ocr.MultifontRecognizer — the Tesseract
+    font-sample training flow). Byte-exact text oracle."""
+    return _office_extract(sf_dir, "scan_multifont").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_scan_pdf(sf_dir: str):
     """Textless-PDF OCR route: page rasters embedded as DeviceGray
     FlateDecode image XObjects, routed by read_pdf_auto's no-text-layer
@@ -1606,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": q_extract_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
+        "extract_scan_multifont": q_extract_scan_multifont,
         "extract_scan_2col": q_extract_scan_2col,
         "extract_scan_bmp": q_extract_scan_bmp,
         "extract_scan_png": q_extract_scan_png,
@@ -1907,6 +1917,8 @@ def oracle_sql() -> dict[str, str]:
                               f"{body} AS extracted_text FROM documents",
         "extract_scan": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                         f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_multifont": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
+                                  f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_2col": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                              f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_bmp": f"SELECT {office_url.format(ext='bmp')} AS url, 'ok' AS status, "

@@ -146,3 +146,102 @@ def scan_tiff(doc_id: int, text: str) -> bytes:
 
     lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
     return tiff_encode(render_page(lines, rotate_k=doc_id % 4), packbits=(doc_id % 3 == 0))
+
+
+# ---------------------------------------------------- proportional family
+#
+# A second deterministic font FAMILY: per-glyph proportional widths (3..7
+# px) and integer pixel scaling — pages the fixed-width recognizer cannot
+# read. The reader side never imports these tables: it LEARNS templates
+# from a rendered atlas image (readers/scan_ocr.MultifontRecognizer), the
+# honest stand-in for Tesseract's font-sample training flow.
+
+import hashlib as _hashlib
+
+from dedoc_ray.readers.scan_ocr import CHARSET as _CHARSET
+
+
+def _prop_glyph_bits(ch: str, salt: int = 0) -> np.ndarray:
+    h = _hashlib.md5(f"propfont-{ord(ch)}-{salt}".encode()).digest()
+    w = 3 + h[0] % 5
+    bits = np.unpackbits(np.frombuffer(h[1:], np.uint8))[: GLYPH_H * w]
+    bits = bits.reshape(GLYPH_H, w).astype(bool).copy()
+    # every COLUMN needs ink (glyph segmentation splits on blank columns)
+    for j in range(w):
+        if not bits[:, j].any():
+            bits[h[(3 + j) % 16] % GLYPH_H, j] = True
+    # top+bottom rows need ink so line bands are exactly GLYPH_H tall
+    if not bits[0].any():
+        bits[0, h[1] % w] = True
+    if not bits[GLYPH_H - 1].any():
+        bits[GLYPH_H - 1, h[2] % w] = True
+    return bits
+
+
+def _build_prop_font():
+    font = {}
+    seen = {}
+    for ch in _CHARSET:
+        salt = 0
+        bits = _prop_glyph_bits(ch, salt)
+        while (bits.shape[1], bits.tobytes()) in seen:
+            salt += 1
+            bits = _prop_glyph_bits(ch, salt)
+        seen[(bits.shape[1], bits.tobytes())] = ch
+        font[ch] = bits
+    return font
+
+
+PROP_FONT = _build_prop_font()
+
+
+def render_page_prop(lines: List[str], scale: int = 1, rotate_k: int = 0) -> np.ndarray:
+    """Text lines in the proportional family → page raster, integer-scaled
+    ×``scale`` (nearest-neighbor, like a higher-resolution rescan)."""
+    def lw(text: str) -> int:
+        return sum(
+            SPACE_ADVANCE if ch == " " else PROP_FONT.get(ch, PROP_FONT["?"]).shape[1] + CHAR_GAP
+            for ch in text
+        )
+
+    width = max((lw(t) for t in lines), default=0) + 2 * MARGIN
+    height = len(lines) * (GLYPH_H + LEADING) - LEADING + 2 * MARGIN if lines else 2 * MARGIN
+    img = np.full((height, width), PAPER, dtype=np.uint8)
+    y = MARGIN
+    for text in lines:
+        x = MARGIN
+        for ch in text:
+            if ch == " ":
+                x += SPACE_ADVANCE
+                continue
+            bits = PROP_FONT.get(ch, PROP_FONT["?"])
+            img[y : y + GLYPH_H, x : x + bits.shape[1]][bits] = INK
+            x += bits.shape[1] + CHAR_GAP
+        y += GLYPH_H + LEADING
+    if scale > 1:
+        img = np.repeat(np.repeat(img, scale, axis=0), scale, axis=1)
+    if rotate_k % 4:
+        img = np.ascontiguousarray(np.rot90(img, rotate_k % 4))
+    return img
+
+
+def render_prop_atlas(per_row: int = 12) -> np.ndarray:
+    """The font-sample page a recognizer learns from: every CHARSET glyph
+    in order, ``per_row`` per line, separated by wide gaps so atlas
+    segmentation is unambiguous (spaces never appear in the atlas)."""
+    rows = []
+    for i in range(0, len(_CHARSET), per_row):
+        chars = _CHARSET[i : i + per_row].replace(" ", "")
+        if chars:
+            rows.append("  ".join(chars))  # 2 spaces → unambiguous glyph gaps
+    return render_page_prop(rows, scale=1)
+
+
+def scan_multifont_pgm(doc_id: int, text: str) -> bytes:
+    """Corpus page in the proportional family at scale 1 or 2 (doc_id
+    parity) — unreadable by the fixed-width LUT, decoded only by the
+    atlas-learned template recognizer."""
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [f"Document {doc_id}"] + list(chunks_of(text))
+    return pgm_bytes(render_page_prop(lines, scale=1 + doc_id % 2))

@@ -537,6 +537,7 @@ _GENERATORS["pdf_table"] = pdf_table_bytes
 from dedoc_ray.sources.scan_writer import (  # noqa: E402
     scan_2col_pgm,
     scan_bmp,
+    scan_multifont_pgm,
     scan_pdf,
     scan_pgm,
     scan_png,
@@ -544,6 +545,7 @@ from dedoc_ray.sources.scan_writer import (  # noqa: E402
 )
 
 _GENERATORS["scan"] = scan_pgm
+_GENERATORS["scan_multifont"] = scan_multifont_pgm
 _GENERATORS["scan2col"] = scan_2col_pgm
 _GENERATORS["scan_bmp"] = scan_bmp
 _GENERATORS["scan_png"] = scan_png
@@ -554,6 +556,7 @@ _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "law_foiv": "t
                  "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
                  "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
                  "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf",
+                 "scan_multifont": "pgm",
                  "scan_png": "png", "scan_tiff": "tif"}
 
 
