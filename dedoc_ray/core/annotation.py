@@ -33,6 +33,10 @@ class AnnotationNames:
     superscript = "superscript"
     table = "table"
     underlined = "underlined"
+    confidence = "confidence"          # OCR word confidence in [0, 1]
+    color = "color_annotation"         # mean ink RGB as a JSON object
+    bounding_box = "bounding box"
+    reference = "reference"
 
     # reference: linked_text/attachment/table/reference/bbox/confidence are
     # created with is_mergeable=False; the rest default to True

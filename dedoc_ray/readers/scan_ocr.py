@@ -241,42 +241,62 @@ def detect_orientation(ink: np.ndarray) -> int:
 GUTTER_MIN = 20
 
 
-def _split_gutter(ink: np.ndarray) -> List[np.ndarray]:
+def _split_gutter(ink: np.ndarray, gray: "np.ndarray | None" = None):
     """Column-count detection (the columns half of the reference's
     ColumnsOrientationClassifier): find the widest INTERNAL blank-column
     run ≥ GUTTER_MIN with ink on both sides and split there — left column
     first (reading order), recursing for 3+ columns. Word-space runs are
-    narrower than GUTTER_MIN by construction of any real type-set page."""
+    narrower than GUTTER_MIN by construction of any real type-set page.
+    Returns (ink, gray) pairs; ``gray`` (when given) is sliced in lock-step
+    so per-line color metadata stays aligned."""
     cols = ink.any(axis=0)
     idx = np.flatnonzero(cols)
     if idx.size == 0:
-        return [ink]
+        return [(ink, gray)]
     gaps = np.diff(idx)
     cut = int(np.argmax(gaps)) if gaps.size else 0
     if gaps.size == 0 or gaps[cut] - 1 < GUTTER_MIN:
-        return [ink]
+        return [(ink, gray)]
     left_end, right_start = idx[cut] + 1, idx[cut + 1]
-    return _split_gutter(ink[:, :left_end]) + _split_gutter(ink[:, right_start:])
+    gl = gray[:, :left_end] if gray is not None else None
+    gr = gray[:, right_start:] if gray is not None else None
+    return _split_gutter(ink[:, :left_end], gl) + _split_gutter(ink[:, right_start:], gr)
 
 
-def _decode_region(ink: np.ndarray) -> List[Tuple[str, bool, int]]:
-    """One text column → recognized (text, all_bold, x0) per 7-row band."""
-    lines: List[Tuple[str, bool, int]] = []
+def _decode_region(ink: np.ndarray, gray: "np.ndarray | None" = None):
+    """One text column → recognized tuples per 7-row band. With ``gray``
+    provided, tuples carry (text, all_bold, x0, confidence, ink_mean):
+    confidence = matched-glyph fraction (reference ConfidenceAnnotation,
+    ocr_line.py:38 — Tesseract word confidence stand-in) and ink_mean =
+    mean gray level of the band's ink pixels (the grayscale reduction of
+    ColorAnnotation's mean-RGB-of-non-white, metadata_extractor.py:176)."""
+    lines: list = []
     for top, bot in _segment_rows(ink):
         if bot - top != GLYPH_H:
             # non-text band (speckle, half-cut glyphs): keep the route
             # honest — emit a replacement marker line
-            lines.append(("?", False, 0))
+            lines.append(("?", False, 0, 0.0, 0) if gray is not None else ("?", False, 0))
             continue
         band = ink[top:bot]
-        text, _, _, all_bold = _decode_line(band)
+        text, matched, total, all_bold = _decode_line(band)
         x0 = int(np.argmax(band.any(axis=0)))
-        lines.append((text, all_bold, x0))
+        if gray is not None:
+            conf = matched / total if total else 0.0
+            gband = gray[top:bot]
+            ink_px = gband[band]
+            ink_mean = int(ink_px.mean()) if ink_px.size else 0
+            lines.append((text, all_bold, x0, conf, ink_mean))
+        else:
+            lines.append((text, all_bold, x0))
     return lines
 
 
-def ocr_raster(img: np.ndarray, orientation: str = "auto") -> Tuple[List[Tuple[str, bool, int]], int]:
-    """Grayscale page raster → ([(text, all_bold, x0_px)], rotation_k).
+def ocr_raster(
+    img: np.ndarray, orientation: str = "auto", with_metadata: bool = False
+) -> Tuple[List[Tuple[str, bool, int]], int]:
+    """Grayscale page raster → ([(text, all_bold, x0_px)], rotation_k);
+    ``with_metadata=True`` appends (confidence, ink_mean) per line for the
+    confidence / color annotation layer.
 
     Binarize from the observed range, correct orientation (skipped when
     ``orientation="no_change"`` — the reference's document_orientation
@@ -288,11 +308,13 @@ def ocr_raster(img: np.ndarray, orientation: str = "auto") -> Tuple[List[Tuple[s
         return [], 0
     ink = img < (lo + hi) // 2
     k = detect_orientation(ink) if orientation == "auto" else 0
+    gray = img
     if k:
         ink = np.rot90(ink, -k)
-    lines: List[Tuple[str, bool, int]] = []
-    for region in _split_gutter(ink):
-        lines.extend(_decode_region(region))
+        gray = np.rot90(gray, -k)
+    lines: list = []
+    for region_ink, region_gray in _split_gutter(ink, gray if with_metadata else None):
+        lines.extend(_decode_region(region_ink, region_gray))
     return lines, k
 
 
@@ -309,13 +331,24 @@ def lines_from_recognized(
     indentation annotations (FontTypeClassifier / ScanParagraphClassifier
     layer signals)."""
     lines: List[LineWithMeta] = []
-    min_x0 = min((x for _, _, x in recognized), default=0)
-    for i, (text, all_bold, x0) in enumerate(recognized):
+    min_x0 = min((t[2] for t in recognized), default=0)
+    for i, tup in enumerate(recognized):
+        text, all_bold, x0 = tup[0], tup[1], tup[2]
         annotations = []
         if all_bold:
             annotations.append(Annotation(0, len(text), AN.bold, "True"))
         if x0 - min_x0 >= CHAR_GAP + 1:  # indent signal (paragraph starts)
             annotations.append(Annotation(0, len(text), AN.indentation, str(20 * (x0 - min_x0))))
+        if len(tup) >= 5:
+            conf, ink_mean = tup[3], tup[4]
+            # reference ConfidenceAnnotation (ocr_line.py:38) + the
+            # grayscale reduction of ColorAnnotation's mean-RGB-of-ink
+            # (metadata_extractor.py:176; r==g==b on grayscale scans)
+            annotations.append(Annotation(0, len(text), AN.confidence, f"{conf:.2f}"))
+            annotations.append(
+                Annotation(0, len(text), AN.color,
+                           '{"red": %d, "blue": %d, "green": %d}' % (ink_mean, ink_mean, ink_mean))
+            )
         line_id = start_line_id + i
         metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
         lines.append(
@@ -346,12 +379,12 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
     else:
         img = parse_pgm(data)
     file_hash = hashlib.md5(data).hexdigest()
-    recognized, k = ocr_raster(img, orientation=orientation)
+    recognized, k = ocr_raster(img, orientation=orientation, with_metadata=True)
     warnings: List[str] = []
     # fixed-width LUT struggling → try the atlas-learned template
     # recognizer (proportional widths, integer scales); keep the better
     # read — the reference's multi-model OCR retry shape
-    joined = "".join(t for t, _, _ in recognized)
+    joined = "".join(t[0] for t in recognized)
     glyphs = [c for c in joined if c != " "]
     fixed_quality = (1.0 - glyphs.count("?") / len(glyphs)) if glyphs else 0.0
     if fixed_quality < 0.9:

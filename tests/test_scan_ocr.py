@@ -73,7 +73,7 @@ def test_indentation_annotation():
     page[: img.shape[0], : img.shape[1]] = img
     page[img.shape[0] :, 20 : 20 + ind.shape[1]] = ind
     doc = read_scan(pgm_bytes(page))
-    assert [a.name for a in doc.lines[1].annotations] == ["indentation"]
+    assert [a.name for a in doc.lines[1].annotations][:1] == ["indentation"]
 
 
 def test_blank_scan():
@@ -206,3 +206,17 @@ def test_read_scan_routes_to_multifont():
     doc = read_scan(scan_multifont_pgm(7, "alpha beta the gamma"))
     assert [ln.line for ln in doc.lines] == ["Document 7\n", "alpha beta\n", "gamma\n"]
     assert any("atlas-learned" in w for w in doc.warnings)
+
+
+def test_confidence_and_color_annotations():
+    # reference ConfidenceAnnotation + ColorAnnotation on the OCR route
+    import json
+
+    from dedoc_ray.readers.scan_ocr import INK, read_scan
+    from dedoc_ray.sources.scan_writer import pgm_bytes, render_page
+
+    doc = read_scan(pgm_bytes(render_page([("hello world", False)])))
+    names = {a.name: a.value for a in doc.lines[0].annotations}
+    assert names["confidence"] == "1.00"
+    rgb = json.loads(names["color_annotation"])
+    assert rgb["red"] == rgb["green"] == rgb["blue"] == INK
