@@ -100,7 +100,13 @@ def detect_tables(page_ops: List[Op]) -> Tuple[List[List[List[Op]]], List[Op]]:
 
 
 def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
-    """Text lines + recognized tables from a born-digital PDF."""
+    """Text lines + recognized tables from a born-digital PDF.
+
+    Files with a usable document structure go through the real object
+    layer + char interpreter (readers/pdf_objects, readers/pdf_text) — the
+    assembled line FRAGMENTS (split at char_margin gaps, so each table
+    cell is one fragment with its true x0) feed the same geometric grid
+    detector; bare-stream files keep the legacy op scan."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF")
     page_start, page_stop = pages
@@ -110,22 +116,43 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
     line_id = 0
     page_id = 0
     saw_text = False
-    for stream_m in _STREAM_RE.finditer(data):
-        payload = stream_m.group(1)
-        try:
-            payload = zlib.decompress(payload)
-        except zlib.error:
-            pass
-        blocks = _BT_RE.findall(payload)
-        if not blocks:
+
+    per_page: List[List[Op]] = []
+    try:
+        from dedoc_ray.readers.pdf import _structured_page_items
+
+        structured, _rot = _structured_page_items(data)
+    except Exception as e:
+        if "encrypted" in str(e).lower():
+            raise ValueError("PDF is encrypted (no-password decryption unsupported)")
+        structured = None
+    if structured is not None:
+        # rotated pages arrive as raw ops, upright ones as fragments —
+        # both are the Op 5-tuple shape the grid detector consumes
+        per_page = [items for _assembled, items in structured]
+    else:
+        for stream_m in _STREAM_RE.finditer(data):
+            payload = stream_m.group(1)
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                pass
+            blocks = _BT_RE.findall(payload)
+            if not blocks:
+                continue
+            page_ops: List[Op] = []
+            for block in blocks:
+                page_ops.extend(op for op in _iter_text_ops(block) if op[4])
+            per_page.append(page_ops)
+
+    for page_ops in per_page:
+        if not page_ops:
+            page_id += 1
             continue
         if page_id < page_start or (page_stop is not None and page_id >= page_stop):
             page_id += 1
             saw_text = True
             continue
-        page_ops: List[Op] = []
-        for block in blocks:
-            page_ops.extend(op for op in _iter_text_ops(block) if op[4])
         grids, rest = detect_tables(page_ops)
         for grid in grids:
             cells = []

@@ -307,3 +307,28 @@ def test_json_dict_with_list():
     r = parse("json/dict_with_list.json")
     assert r["status"] == "ok"
     assert r["extracted_text"]
+
+
+def test_pdf_tabby_real_tables_vvp():
+    # reference pins this row (test_api_format_pdf_tabby_reader.py:139,174)
+    from dedoc_ray.readers.pdf_tables import read_pdf_tabby
+
+    with open(os.path.join(DATA, "pdf_with_text_layer/VVP_6_tables.pdf"), "rb") as f:
+        doc = read_pdf_tabby(f.read())
+    assert len(doc.tables) == 6  # the file is named for its six tables
+    rows = [
+        [c.get_text() for c in row]
+        for t in doc.tables
+        for row in t.cells
+    ]
+    assert ["Франция", "9", "3037"] in rows
+
+
+def test_pdf_tabby_real_tables_global():
+    from dedoc_ray.readers.pdf_tables import read_pdf_tabby
+
+    with open(os.path.join(DATA, "pdf_with_text_layer/VVP_global_table.pdf"), "rb") as f:
+        doc = read_pdf_tabby(f.read())
+    assert doc.tables
+    rows = [[c.get_text() for c in row] for t in doc.tables for row in t.cells]
+    assert any("Франция" in r[0] for r in rows if r)
