@@ -22,6 +22,9 @@ _LETTERS_RU = set("–∞–±–≤–≥–¥–µ—ë–∂–∑–∏–π–∫–ª–º–Ω–æ–ø—Ä—Å—Ç—É—Ñ—Ö—Ü—á—à—â—ä—ã—å—
 _DIGITS = set("0123456789")
 _SPECIAL = set("-@#$%&*_+=:;.,!?'\"()[]{}<>/\\|~^ \n\t\r")
 _VOWELS = set("aeiouAEIOU–∞–µ—ë–∏–æ—É—ã—ç—é—è–ê–ï–Å–ò–û–£–´–≠–Æ–Ø")
+#: symbols that are GARBAGE inside a word (punctuation that legitimately
+#: trails words ‚Äî .,!?:;()"' ‚Äî is excluded)
+_WORD_SPECIAL = set("#$%&*+=<>\\|~^{}[]@")
 
 
 def txtlayer_features(text: str) -> List[float]:
@@ -72,6 +75,21 @@ def txtlayer_features(text: str) -> List[float]:
     ords = np.minimum(cp, 2048).astype(np.float64)
     mean_ord = float(ords.sum()) / n
     var_ord = float(((ords - mean_ord) ** 2).sum()) / n
+    # word-level script coherence: OCR homoglyph garbage ('–¢–ù–ï –°–í–ï–ê–¢
+    # –ï–ú–°–¢1$–ù') mixes Cyrillic+Latin or letters+digits/symbols INSIDE
+    # words ‚Äî readable text almost never does (reference XGBoost learns
+    # the same signal from its char-class columns)
+    mixed_script = 0
+    alnum_mixed = 0
+    for w in words:
+        ws = set(w)
+        has_en = bool(ws & _LETTERS_EN)
+        has_ru = bool(ws & _LETTERS_RU)
+        if has_en and has_ru:
+            mixed_script += 1
+        if (has_en or has_ru) and (ws & _DIGITS or ws & _WORD_SPECIAL):
+            alnum_mixed += 1
+    n_words = max(len(words), 1)
     return [
         n_letters / n,                         # letters_proportion
         n_dig / n,                             # digits_proportion
@@ -83,24 +101,28 @@ def txtlayer_features(text: str) -> List[float]:
         (n_vowel / n_letters) if n_letters else 0.0,  # vowel ratio
         min(math.sqrt(var_ord), 512.0) / 512.0,       # std_char_ord (clipped)
         min(mean_ord, 2048.0) / 2048.0,               # mean_char_ord (clipped)
+        mixed_script / n_words,                       # mixed-script words
+        alnum_mixed / n_words,                        # letter+digit/symbol words
     ]
 
 
 # Logistic-regression weights trained by scripts/train_txtlayer.py
 # (deterministic synthetic corpus, seed 0; held-out accuracy printed there).
 _WEIGHTS = [
-    15.7346215,
-    -8.2383822,
-    -7.3265367,
-    0.1697026,
-    -4.7112052,
-    -0.2551292,
-    -3.6935008,
-    1.3407718,
-    -0.3882168,
-    1.8153032,
+    11.3069170,
+    -4.2290739,
+    -5.6619734,
+    1.4158696,
+    -3.9904376,
+    -0.2005106,
+    0.1143911,
+    2.4740279,
+    -4.5471200,
+    2.1912010,
+    -9.4956724,
+    -11.4084401,
 ]
-_BIAS = -4.5218668
+_BIAS = -2.5720982
 
 
 class TxtlayerClassifier:

@@ -41,8 +41,17 @@ def make_positive(rng: np.random.RandomState, words=None) -> str:
     return " ".join(out)
 
 
+_HOMOGLYPH = str.maketrans({
+    "A": "А", "B": "В", "C": "С", "E": "Е", "H": "Н", "K": "К", "M": "М",
+    "O": "О", "P": "Р", "T": "Т", "X": "Х", "a": "а", "c": "с", "e": "е",
+    "o": "о", "p": "р", "x": "х", "y": "у", "i": "1", "l": "1", "s": "$",
+    "f": "{", "G": "С", "R": "В", "D": "О", "L": "Т", "N": "М", "S": "5",
+    "I": "1", "t": "т", "n": "п", "m": "м", "u": "и", "d": "д", "g": "д",
+})
+
+
 def make_negative(rng: np.random.RandomState) -> str:
-    kind = rng.randint(5)
+    kind = rng.randint(6)
     n = rng.randint(150, 600)
     if kind == 0:  # utf-8 bytes read as latin-1 (classic mojibake).
         # Must be non-ASCII source: ASCII survives the trip unchanged and
@@ -57,8 +66,11 @@ def make_negative(rng: np.random.RandomState) -> str:
     if kind == 3:  # symbol salad
         pool = "#$%&*+=<>/\\|~^{}[]()"
         return "".join(pool[rng.randint(len(pool))] if rng.rand() < 0.7 else " " for _ in range(n))
-    # hexdump-ish
-    return " ".join(f"{rng.randint(0, 255):02x}" for _ in range(n // 3))
+    if kind == 4:  # hexdump-ish
+        return " ".join(f"{rng.randint(0, 255):02x}" for _ in range(n // 3))
+    # OCR homoglyph garbage: Latin text misread through a Cyrillic font
+    # (the english_doc_bad_text.pdf fixture shape: 'ТНЕ СВЕАТ ЕМСТ1$Н')
+    return make_positive(rng, EN_WORDS).upper().translate(_HOMOGLYPH)[:n]
 
 
 def main() -> None:

@@ -332,3 +332,30 @@ def test_pdf_tabby_real_tables_global():
     assert doc.tables
     rows = [[c.get_text() for c in row] for t in doc.tables for row in t.cells]
     assert any("Франция" in r[0] for r in rows if r)
+
+
+def test_pdf_auto_bad_text_layer_routes_to_ocr():
+    # reference pdf_auto fixture: a PDF whose text layer is Cyrillic
+    # homoglyph garbage — the txtlayer classifier must reject it
+    r = parse("pdf_auto/english_doc_bad_text.pdf")
+    assert "СВЕАТ" not in (r["extracted_text"] or "")
+    assert any("classified incorrect" in w for w in r["warnings"])
+
+
+def test_law_hat_on_real_fixtures():
+    from dedoc_ray.structure.domain import classify_law_hat
+
+    def hat(rel):
+        with open(os.path.join(DATA, rel), encoding="utf-8", errors="replace") as f:
+            return classify_law_hat(f.read().split("\n")[:40])
+
+    assert hat("laws/prikaz_0.txt") == "order"
+    assert hat("laws/minsport_24.12.2013_1112.txt") == "order"
+    # КоАП Москвы: 'З А К О Н' appears but КОДЕКС wins (the закон-deferral)
+    assert hat("laws/коап_москвы_8_7_2015_utf.txt") == "code"
+
+
+def test_docx_merged_cells_table():
+    r = parse("docx/big_table_with_merged_cells.docx")
+    rows = table_texts(r, 0)
+    assert len(rows) == 6 and rows[2][:4] == ["1", "2", "3", "4"]

@@ -30,7 +30,7 @@ def test_obvious_cases():
 def test_features_deterministic():
     t = "Sample text 123 with punctuation!"
     assert txtlayer_features(t) == txtlayer_features(t)
-    assert len(txtlayer_features(t)) == 10
+    assert len(txtlayer_features(t)) == 12
 
 
 def test_pdf_auto_routes_garbage_layer_to_ocr_stub():
@@ -103,3 +103,14 @@ def test_pdf_unrotated_has_no_rotation_warning():
 
     doc = read_pdf_textlayer(_pdf_with_rotation([(72, 760, "plain")]))
     assert not any("rotated" in w for w in doc.warnings)
+
+
+def test_homoglyph_garbage_detected():
+    # english_doc_bad_text.pdf shape: Latin text misread via Cyrillic
+    # homoglyphs — the word-level script-coherence features catch it
+    from dedoc_ray.readers.txtlayer import TxtlayerClassifier
+
+    c = TxtlayerClassifier()
+    assert not c.is_correct("ТНЕ СВЕАТ ЕМСТ1$Н РОСОМЕМТ 1) Е15т${ Нет мВ зоте еп 1$В {ехт " * 4)
+    assert c.is_correct("Обычный русский текст про результаты анализа данных и метод работы. " * 3)
+    assert c.is_correct("Plain english sentence about data analysis results and methods. " * 3)
