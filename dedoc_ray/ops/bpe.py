@@ -106,36 +106,27 @@ def _word_counts(sf_dir: str):
 def bpe_merges(sf_dir: str, n_merges: int = N_MERGES_DEFAULT):
     """Learn the first ``n_merges`` BPE merges over the corpus; returns a
     pyarrow Table (rank, left, right) — tiny and deterministic."""
-    from dedoc_ray.ops.shuffle import hash_partition_apply
-
     words = _word_counts(sf_dir).materialize()  # vocabulary-bounded, reused every round
-
-    def part_best(df: pd.DataFrame) -> pd.DataFrame:
-        """Key-complete partition: global pair sums, keep only the local
-        argmax — the driver folds ≤ num_parts rows per round, never the
-        n_batches × |observed pairs| raw-partial table (r2 verdict #3)."""
-        if df.empty:
-            return pd.DataFrame({
-                "a": pd.Series([], dtype="string"), "b": pd.Series([], dtype="string"),
-                "n": pd.Series([], dtype="int64"),
-            })
-        agg = df.groupby(["a", "b"], as_index=False)["n"].sum()
-        agg = agg.sort_values(["n", "a", "b"], ascending=[False, True, True], kind="stable")
-        return agg.head(1).astype({"n": "int64"})
 
     merges: List[Tuple[str, str]] = []
     for rank in range(n_merges):
         # task-based: a fresh actor pool per round cost ~1.5s of spinup × R
-        # rounds; the "state" is a ≤R-pair list, cheap to ship per task
+        # rounds; the "state" is a ≤R-pair list, cheap to ship per task.
+        # batch_size=None → ONE Counter-combined partial per word-table
+        # BLOCK, and the word table has exactly num_parts(=8) blocks from
+        # _word_counts' keyed shuffle — so the driver pull is bounded by
+        # 8 × |pair alphabet| regardless of corpus size (r2 verdict #3),
+        # with no per-round shuffle (a keyed exchange per round costs ~2 s
+        # of fixed Ray overhead × R rounds — the round-2e lesson).
         kernel = PairCountKernel(list(merges))
-        partials = words.map_batches(
-            lambda b: kernel(b), batch_format="pyarrow", batch_size=4096
-        )
-        cand = hash_partition_apply(partials, ["a", "b"], part_best, num_parts=8).to_pandas()
-        if cand.empty:
+        pairs = words.map_batches(
+            lambda b: kernel(b), batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        if pairs.empty:
             break
-        cand = cand.sort_values(["n", "a", "b"], ascending=[False, True, True], kind="stable")
-        best = cand.iloc[0]
+        agg = pairs.groupby(["a", "b"], as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "a", "b"], ascending=[False, True, True], kind="stable")
+        best = agg.iloc[0]
         if int(best["n"]) < 2:
             break
         merges.append((str(best["a"]), str(best["b"])))

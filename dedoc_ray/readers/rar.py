@@ -1,0 +1,147 @@
+"""RAR container parsing — member listing + stored-member extraction.
+
+The reference extracts RAR archives through the external ``rarfile`` +
+unrar binary (dedoc/readers/archive_reader/archive_reader.py:9-113). The
+RAR *decompression* algorithm (method 0x31-0x35 / RAR5 LZ) has no
+freely-licensed implementation, so that part stays an honest gate — but
+the CONTAINER format is plain structure: this module walks the header
+chains of both generations and yields every member's name, size and
+directory flag, plus the payload for STORED (method 0x30 / RAR5 comp 0)
+members. Compressed members surface in the listing with a None payload
+and the caller emits the unsupported-compression warning.
+
+Formats (public format descriptions, e.g. the rarfile project docs):
+- RAR 4.x: signature ``Rar!\\x1a\\x07\\x00``; 7-byte block headers
+  (crc16, type, flags, size) + per-type fixed fields; file header 0x74
+  with ADD_SIZE = packed size; directory = (flags & 0xE0) == 0xE0.
+- RAR 5.x: signature ``Rar!\\x1a\\x07\\x01\\x00``; blocks are
+  crc32 + vint(size) + header data of vint fields; file header type 2,
+  directory bit 0x1 in file flags, compression method bits 7..9.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Optional, Tuple
+
+RAR4_SIG = b"Rar!\x1a\x07\x00"
+RAR5_SIG = b"Rar!\x1a\x07\x01\x00"
+
+
+class BadRar(ValueError):
+    pass
+
+
+class RarMember:
+    __slots__ = ("name", "size", "is_dir", "payload", "method")
+
+    def __init__(self, name: str, size: int, is_dir: bool, payload: Optional[bytes], method: int) -> None:
+        self.name = name
+        self.size = size
+        self.is_dir = is_dir
+        self.payload = payload  # None = compressed (no free decoder)
+        self.method = method
+
+
+def _iter_rar4(data: bytes) -> Iterator[RarMember]:
+    pos = 7
+    n = len(data)
+    while pos + 7 <= n:
+        _crc, htype, flags, size = struct.unpack_from("<HBHH", data, pos)
+        if size < 7:
+            break
+        add = 0
+        if htype == 0x74:  # file header
+            if pos + 32 > n:
+                break
+            (packsize, unpsize, _host, _fcrc, _ftime, _ver, method, namelen, _attr) = struct.unpack_from(
+                "<IIBIIBBHI", data, pos + 7
+            )
+            add = packsize
+            if flags & 0x100:  # LHD_LARGE: 64-bit sizes follow
+                high_pack, high_unp = struct.unpack_from("<II", data, pos + 32)
+                packsize |= high_pack << 32
+                unpsize |= high_unp << 32
+                add = packsize
+                name_off = pos + 40
+            else:
+                name_off = pos + 32
+            raw_name = data[name_off : name_off + namelen]
+            if flags & 0x200 and b"\x00" in raw_name:  # unicode name block
+                raw_name = raw_name.split(b"\x00", 1)[0]
+            name = raw_name.decode("utf-8", "replace").replace("\\", "/")
+            is_dir = (flags & 0xE0) == 0xE0
+            payload: Optional[bytes] = None
+            if method == 0x30 and not is_dir:  # stored
+                payload = data[pos + size : pos + size + packsize]
+            yield RarMember(name, unpsize, is_dir, payload, method)
+        elif flags & 0x8000:  # other block with ADD_SIZE
+            if pos + 11 <= n:
+                (add,) = struct.unpack_from("<I", data, pos + 7)
+        pos += size + add
+        if htype == 0x7B:  # archive end
+            break
+
+
+def _vint(data: bytes, pos: int) -> Tuple[int, int]:
+    val = 0
+    shift = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+        if shift > 70:
+            break
+    raise BadRar("bad vint")
+
+
+def _iter_rar5(data: bytes) -> Iterator[RarMember]:
+    pos = 8
+    n = len(data)
+    while pos + 5 <= n:
+        # crc32(4) + vint header size + header data
+        hsize, hstart = _vint(data, pos + 4)
+        hend = hstart + hsize
+        if hsize == 0 or hend > n:
+            break
+        p = hstart
+        htype, p = _vint(data, p)
+        hflags, p = _vint(data, p)
+        extra_size = data_size = 0
+        if hflags & 0x01:
+            extra_size, p = _vint(data, p)
+        if hflags & 0x02:
+            data_size, p = _vint(data, p)
+        if htype == 2:  # file header
+            fflags, p = _vint(data, p)
+            unpsize, p = _vint(data, p)
+            _attr, p = _vint(data, p)
+            if fflags & 0x02:  # mtime
+                p += 4
+            if fflags & 0x04:  # crc32
+                p += 4
+            comp, p = _vint(data, p)
+            _host, p = _vint(data, p)
+            namelen, p = _vint(data, p)
+            name = data[p : p + namelen].decode("utf-8", "replace")
+            is_dir = bool(fflags & 0x01)
+            method = (comp >> 7) & 0x07
+            payload: Optional[bytes] = None
+            if method == 0 and not is_dir:  # stored
+                payload = data[hend : hend + data_size]
+            yield RarMember(name, unpsize, is_dir, payload, method)
+        elif htype == 5:  # end of archive
+            break
+        pos = hend + data_size
+
+
+def rar_list(data: bytes) -> List[RarMember]:
+    """All members of a RAR4/RAR5 archive (files AND directories flagged)."""
+    if data.startswith(RAR5_SIG):
+        return list(_iter_rar5(data))
+    if data.startswith(RAR4_SIG):
+        return list(_iter_rar4(data))
+    raise BadRar("not a RAR archive")
