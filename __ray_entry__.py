@@ -735,6 +735,25 @@ def q_extract_7z(sf_dir: str):
     return ds.map_batches(shape, batch_format="pyarrow")
 
 
+def q_extract_rar(sf_dir: str):
+    """Native RAR container parsing (readers/rar.py — RAR4/RAR5 header
+    walk; STORED members extracted, the LZ decompressor stays the honest
+    license gate): same member manifest shape as extract_archive."""
+    ds = _office_extract(sf_dir, "rar")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        atts = batch["attachments"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "n_attachments": pa.array([len(a) for a in atts], "int64"),
+                "total_size": pa.array([sum(x["size"] for x in a) for a in atts], "int64"),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
 def q_extract_archive(sf_dir: str):
     """Archive member manifest per url: count + total member bytes."""
     ds = _office_extract(sf_dir, "zip")
@@ -1644,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_mhtml": q_extract_mhtml,
         "extract_archive": q_extract_archive,
         "extract_7z": q_extract_7z,
+        "extract_rar": q_extract_rar,
         "extract_csv": q_extract_csv,
         "extract_law": q_extract_law,
         "extract_law_ml": q_extract_law_ml,
@@ -2013,6 +2033,8 @@ FROM base WHERE cls <= 3
                            f"CAST(octet_length(encode(text)) + 8 AS BIGINT) AS total_size FROM documents",
         "extract_7z": f"SELECT {office_url.format(ext='7z')} AS url, CAST(2 AS BIGINT) AS n_attachments, "
                       f"CAST(octet_length(encode(text)) + 8 AS BIGINT) AS total_size FROM documents",
+        "extract_rar": f"SELECT {office_url.format(ext='rar')} AS url, CAST(2 AS BIGINT) AS n_attachments, "
+                       f"CAST(octet_length(encode(text)) + 8 AS BIGINT) AS total_size FROM documents",
         "extract_csv": f"SELECT {office_url.format(ext='csv')} AS url, CAST(1 AS BIGINT) AS n_tables, "
                        f"CAST(len(string_split(text, ' the ')) AS BIGINT) AS n_rows FROM documents",
         "extract_law": f"SELECT {office_url.format(ext='txt')} AS url, "

@@ -35,8 +35,20 @@ def _iter_members(data: bytes):
         except zipfile.BadZipFile as e:
             raise BadArchive(f"bad zip: {e}") from e
     elif data[:6] == b"Rar!\x1a\x07":
-        # RAR decompression has no public-license implementation; stays stubbed
-        raise BadArchive("rar archives need the external unrar binary (stubbed)")
+        # the RAR CONTAINER is parsed natively (readers/rar.py, RAR4+RAR5):
+        # members are listed and STORED payloads extracted; the
+        # decompression algorithm itself has no freely-licensed
+        # implementation, so compressed members surface with empty
+        # payloads (the caller's manifest still carries name+size)
+        from dedoc_ray.readers.rar import BadRar, rar_list
+
+        try:
+            members = rar_list(data)
+        except BadRar as e:
+            raise BadArchive(f"bad rar: {e}") from e
+        for m in members:
+            if not m.is_dir:
+                yield m.name, (m.payload if m.payload is not None else b"")
     elif data[:6] == b"7z\xbc\xaf\x27\x1c":
         # NATIVE 7z reader (readers/sevenzip.py): Copy/LZMA1/LZMA2 folders,
         # encoded headers, empty-stream bitfields — stdlib lzma, no binary

@@ -145,3 +145,43 @@ def rar_list(data: bytes) -> List[RarMember]:
     if data.startswith(RAR4_SIG):
         return list(_iter_rar4(data))
     raise BadRar("not a RAR archive")
+
+
+# ------------------------------------------------------------- writer
+#
+# STORED-member RAR4 writer — the container half is free; only the LZ
+# compressor is license-gated. Exists so the reader has a corpus whose
+# payloads survive the roundtrip (and so the oracle query covers the rar
+# path E2E like zip/7z).
+
+
+def _rar4_block(htype: int, flags: int, body: bytes, payload: bytes = b"") -> bytes:
+    size = 7 + len(body)
+    head = struct.pack("<BHH", htype, flags, size) + body
+    crc = __import__("zlib").crc32(head) & 0xFFFF
+    return struct.pack("<H", crc) + head + payload
+
+
+def rar_encode_stored(members: List[Tuple[str, bytes]]) -> bytes:
+    """[(name, payload)] → RAR4 archive with method 0x30 (stored) members."""
+    import zlib as _z
+
+    out = [RAR4_SIG]
+    out.append(_rar4_block(0x73, 0x0000, b"\x00" * 6))  # main header
+    for name, payload in members:
+        nameb = name.replace("/", "\\").encode("utf-8")
+        body = struct.pack(
+            "<IIBIIBBHI",
+            len(payload),          # packed size (stored: == unpacked)
+            len(payload),          # unpacked size
+            2,                     # host os: windows
+            _z.crc32(payload) & 0xFFFFFFFF,
+            0x28210000,            # dos timestamp (fixed, deterministic)
+            20,                    # version to extract
+            0x30,                  # method: stored
+            len(nameb),
+            0x20,                  # attributes: archive
+        ) + nameb
+        out.append(_rar4_block(0x74, 0x8000, body, payload))
+    out.append(_rar4_block(0x7B, 0x4000, b""))  # end of archive
+    return b"".join(out)

@@ -25,7 +25,7 @@ XLSX_EXT = (".xlsx",)
 PPTX_EXT = (".pptx",)
 EML_EXT = (".eml",)
 MHTML_EXT = (".mhtml", ".mht")
-ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz", ".7z",
+ARCHIVE_EXT = (".zip", ".tar", ".tar.gz", ".tgz", ".7z", ".rar",
                ".tar.bz2", ".tbz2", ".tar.xz", ".txz")
 ODT_EXT = (".odt",)
 ODS_EXT = (".ods",)
@@ -127,6 +127,8 @@ def sniff_format(url: str, data: bytes) -> str:
         return "archive"
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
         return "archive"  # native 7z (readers/sevenzip.py)
+    if data[:6] == b"Rar!\x1a\x07":
+        return "archive"  # native rar container listing (readers/rar.py)
     if data[:2] == b"\x1f\x8b":
         return "txt"  # .txt.gz analogue
     if data[:3] == b"BZh" or data[:6] == b"\xfd7zXZ\x00":

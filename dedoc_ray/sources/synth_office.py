@@ -167,6 +167,14 @@ def archive_bytes(doc_id: int, text: str) -> bytes:
     return _zip_bytes([("body.txt", text.encode("utf-8")), ("meta.txt", "12345678")])
 
 
+def rar_bytes(doc_id: int, text: str) -> bytes:
+    """RAR4 archive (STORED members — the license-free subset) with the
+    same two members as archive_bytes, so the zip oracle shape carries."""
+    from dedoc_ray.readers.rar import rar_encode_stored
+
+    return rar_encode_stored([("body.txt", text.encode("utf-8")), ("meta.txt", b"12345678")])
+
+
 def sevenzip_bytes(doc_id: int, text: str) -> bytes:
     """.7z with the same two members as archive_bytes — solid LZMA2 folder,
     with the metadata header itself LZMA2-compressed (kEncodedHeader) for
@@ -376,6 +384,7 @@ _GENERATORS: Dict[str, Callable[[int, str], bytes]] = {
     "mhtml": mhtml_bytes,
     "zip": archive_bytes,
     "7z": sevenzip_bytes,
+    "rar": rar_bytes,
     "csv": csv_bytes,
     "law": law_bytes,
     "pdf2col": pdf_twocol_bytes,
