@@ -182,6 +182,10 @@ class ExtractKernel:
             from dedoc_ray.readers.article import read_tei
 
             return read_tei(data)
+        if fmt == "djvu":
+            from dedoc_ray.readers.djvu import read_djvu
+
+            return read_djvu(data)
         if fmt == "note":
             from dedoc_ray.readers.note import read_note
 

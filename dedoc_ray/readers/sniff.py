@@ -129,6 +129,8 @@ def sniff_format(url: str, data: bytes) -> str:
         return "archive"  # native 7z (readers/sevenzip.py)
     if data[:6] == b"Rar!\x1a\x07":
         return "archive"  # native rar container listing (readers/rar.py)
+    if data[:4] == b"AT&T" and data[4:8] == b"FORM":
+        return "djvu"  # container/structure reader (readers/djvu.py)
     if data[:2] == b"\x1f\x8b":
         return "txt"  # .txt.gz analogue
     if data[:3] == b"BZh" or data[:6] == b"\xfd7zXZ\x00":

@@ -359,3 +359,20 @@ def test_docx_merged_cells_table():
     r = parse("docx/big_table_with_merged_cells.docx")
     rows = table_texts(r, 0)
     assert len(rows) == 6 and rows[2][:4] == ["1", "2", "3", "4"]
+
+
+def test_djvu_container_structure():
+    # djvulibre/ddjvu absent: the container reader surfaces page count,
+    # geometry and the honest BZZ gate warning (readers/djvu.py)
+    r = parse("scanned/example_with_table9.djvu")
+    assert r["status"] == "ok"
+    assert "djvu pages: 4" in r["warnings"]
+    assert "[djvu page 0: 2481x3508 @ 300 dpi]" in r["extracted_text"]
+    assert any("BZZ-coded" in w for w in r["warnings"])
+
+    r2 = parse("scanned/example_with_table7.djvu")
+    assert "djvu pages: 2" in r2["warnings"]
+    assert any("no text layer" in w for w in r2["warnings"])
+
+    r3 = parse("scanned/broken.djvu")
+    assert r3["status"] in ("parse_error", "bad_file")
