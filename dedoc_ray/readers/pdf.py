@@ -539,13 +539,78 @@ _IMGOBJ_RE = re.compile(
 )
 
 
+#: full-decode cap for embedded rasters: above this, only geometry is
+#: surfaced (the pure-Python JPEG decode of an 8 MP scan costs ~1 min —
+#: the codec constant factor, not the route; a deployment with a C-backed
+#: decoder raises this)
+_OCR_MAX_PIXELS = 1_500_000
+
+
+def _structured_page_images(data: bytes):
+    """Page-ordered image XObjects via the real object layer:
+    [(page_idx, width, height, filter_name, decode_fn_or_None)]."""
+    from dedoc_ray.readers.pdf_objects import PdfDocument, PdfError, Stream
+
+    try:
+        doc = PdfDocument(data)
+        tree_pages = list(doc.pages())
+    except PdfError:
+        return None
+    if not tree_pages:
+        return None
+    out = []
+    for idx, page in enumerate(tree_pages):
+        res = doc.resolve(page.get("Resources")) or {}
+        xobjects = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+        if not isinstance(xobjects, dict):
+            continue
+        for name, xo in xobjects.items():
+            xo = doc.resolve(xo)
+            if not isinstance(xo, Stream) or str(doc.resolve(xo.dict.get("Subtype", ""))) != "Image":
+                continue
+            d = xo.dict
+            w = int(doc.resolve(d.get("Width", 0)) or 0)
+            h = int(doc.resolve(d.get("Height", 0)) or 0)
+            filters = doc.resolve(d.get("Filter"))
+            if isinstance(filters, list):
+                filters = [str(doc.resolve(f)) for f in filters]
+            else:
+                filters = [str(filters)] if filters is not None else []
+            bpc = int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+            cs = str(doc.resolve(d.get("ColorSpace", "")))
+
+            def make_decoder(xo=xo, d=d, filters=filters, bpc=bpc, cs=cs, w=w, h=h):
+                import numpy as np
+
+                if "DCTDecode" in filters or "DCT" in filters:
+                    from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes
+
+                    def dec():
+                        return jpeg_decode_planes(xo.raw)[0]  # luma plane
+
+                    return dec
+                if bpc == 8 and "DeviceGray" in cs and (not filters or "FlateDecode" in filters or "Fl" in filters):
+                    def dec():
+                        payload = doc.stream_bytes(xo)
+                        if len(payload) < w * h:
+                            raise ValueError("short raster")
+                        return np.frombuffer(payload[: w * h], np.uint8).reshape(h, w)
+
+                    return dec
+                return None  # CCITT/JBIG2/JPX/1-bit: geometry only
+
+            out.append((idx, w, h, "+".join(filters) or "raw", make_decoder()))
+    return out
+
+
 def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "UnstructuredDoc | None":
-    """Scanned-PDF OCR route: decode DeviceGray 8-bit image XObjects (one
-    per page) and run the scan recognizer over each raster — the
-    PdfImageReader page loop (pdf_image_reader.py:61-131: orientation →
-    binarize → line extraction → bold detect), with the synthetic-font
-    recognizer standing in for Tesseract (see readers/scan_ocr.py). Returns
-    None when no supported raster exists (caller keeps the stub warning)."""
+    """Scanned-PDF OCR route (reference PdfImageReader page loop,
+    pdf_image_reader.py:61-131: orientation → binarize → line extraction),
+    with the deterministic recognizer standing in for Tesseract. Image
+    XObjects come from the real object layer when the file has a usable
+    structure (DCT rasters decode through ops/jpeg_codec — size-capped;
+    CCITT/JBIG2 surface geometry-only warnings); bare-stream files keep
+    the legacy regex scan below. Returns None when no raster exists."""
     import numpy as np
 
     from dedoc_ray.readers.scan_ocr import lines_from_recognized, ocr_raster
@@ -557,6 +622,38 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
     line_id = 0
     page_id = 0
     saw_image = False
+
+    structured = None
+    try:
+        structured = _structured_page_images(data)
+    except Exception:
+        structured = None
+    if structured:
+        for idx, w, h, filt, decode in structured:
+            if idx < page_start or (page_stop is not None and idx >= page_stop):
+                saw_image = True
+                continue
+            saw_image = True
+            if decode is None:
+                warnings.append(f"page {idx} raster {w}x{h} ({filt}): no native decoder, geometry only")
+                continue
+            if w * h > _OCR_MAX_PIXELS:
+                warnings.append(f"page {idx} raster {w}x{h} ({filt}): above OCR decode cap, geometry only")
+                continue
+            try:
+                raster = decode()
+            except Exception as e:
+                warnings.append(f"page {idx} raster {w}x{h} ({filt}): decode failed ({e})")
+                continue
+            recognized, k = ocr_raster(raster, with_metadata=True)
+            if k:
+                warnings.append(f"page {idx} scan orientation corrected {90 * k} degrees")
+            lines.extend(lines_from_recognized(recognized, file_hash, page_id=idx, start_line_id=line_id))
+            line_id += len(recognized)
+        if not saw_image:
+            return None
+        return UnstructuredDoc(lines=lines, warnings=warnings)
+
     for m in _IMGOBJ_RE.finditer(data):
         d = m.group("dict")
         wm = re.search(rb"/Width\s+(\d+)", d)

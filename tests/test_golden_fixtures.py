@@ -376,3 +376,12 @@ def test_djvu_container_structure():
 
     r3 = parse("scanned/broken.djvu")
     assert r3["status"] in ("parse_error", "bad_file")
+
+
+def test_scanned_pdf_raster_inventory():
+    # real scanned PDFs: the OCR route walks image XObjects through the
+    # object layer and surfaces codec + geometry honestly
+    r = parse("pdf_auto/tz_scan_1page.pdf")
+    assert any("DCTDecode" in w and "1654x2338" in w for w in r["warnings"])
+    r2 = parse("laws/with_applications.pdf")
+    assert any("CCITTFaxDecode" in w and "no native decoder" in w for w in r2["warnings"])
