@@ -1523,6 +1523,15 @@ def q_image_features_jpeg_prog_color(sf_dir: str):
     return image_features_jpeg_prog_color(sf_dir)
 
 
+def q_audio_frames_mixed(sf_dir: str):
+    """Heterogeneous audio integration: WAV/AU/ADPCM/FLAC containers by
+    doc_id % 4 through ONE magic-dispatched frame stage (all four carry
+    the same sample field, so the WAV oracle applies without a CASE)."""
+    from dedoc_ray.ops.multimodal import audio_frames_mixed
+
+    return audio_frames_mixed(sf_dir)
+
+
 def q_audio_frames_flac(sf_dir: str):
     """Audio framing over FLAC — real LOSSLESS compression (Rice-coded
     residuals, fixed/LPC predictors, CRC-verified frames). Decode equals
@@ -1752,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frames_au": q_audio_frames_au,
         "audio_frames_adpcm": q_audio_frames_adpcm,
         "audio_frames_flac": q_audio_frames_flac,
+        "audio_frames_mixed": q_audio_frames_mixed,
         "video_frames_y4m": q_video_frames_y4m,
         "video_frames_avi": q_video_frames_avi,
         "language_id": q_language_id,
@@ -2139,6 +2149,7 @@ FROM base WHERE cls <= 3
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container
         "audio_frames_adpcm": AUDIO_FRAMES_WAV_SQL,  # same (n, rate) field, IMA ADPCM
         "audio_frames_flac": AUDIO_FRAMES_WAV_SQL,  # same field, lossless FLAC
+        "audio_frames_mixed": AUDIO_FRAMES_WAV_SQL,  # same field, 4 containers by doc_id%4
         "video_frames_y4m": VIDEO_FRAMES_Y4M_SQL,
         "video_frames_avi": VIDEO_FRAMES_Y4M_SQL,  # same frame field, MJPEG/AVI container
         "lineitem_pricing": LINEITEM_PRICING_SQL,

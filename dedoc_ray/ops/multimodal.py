@@ -522,6 +522,42 @@ def image_features_mixed(sf_dir: str):
     )
 
 
+def audio_corpus_mixed(sf_dir: str):
+    """HETEROGENEOUS audio corpus: each doc's container picked by
+    doc_id % 4 across WAV/AU/IMA-ADPCM/FLAC, one stream, per-row magic
+    dispatch in the frame kernel — the audio sibling of
+    media_corpus_mixed. All four carry the same sample field, so the WAV
+    oracle applies without a CASE."""
+    import ray.data as rd
+
+    from dedoc_ray.ops import media_codecs as mc
+    from dedoc_ray.ops.flac_codec import flac_payload
+
+    fns = [mc.wav_payload, mc.au_payload, mc.adpcm_payload, flac_payload]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "audio": pa.array([fns[d % 4](d) for d in doc_ids], "binary"),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
+def audio_frames_mixed(sf_dir: str, frame_len: int = 400):
+    """Audio frame stats over the mixed-container corpus — one actor
+    stage, four containers (RIFF/WAVE PCM, Sun AU big-endian, IMA ADPCM,
+    FLAC), per-row magic dispatch."""
+    return audio_corpus_mixed(sf_dir).map_batches(
+        AudioFrameKernel, fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4), num_cpus=1,
+    )
+
+
 IMAGE_FEATURES_MIXED_SQL = """
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 6 <= 3 THEN 4 + doc_id % 8
