@@ -586,7 +586,7 @@ def _structured_page_images(data: bytes):
                     from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes
 
                     def dec():
-                        return jpeg_decode_planes(xo.raw)[0]  # luma plane
+                        return jpeg_decode_planes(doc.stream_raw(xo))[0]  # luma plane
 
                     return dec
                 if bpc == 8 and "DeviceGray" in cs and (not filters or "FlateDecode" in filters or "Fl" in filters):

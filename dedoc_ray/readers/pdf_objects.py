@@ -71,12 +71,14 @@ class Ref:
 
 
 class Stream:
-    __slots__ = ("dict", "raw", "_decoded")
+    __slots__ = ("dict", "raw", "_decoded", "num", "gen")
 
-    def __init__(self, d: Dict[str, Any], raw: bytes) -> None:
+    def __init__(self, d: Dict[str, Any], raw: bytes, num: int = 0, gen: int = 0) -> None:
         self.dict = d
         self.raw = raw
         self._decoded: Optional[bytes] = None
+        self.num = num  # owning object number — per-object decryption key
+        self.gen = gen
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -523,6 +525,8 @@ class PdfDocument:
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         self._scanned = False
+        self.handler = None
+        self._encrypt_num = -1
         try:
             ok = self._load_xref_chain()
         except PdfEncrypted:
@@ -533,8 +537,24 @@ class PdfDocument:
             self._scan_objects()
             if "Root" not in self.trailer:
                 self._find_root_by_scan()
-        if self.trailer.get("Encrypt") is not None:
-            raise PdfEncrypted("PDF is encrypted (/Encrypt in trailer)")
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            # empty-user-password standard security handler (RC4 + AES-128,
+            # readers/pdf_crypt.py) — the silently-readable subset; a real
+            # password keeps the explicit error
+            from dedoc_ray.readers.pdf_crypt import StandardSecurityHandler
+
+            self._encrypt_num = enc_ref.num if isinstance(enc_ref, Ref) else -1
+            enc = self.resolve(enc_ref)
+            ids = self.trailer.get("ID")
+            id0 = bytes(ids[0]) if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+            if not isinstance(enc, dict) or str(enc.get("Filter", "")) != "Standard":
+                raise PdfEncrypted("PDF is encrypted (unsupported security handler)")
+            handler = StandardSecurityHandler(enc, id0, self.resolve)
+            if not handler.authenticate_empty_password():
+                raise PdfEncrypted("PDF is encrypted (password required)")
+            self.handler = handler
+            self._cache.clear()  # re-read objects with string decryption on
 
     # -- xref machinery
 
@@ -723,7 +743,7 @@ class PdfDocument:
                 if end == -1:
                     end = len(self.data)
                 raw = self.data[pos:end].rstrip(b"\r\n")
-            return num, Stream(obj, raw)
+            return num, Stream(obj, raw, num=num, gen=int(m.group(2)))
         return num, obj
 
     def _load_objstm(self, num: int) -> Dict[int, int]:
@@ -733,7 +753,7 @@ class PdfDocument:
         container = self.get_object(num)
         if not isinstance(container, Stream):
             raise PdfError(f"object {num} is not an ObjStm")
-        payload = apply_filters(container.dict, container.raw, self.resolve)
+        payload = self.stream_bytes(container)
         n = int(self.resolve(container.dict.get("N", 0)))
         first = int(self.resolve(container.dict.get("First", 0)))
         head = payload[:first].split()
@@ -766,6 +786,11 @@ class PdfDocument:
                 got_num, obj = self._parse_indirect_at(entry[1])
                 if got_num != num:
                     raise PdfError("xref offset points at wrong object")
+                if getattr(self, "handler", None) is not None and num != getattr(self, "_encrypt_num", -1) \
+                        and not isinstance(obj, Stream):
+                    obj = self._decrypt_strings(obj, num, 0)
+                elif getattr(self, "handler", None) is not None and isinstance(obj, Stream):
+                    obj = self._decrypt_strings(obj, num, 0)  # dict strings
             except PdfError:
                 if not self._scanned:
                     # broken xref entry — rebuild by scan and retry once
@@ -795,8 +820,36 @@ class PdfDocument:
         if not isinstance(obj, Stream):
             return b""
         if obj._decoded is None:
-            obj._decoded = apply_filters(obj.dict, obj.raw, self.resolve)
+            raw = obj.raw
+            # xref streams are never encrypted (they bootstrap decryption);
+            # everything else decrypts with the per-object key first
+            if self.handler is not None and str(obj.dict.get("Type", "")) != "XRef":
+                raw = self.handler.decrypt(raw, obj.num, obj.gen)
+            obj._decoded = apply_filters(obj.dict, raw, self.resolve)
         return obj._decoded
+
+    def stream_raw(self, obj: Any) -> bytes:
+        """Decrypted but UNFILTERED stream payload (image codec paths)."""
+        obj = self.resolve(obj)
+        if not isinstance(obj, Stream):
+            return b""
+        if self.handler is not None and str(obj.dict.get("Type", "")) != "XRef":
+            return self.handler.decrypt(obj.raw, obj.num, obj.gen)
+        return obj.raw
+
+    def _decrypt_strings(self, obj: Any, num: int, gen: int, _depth: int = 0) -> Any:
+        if _depth > 32 or self.handler is None:
+            return obj
+        if isinstance(obj, bytes):
+            return self.handler.decrypt(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, num, gen, _depth + 1) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, num, gen, _depth + 1) for k, v in obj.items()}
+        if isinstance(obj, Stream):
+            obj.dict = self._decrypt_strings(obj.dict, num, gen, _depth + 1)
+            return obj
+        return obj
 
     # -- page tree
 

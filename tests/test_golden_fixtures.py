@@ -258,10 +258,16 @@ def test_pdf_multipage_page_count():
     assert "pdf pages: 9" in r["warnings"]
 
 
-def test_pdf_encrypted_detected():
+def test_pdf_encrypted_empty_password_decrypts():
+    # AES-128 (/CFM /AESV2) standard security handler with the EMPTY user
+    # password — the silently-readable owner-locked subset
+    # (readers/pdf_crypt.py: generated S-box, FIPS-197-vector-tested AES,
+    # the file's own /U entry validates the key derivation)
     r = parse("pdf_auto/e09d__cs-pspc-xg-15p-portable-radio-quick-guide.pdf")
-    assert r["status"] == "parse_error"
-    assert "encrypted" in (r["error_msg"] or "").lower()
+    assert r["status"] == "ok"
+    text = r["extracted_text"]
+    assert text.startswith("Quick Guide")
+    assert "Radio Controls" in text and "Rotate clockwise to apply power" in text
 
 
 # ------------------------------------------------------------------ pptx
