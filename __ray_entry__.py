@@ -199,6 +199,15 @@ def q_extract_scan(sf_dir: str):
     return _office_extract(sf_dir, "scan").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_pdf_encrypted(sf_dir: str):
+    """RC4-encrypted PDFs (standard security handler V2/R3, empty user
+    password) through the full pipeline: readers/pdf_crypt.py derives the
+    file key from /O+/P+/ID, verifies the /U handshake, and decrypts the
+    content stream per object — same layout as extract_pdf_layout, so the
+    byte-exact text oracle applies unchanged."""
+    return _office_extract(sf_dir, "pdf_encrypted").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_scan_multifont(sf_dir: str):
     """Multifont OCR (round-2 verdict #10): pages in a PROPORTIONAL-width
     font at two integer scales that the fixed-width 5x7 LUT cannot read;
@@ -1644,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
         "extract_scan_multifont": q_extract_scan_multifont,
+        "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_scan_2col": q_extract_scan_2col,
         "extract_scan_bmp": q_extract_scan_bmp,
         "extract_scan_png": q_extract_scan_png,
@@ -1945,6 +1955,8 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} || {docx_list} AS extracted_text FROM documents",
         "extract_pdf_layout": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                               f"{body} AS extracted_text FROM documents",
+        "extract_pdf_encrypted": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                                 f"{body} AS extracted_text FROM documents",
         "extract_scan": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                         f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_multifont": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "

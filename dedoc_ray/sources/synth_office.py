@@ -710,3 +710,64 @@ endcmap
 
 _GENERATORS["pdf_cid"] = pdf_cid_bytes
 _EXT_OVERRIDE["pdf_cid"] = "pdf"
+
+
+def pdf_encrypted_bytes(doc_id: int, text: str) -> bytes:
+    """RC4-encrypted text-layer PDF (standard security handler V2/R3,
+    128-bit, EMPTY user password — the silently-readable owner-locked
+    shape): same line layout as the plain synthetic PDF, so the layout
+    oracle applies unchanged once readers/pdf_crypt.py decrypts it."""
+    import hashlib as _h
+    import struct as _s
+
+    from dedoc_ray.readers.pdf_crypt import _PAD, rc4
+    from dedoc_ray.sources.synth import chunks_of
+
+    ops = []
+    for i, chunk in enumerate(chunks_of(text)):
+        y = 760 - 14 * i
+        safe = chunk.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ops.append(f"BT /F1 12 Tf 72 {y} Td ({safe}) Tj ET")
+    content = "\n".join(ops).encode("latin-1")
+
+    id0 = _h.md5(f"synthpdf-{doc_id}".encode()).digest()
+    owner = _h.md5(f"owner-{doc_id}".encode()).digest() * 2  # opaque /O bytes
+    p = 0xFFFFF0C0 - (1 << 32)  # typical owner-locked permission mask
+    # Algorithm 2: file key for the EMPTY user password
+    h = _h.md5()
+    h.update(_PAD)
+    h.update(owner[:32])
+    h.update(_s.pack("<i", p))
+    h.update(id0)
+    key = h.digest()
+    for _ in range(50):
+        key = _h.md5(key[:16]).digest()
+    key = key[:16]
+    # Algorithm 5: /U entry
+    u = rc4(key, _h.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+
+    def obj_key(num: int) -> bytes:
+        return _h.md5(key + _s.pack("<I", num)[:3] + b"\x00\x00").digest()[:16]
+
+    enc_content = rc4(obj_key(4), content)
+
+    def pdf_str(raw: bytes) -> bytes:
+        return b"(" + raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)") + b")"
+
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(enc_content)).encode() + b" >> stream\n" + enc_content + b"\nendstream endobj",
+        b"5 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P " + str(p).encode()
+        + b" /O " + pdf_str(owner[:32]) + b" /U " + pdf_str(u) + b" >> endobj",
+    ]
+    trailer = (b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [" + pdf_str(id0) + pdf_str(id0) + b"] >>")
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\n" + trailer + b"\n%%EOF"
+
+
+_GENERATORS["pdf_encrypted"] = pdf_encrypted_bytes
+_EXT_OVERRIDE["pdf_encrypted"] = "pdf"
