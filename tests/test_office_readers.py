@@ -178,9 +178,17 @@ def test_archive_zip_and_tar_members():
     assert [(n, sz) for n, sz, _ in doc.attachments] == [("m.txt", 4)]
 
 
-def test_archive_rar_stubbed():
-    with pytest.raises(BadArchive):
-        read_archive(b"Rar!\x1a\x07\x00garbage")
+def test_archive_rar_native_listing():
+    # rar is no longer stubbed: the container parses natively
+    # (readers/rar.py); garbage after a valid signature yields an empty
+    # member list rather than an exception
+    doc = read_archive(b"Rar!\x1a\x07\x00garbage")
+    assert doc.attachments == []
+
+    from dedoc_ray.readers.rar import rar_encode_stored
+
+    doc2 = read_archive(rar_encode_stored([("a.txt", b"hi"), ("b.txt", b"there")]))
+    assert [(a[0], a[1]) for a in doc2.attachments] == [("a.txt", 2), ("b.txt", 5)]
 
 
 # ----------------------------------------------------------------- sniffer
