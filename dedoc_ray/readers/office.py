@@ -318,6 +318,7 @@ def read_docx(data: bytes) -> UnstructuredDoc:
         (name.rsplit("/", 1)[-1], zf.getinfo(name).file_size, zf.read(name))
         for name in zf.namelist()
         if name.startswith(("word/media/", "word/embeddings/"))
+        and not name.endswith("/")  # zip directory entries are not members
     ]
     return UnstructuredDoc(
         lines=lines, tables=tables, metadata=_core_properties(zf), attachments=attachments

@@ -391,3 +391,40 @@ def test_scanned_pdf_raster_inventory():
     assert any("DCTDecode" in w and "1654x2338" in w for w in r["warnings"])
     r2 = parse("laws/with_applications.pdf")
     assert any("CCITTFaxDecode" in w and "no native decoder" in w for w in r2["warnings"])
+
+
+def test_pdf_two_column_liters_reading_order():
+    # reference pins 0.0="References", 0.1 starts "[1] Navaneeth Bodla..."
+    # (test_api_format_pdf_with_text.py:124-132)
+    r = parse("pdf_with_text_layer/liters_state.pdf", pdf_with_text_layer="true")
+    lines = r["extracted_text"].split("\n")
+    assert lines[0] == "References"
+    assert lines[1] == "[1] Navaneeth Bodla, Bharat Singh, Rama Chellappa, and"
+
+
+def test_docx_annotations_fixture():
+    # reference test_api_format_docx_annotations.py:14-21 — the styled
+    # lines carry their bold/italic/underlined/alignment spans
+    r = parse("annotation_docx/example_1.docx")
+    text = r["extracted_text"]
+    anns = []
+    from dedoc_ray.pipeline.kernel import ExtractKernel
+
+    row = ExtractKernel().extract_row(
+        "a.docx", open(os.path.join(DATA, "annotation_docx/example_1.docx"), "rb").read()
+    )
+    spans = {(a["name"], row["extracted_text"][a["start"]:a["end"]]) for a in row["annotations"]}
+    assert ("italic", "Italic text") in spans
+    assert ("bold", "Bold text") in spans
+    assert ("underlined", "Underlined text") in spans
+    assert any(n == "alignment" for n, _ in spans)
+    assert "Text aligned to both borders" in text
+
+
+def test_docx_attachment_manifest_names():
+    # reference with_attachments_0.docx: 4 OLE objects + media images;
+    # zip DIRECTORY entries must not surface as empty-name attachments
+    r = parse("with_attachments/with_attachments_0.docx", with_attachments="true")
+    names = [a.get("file_name") or a.get("name") for a in r["attachments"]]
+    assert "" not in names
+    assert "oleObject1.bin" in names and "image1.png" in names
