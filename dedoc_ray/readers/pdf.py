@@ -539,11 +539,12 @@ _IMGOBJ_RE = re.compile(
 )
 
 
-#: full-decode cap for embedded rasters: above this, only geometry is
+#: full-decode caps for embedded rasters: above these, only geometry is
 #: surfaced (the pure-Python JPEG decode of an 8 MP scan costs ~1 min —
 #: the codec constant factor, not the route; a deployment with a C-backed
-#: decoder raises this)
+#: decoder raises them). Bilevel CCITT decode is ~10x cheaper per pixel.
 _OCR_MAX_PIXELS = 1_500_000
+_OCR_MAX_PIXELS_CCITT = 12_000_000
 
 
 def _structured_page_images(data: bytes):
@@ -589,6 +590,32 @@ def _structured_page_images(data: bytes):
                         return jpeg_decode_planes(doc.stream_raw(xo))[0]  # luma plane
 
                     return dec
+                if "CCITTFaxDecode" in filters or "CCF" in filters:
+                    parms = doc.resolve(d.get("DecodeParms", d.get("DP"))) or {}
+                    if isinstance(parms, list):
+                        parms = doc.resolve(parms[0]) if parms else {}
+                    if not isinstance(parms, dict):
+                        parms = {}
+                    k = int(doc.resolve(parms.get("K", 0)) or 0)
+                    cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+                    rrows = int(doc.resolve(parms.get("Rows", 0)) or 0) or (h or None)
+                    if k < 0:
+                        from dedoc_ray.ops.ccitt import ccitt_g4_decode
+
+                        def dec():
+                            return ccitt_g4_decode(doc.stream_raw(xo), columns=cols, rows=rrows)
+
+                        return dec
+                    if k == 0:
+                        from dedoc_ray.ops.ccitt import ccitt_mh_decode
+
+                        align = bool(doc.resolve(parms.get("EncodedByteAlign", False)))
+
+                        def dec():
+                            return ccitt_mh_decode(doc.stream_raw(xo), columns=cols, rows=rrows, byte_align=align)
+
+                        return dec
+                    return None  # K>0 (mixed 1-D/2-D G3) not implemented
                 if bpc == 8 and "DeviceGray" in cs and (not filters or "FlateDecode" in filters or "Fl" in filters):
                     def dec():
                         payload = doc.stream_bytes(xo)
@@ -597,7 +624,7 @@ def _structured_page_images(data: bytes):
                         return np.frombuffer(payload[: w * h], np.uint8).reshape(h, w)
 
                     return dec
-                return None  # CCITT/JBIG2/JPX/1-bit: geometry only
+                return None  # JBIG2/JPX/1-bit-flate: geometry only
 
             out.append((idx, w, h, "+".join(filters) or "raw", make_decoder()))
     return out
@@ -637,7 +664,8 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
             if decode is None:
                 warnings.append(f"page {idx} raster {w}x{h} ({filt}): no native decoder, geometry only")
                 continue
-            if w * h > _OCR_MAX_PIXELS:
+            cap = _OCR_MAX_PIXELS_CCITT if "CCITT" in filt else _OCR_MAX_PIXELS
+            if w * h > cap:
                 warnings.append(f"page {idx} raster {w}x{h} ({filt}): above OCR decode cap, geometry only")
                 continue
             try:
