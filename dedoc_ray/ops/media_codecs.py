@@ -623,10 +623,31 @@ def tiff_decode(data: bytes) -> np.ndarray:
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
+    if comp in (2, 4):
+        # CCITT bilevel (MH "RLE" / Group 4) — ops/ccitt.py decoders;
+        # photometric 0 (WhiteIsZero) is the fax default, black ink = 0 out
+        from dedoc_ray.ops.ccitt import ccitt_g4_decode, ccitt_mh_decode
+
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if not offs or not cnts:
+            raise ValueError("TIFF missing strip layout")
+        rows_per_strip = tags.get(278, [h])[0]
+        strips = []
+        y = 0
+        for o, c in zip(offs, cnts):
+            n_rows = min(rows_per_strip, h - y)
+            payload = data[o : o + c]
+            dec = (ccitt_g4_decode if comp == 4 else ccitt_mh_decode)(payload, columns=w, rows=n_rows)
+            if dec.shape[0] < n_rows:  # pad short strips
+                dec = np.vstack([dec, np.full((n_rows - dec.shape[0], w), 255, np.uint8)])
+            strips.append(dec[:n_rows])
+            y += n_rows
+        return np.vstack(strips)[:h]
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise ValueError("unsupported TIFF sample layout (8-bit gray/RGB only)")
     if comp not in (1, 32773):
-        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits only)")
+        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits/CCITT only)")
     if photo not in (0, 1, 2):
         raise ValueError("unsupported TIFF photometric interpretation")
     offs = tags.get(273)

@@ -169,3 +169,37 @@ def test_real_g4_fax_pages_decode():
     # a real typed page: a few percent ink, not blank, not solid
     ink = (raster < 128).mean()
     assert raster.shape[1] == 2475 and 0.01 < ink < 0.3
+
+
+def test_g4_tiff_through_tiff_decode(jdk_encoder, tmp_path):
+    # full-file check: a JDK-written CCITT T.6 TIFF decodes through the
+    # TIFF container reader (compression 4 branch)
+    import struct
+
+    rng = np.random.RandomState(5)
+    img = np.zeros((40, 120), bool)
+    for y in range(40):
+        for _ in range(rng.randint(0, 4)):
+            s = rng.randint(0, 120)
+            img[y, s : min(120, s + rng.randint(2, 15))] = True
+    strip = jdk_encoder(img, "t6")
+    # hand-assemble a minimal little-endian G4 TIFF around the strip
+    entries = [
+        (256, 3, 1, 120), (257, 3, 1, 40), (258, 3, 1, 1), (259, 3, 1, 4),
+        (262, 3, 1, 0), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, 40),
+        (279, 4, 1, len(strip)),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    buf += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        buf += struct.pack("<HHII", tag, typ, cnt, val)
+    buf += struct.pack("<I", 0)
+    buf += strip
+    from dedoc_ray.ops.media_codecs import tiff_decode
+
+    dec = tiff_decode(bytes(buf))
+    assert np.array_equal(dec, np.where(img, 0, 255).astype(np.uint8))
