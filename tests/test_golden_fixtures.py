@@ -431,3 +431,13 @@ def test_docx_attachment_manifest_names():
     names = [a.get("file_name") or a.get("name") for a in r["attachments"]]
     assert "" not in names
     assert "oleObject1.bin" in names and "image1.png" in names
+
+
+def test_xml_raw_text_lines():
+    # reference routes xml through the raw-text reader, line-per-node
+    # (test_api_format_xml.py:10-18)
+    r = parse("xml/simple.xml", structure_type="linear")
+    lines = r["extracted_text"].split("\n")
+    assert lines[0] == '<?xml version="1.0" encoding="UTF-8"?>'
+    assert lines[1] == "<note>"
+    assert lines[2] == "  <to>Tove</to>"
