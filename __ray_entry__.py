@@ -208,6 +208,14 @@ def q_extract_pdf_encrypted(sf_dir: str):
     return _office_extract(sf_dir, "pdf_encrypted").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_pdf_encrypted_aes256(sf_dir: str):
+    """AES-256 PDFs (V5/R6 /CFM AESV3 — the PDF 2.0 shape) with the empty
+    user password: the hardened Algorithm-2.B KDF validates /U, unwraps
+    the file key from /UE, and every stream decrypts AES-256-CBC. Same
+    layout as extract_pdf_layout → byte-exact text oracle."""
+    return _office_extract(sf_dir, "pdf_encrypted_aes256").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_scan_multifont(sf_dir: str):
     """Multifont OCR (round-2 verdict #10): pages in a PROPORTIONAL-width
     font at two integer scales that the fixed-width 5x7 LUT cannot read;
@@ -1654,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scan": q_extract_scan,
         "extract_scan_multifont": q_extract_scan_multifont,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
+        "extract_pdf_encrypted_aes256": q_extract_pdf_encrypted_aes256,
         "extract_scan_2col": q_extract_scan_2col,
         "extract_scan_bmp": q_extract_scan_bmp,
         "extract_scan_png": q_extract_scan_png,
@@ -1957,6 +1966,8 @@ def oracle_sql() -> dict[str, str]:
                               f"{body} AS extracted_text FROM documents",
         "extract_pdf_encrypted": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                                  f"{body} AS extracted_text FROM documents",
+        "extract_pdf_encrypted_aes256": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                                        f"{body} AS extracted_text FROM documents",
         "extract_scan": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                         f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_multifont": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "

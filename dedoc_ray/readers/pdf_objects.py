@@ -550,7 +550,12 @@ class PdfDocument:
             id0 = bytes(ids[0]) if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
             if not isinstance(enc, dict) or str(enc.get("Filter", "")) != "Standard":
                 raise PdfEncrypted("PDF is encrypted (unsupported security handler)")
-            handler = StandardSecurityHandler(enc, id0, self.resolve)
+            if int(self.resolve(enc.get("V", 1)) or 1) >= 5:
+                from dedoc_ray.readers.pdf_crypt import R6SecurityHandler
+
+                handler = R6SecurityHandler(enc, self.resolve)
+            else:
+                handler = StandardSecurityHandler(enc, id0, self.resolve)
             if not handler.authenticate_empty_password():
                 raise PdfEncrypted("PDF is encrypted (password required)")
             self.handler = handler

@@ -771,3 +771,57 @@ def pdf_encrypted_bytes(doc_id: int, text: str) -> bytes:
 
 _GENERATORS["pdf_encrypted"] = pdf_encrypted_bytes
 _EXT_OVERRIDE["pdf_encrypted"] = "pdf"
+
+
+def pdf_encrypted_aes256_bytes(doc_id: int, text: str) -> bytes:
+    """AES-256 (V5/R6, AESV3) PDF with the EMPTY user password — the
+    PDF 2.0 encryption shape. U/UE built per ISO 32000-2 Algorithm 8
+    (validation + key salts, file key wrapped with the Algorithm-2.B
+    hardened KDF); every stream AES-256-CBC encrypted with the ONE file
+    key. Same layout as the plain synthetic PDF → same text oracle."""
+    import hashlib as _h
+
+    from dedoc_ray.readers.pdf_crypt import aes_cbc_encrypt, hash_r6
+    from dedoc_ray.sources.synth import chunks_of
+
+    ops = []
+    for i, chunk in enumerate(chunks_of(text)):
+        y = 760 - 14 * i
+        safe = chunk.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        ops.append(f"BT /F1 12 Tf 72 {y} Td ({safe}) Tj ET")
+    content = "\n".join(ops).encode("latin-1")
+
+    seed = _h.sha256(f"r6-{doc_id}".encode()).digest()
+    file_key = seed  # 32 deterministic bytes
+    # fixed corpus-wide salts: the hardened KDF costs ~0.2 s per distinct
+    # salt by DESIGN; per-doc security comes from the per-doc file key
+    vsalt = b"synthVS1"
+    ksalt = b"synthKS1"
+    u = hash_r6(b"", vsalt) + vsalt + ksalt
+    ikey = hash_r6(b"", ksalt)
+    ue = aes_cbc_encrypt(ikey, b"\x00" * 16, file_key)
+    o = _h.sha256(f"owner-{doc_id}".encode()).digest() + b"\x00" * 16  # opaque
+    oe = b"\x00" * 32
+
+    iv = _h.md5(f"iv-{doc_id}".encode()).digest()
+    pad = 16 - len(content) % 16
+    enc_content = iv + aes_cbc_encrypt(file_key, iv, content + bytes([pad]) * pad)
+
+    def pdf_str(raw: bytes) -> bytes:
+        return b"(" + raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)") + b")"
+
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(enc_content)).encode() + b" >> stream\n" + enc_content + b"\nendstream endobj",
+        b"5 0 obj << /Filter /Standard /V 5 /R 6 /Length 256 /P -1028 "
+        b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+        b"/U " + pdf_str(u) + b" /UE " + pdf_str(ue) + b" /O " + pdf_str(o) + b" /OE " + pdf_str(oe) + b" >> endobj",
+    ]
+    trailer = b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [" + pdf_str(seed[:16]) + pdf_str(seed[:16]) + b"] >>"
+    return b"%PDF-2.0\n" + b"\n".join(objs) + b"\n" + trailer + b"\n%%EOF"
+
+
+_GENERATORS["pdf_encrypted_aes256"] = pdf_encrypted_aes256_bytes
+_EXT_OVERRIDE["pdf_encrypted_aes256"] = "pdf"

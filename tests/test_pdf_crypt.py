@@ -58,3 +58,41 @@ def test_real_aesv2_fixture_roundtrip():
     assert len(pages) == 2
     content = doc.page_content(pages[0])
     assert b" re\n" in content[:200]  # decrypts to real PDF operators
+
+
+def test_aes256_fips_vector_and_cbc_roundtrip():
+    from dedoc_ray.readers.pdf_crypt import (
+        aes_cbc_decrypt_nopad,
+        aes_cbc_encrypt,
+        aes_decrypt_block_any,
+        aes_encrypt_block,
+    )
+
+    p = bytes.fromhex("00112233445566778899aabbccddeeff")
+    c = aes_encrypt_block(bytes(range(32)), p)
+    assert c.hex() == "8ea2b7ca516745bfeafc49904b496089"  # FIPS-197 C.3
+    assert aes_decrypt_block_any(bytes(range(32)), c) == p
+    key, iv = bytes(range(32)), bytes(16)
+    data = bytes(range(256)) * 3
+    assert aes_cbc_decrypt_nopad(key, iv, aes_cbc_encrypt(key, iv, data)) == data
+
+
+def test_r6_handler_roundtrip():
+    # V5/R6 empty-password flow against the synthetic AESV3 writer
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+    from dedoc_ray.sources.synth_office import pdf_encrypted_aes256_bytes
+
+    blob = pdf_encrypted_aes256_bytes(3, "alpha beta the gamma delta")
+    assert b"alpha" not in blob  # stream really is AES-256 ciphertext
+    doc = read_pdf_textlayer(blob)
+    assert [ln.line for ln in doc.lines] == ["alpha beta\n", "gamma delta\n"]
+
+
+def test_rc4_encrypted_writer_roundtrip():
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+    from dedoc_ray.sources.synth_office import pdf_encrypted_bytes
+
+    blob = pdf_encrypted_bytes(4, "alpha beta the gamma")
+    assert b"alpha" not in blob
+    doc = read_pdf_textlayer(blob)
+    assert [ln.line for ln in doc.lines] == ["alpha beta\n", "gamma\n"]
