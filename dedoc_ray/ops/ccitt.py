@@ -285,3 +285,101 @@ def ccitt_mh_decode(data: bytes, columns: int, rows: Optional[int] = None,
     if not out:
         raise ValueError("CCITT MH: no rows decoded")
     return np.where(np.stack(out), 0, 255).astype(np.uint8)
+
+
+def ccitt_g3_decode(data: bytes, columns: int, rows: Optional[int] = None,
+                    two_d: bool = True) -> np.ndarray:
+    """Group 3 with EOLs (PDF CCITTFaxDecode K > 0; TIFF compression 3).
+    With ``two_d`` (K > 0 / T4Options bit 0) rows mix 1-D (MH) and 2-D:
+    each row is preceded by EOL ``000000000001`` plus a tag bit (1 = 1-D,
+    0 = 2-D against the previous row). Without it (pure 1-D G3) the EOL
+    has no tag bit and every row is MH-coded."""
+    r = _BitReader(data)
+    out: List[np.ndarray] = []
+    ref = np.zeros(columns, dtype=bool)
+    while not r.at_end() and (rows is None or len(out) < rows):
+        # hunt for the next EOL (fill bits are zeros before it)
+        found = False
+        while not r.at_end():
+            buf = r.peek(12)
+            if buf == "000000000001":
+                r.skip(12)
+                found = True
+                break
+            if not buf:
+                break
+            r.skip(1)
+        if not found:
+            break
+        if two_d:
+            tag = r.peek(1)
+            if tag == "":
+                break
+            r.skip(1)
+        else:
+            tag = "1"  # pure 1-D: every row is MH, no tag bit
+        cur = np.zeros(columns, dtype=bool)
+        if tag == "1":  # 1-D MH row
+            x = 0
+            white = True
+            ok = False
+            while x < columns:
+                run = _read_run(r, white)
+                if run is None:
+                    break
+                if not white:
+                    cur[x : min(x + run, columns)] = True
+                x += run
+                white = not white
+                if x >= columns:
+                    ok = True
+            if not ok:
+                break
+        else:  # 2-D row against the previous row
+            ref_tr = _transitions(ref)
+            a0 = -1
+            color_black = False
+            ok = True
+            while a0 < columns:
+                b1 = _b1(ref, ref_tr, a0, color_black, columns)
+                b2 = _next_transition(ref_tr, b1, columns)
+                mode = _read_mode(r)
+                if mode is None or mode == "EOL":
+                    ok = mode == "EOL"
+                    if mode == "EOL":
+                        r.pos -= 12  # let the outer loop consume it
+                    break
+                if mode == "P":
+                    if color_black:
+                        cur[max(a0, 0) : b2] = True
+                    a0 = b2
+                    continue
+                if mode == "H":
+                    r1 = _read_run(r, not color_black)
+                    r2 = _read_run(r, color_black)
+                    if r1 is None or r2 is None:
+                        ok = False
+                        break
+                    s = max(a0, 0)
+                    a1 = min(s + r1, columns)
+                    a2 = min(a1 + r2, columns)
+                    if color_black:
+                        cur[s:a1] = True
+                    else:
+                        cur[a1:a2] = True
+                    a0 = a2
+                    continue
+                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+                a1 = min(max(b1 + delta, 0), columns)
+                if color_black:
+                    cur[max(a0, 0) : a1] = True
+                a0 = a1
+                color_black = not color_black
+            if not ok and not cur.any():
+                break
+        out.append(cur)
+        ref = cur
+    if not out:
+        raise ValueError("CCITT G3: no rows decoded")
+    return np.where(np.stack(out), 0, 255).astype(np.uint8)

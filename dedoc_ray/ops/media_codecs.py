@@ -623,22 +623,27 @@ def tiff_decode(data: bytes) -> np.ndarray:
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
-    if comp in (2, 4):
-        # CCITT bilevel (MH "RLE" / Group 4) — ops/ccitt.py decoders;
-        # photometric 0 (WhiteIsZero) is the fax default, black ink = 0 out
-        from dedoc_ray.ops.ccitt import ccitt_g4_decode, ccitt_mh_decode
+    if comp in (2, 3, 4):
+        # CCITT bilevel (MH "RLE" / Group 3 with EOLs / Group 4) —
+        # ops/ccitt.py decoders; photometric 0 (WhiteIsZero) is the fax
+        # default, black ink = 0 out
+        from dedoc_ray.ops.ccitt import ccitt_g3_decode, ccitt_g4_decode, ccitt_mh_decode
 
         offs = tags.get(273)
         cnts = tags.get(279)
         if not offs or not cnts:
             raise ValueError("TIFF missing strip layout")
         rows_per_strip = tags.get(278, [h])[0]
+        t4_2d = bool(tags.get(292, [0])[0] & 1)  # T4Options bit 0: 2-D rows
         strips = []
         y = 0
         for o, c in zip(offs, cnts):
             n_rows = min(rows_per_strip, h - y)
             payload = data[o : o + c]
-            dec = (ccitt_g4_decode if comp == 4 else ccitt_mh_decode)(payload, columns=w, rows=n_rows)
+            if comp == 3:
+                dec = ccitt_g3_decode(payload, columns=w, rows=n_rows, two_d=t4_2d)
+            else:
+                dec = (ccitt_g4_decode if comp == 4 else ccitt_mh_decode)(payload, columns=w, rows=n_rows)
             if dec.shape[0] < n_rows:  # pad short strips
                 dec = np.vstack([dec, np.full((n_rows - dec.shape[0], w), 255, np.uint8)])
             strips.append(dec[:n_rows])

@@ -615,7 +615,12 @@ def _structured_page_images(data: bytes):
                             return ccitt_mh_decode(doc.stream_raw(xo), columns=cols, rows=rrows, byte_align=align)
 
                         return dec
-                    return None  # K>0 (mixed 1-D/2-D G3) not implemented
+                    from dedoc_ray.ops.ccitt import ccitt_g3_decode
+
+                    def dec():
+                        return ccitt_g3_decode(doc.stream_raw(xo), columns=cols, rows=rrows)
+
+                    return dec
                 if bpc == 8 and "DeviceGray" in cs and (not filters or "FlateDecode" in filters or "Fl" in filters):
                     def dec():
                         payload = doc.stream_bytes(xo)

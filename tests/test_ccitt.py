@@ -11,8 +11,10 @@ import pytest
 
 from dedoc_ray.ops.ccitt import (
     _BLACK_CODES,
+    _BLACK_MAKEUP,
     _WHITE_CODES,
     _WHITE_MAKEUP,
+    ccitt_g3_decode,
     ccitt_g4_decode,
     ccitt_mh_decode,
 )
@@ -61,7 +63,7 @@ public class Enc {
                     img.getRaster().setSample(x, y, 0, (bits[y * stride + (x >> 3)] & (0x80 >> (x & 7))) != 0 ? 1 : 0);
             ImageWriteParam pw = w.getDefaultWriteParam();
             pw.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
-            pw.setCompressionType(p[0].equals("t6") ? "CCITT T.6" : "CCITT RLE");
+            pw.setCompressionType(p[0].equals("t6") ? "CCITT T.6" : p[0].equals("t4") ? "CCITT T.4" : "CCITT RLE");
             ByteArrayOutputStream bos = new ByteArrayOutputStream();
             ImageOutputStream ios = ImageIO.createImageOutputStream(bos);
             w.reset(); w.setOutput(ios);
@@ -145,6 +147,54 @@ def test_mh_pixel_exact_vs_jdk(jdk_encoder):
     rng = np.random.RandomState(8)
     for img in _shapes(rng):
         dec = ccitt_mh_decode(jdk_encoder(img, "rle"), columns=img.shape[1], rows=img.shape[0])
+        assert np.array_equal(dec, np.where(img, 0, 255).astype(np.uint8))
+
+
+def test_g3_mixed_pixel_exact_vs_jdk(jdk_encoder):
+    # Group 3 with EOLs, K>0 flavor: EOL + tag bit, 1-D and 2-D rows mixed
+    rng = np.random.RandomState(9)
+    for img in _shapes(rng):
+        dec = ccitt_g3_decode(jdk_encoder(img, "t4"), columns=img.shape[1], rows=img.shape[0])
+        assert np.array_equal(dec, np.where(img, 0, 255).astype(np.uint8))
+
+
+def _g3_1d_encode(img_black: np.ndarray) -> bytes:
+    """Pure 1-D G3 (no tag bits): EOL + MH runs per row, from the same
+    published T.4 tables the decoder uses."""
+    bits = []
+    for row in img_black:
+        bits.append("000000000001")
+        runs, color = [], False
+        x = 0
+        arr = row.tolist()
+        while x < len(arr):
+            n = 0
+            while x + n < len(arr) and arr[x + n] == color:
+                n += 1
+            runs.append(n)
+            x += n
+            color = not color
+        if not runs or len(runs) % 2 == 0:
+            runs.append(0)  # rows end on a white run in MH coding
+        white = True
+        for run in runs:
+            term, makeup = (_WHITE_CODES, _WHITE_MAKEUP) if white else (_BLACK_CODES, _BLACK_MAKEUP)
+            while run >= 64:
+                step = min(2560, (run // 64) * 64)
+                bits.append(makeup[step])
+                run -= step
+            bits.append(term[run])
+            white = not white
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_g3_pure_1d_rows():
+    rng = np.random.RandomState(11)
+    for img in _shapes(rng):
+        dec = ccitt_g3_decode(_g3_1d_encode(img), columns=img.shape[1],
+                              rows=img.shape[0], two_d=False)
         assert np.array_equal(dec, np.where(img, 0, 255).astype(np.uint8))
 
 
