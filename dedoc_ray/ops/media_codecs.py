@@ -21,6 +21,7 @@ contract."""
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import List, Tuple
 
 import numpy as np
@@ -605,14 +606,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
         off = ifd + 2 + 12 * i
         tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
         raw = data[off + 8 : off + 12]
-        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        size = {1: 1, 3: 2, 4: 4, 7: 1}.get(typ)
         if size is None:
             continue  # RATIONAL etc. — not needed
         total = size * cnt
         if total > 4:
             (ptr,) = struct.unpack(e + "I", raw)
             raw = data[ptr : ptr + total]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         vals = struct.unpack(e + str(cnt) + fmt, raw[:total])
         tags[tag] = list(vals)
     try:
@@ -651,23 +652,59 @@ def tiff_decode(data: bytes) -> np.ndarray:
         return np.vstack(strips)[:h]
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise ValueError("unsupported TIFF sample layout (8-bit gray/RGB only)")
-    if comp not in (1, 32773):
-        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits/CCITT only)")
-    if photo not in (0, 1, 2):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if photo not in (0, 1, 2, 6):
         raise ValueError("unsupported TIFF photometric interpretation")
     offs = tags.get(273)
     cnts = tags.get(279)
     if not offs or not cnts or len(offs) != len(cnts):
         raise ValueError("TIFF missing strip layout")
     rps = tags.get(278, [h])[0]
+    if comp == 7:
+        # new-style JPEG-in-TIFF: each strip is an abbreviated JPEG stream;
+        # tag 347 (JPEGTables) holds a tables-only stream whose body is
+        # injected after each strip's SOI (TIFF TechNote 2 layout)
+        from dedoc_ray.ops.jpeg_codec import jpeg_decode
+
+        tabs = bytes(tags.get(347, []))
+        if tabs[:2] == b"\xff\xd8" and tabs[-2:] == b"\xff\xd9":
+            tabs = tabs[2:-2]
+        strips = []
+        y = 0
+        for so, sc in zip(offs, cnts):
+            payload = data[so : so + sc]
+            if tabs and payload[:2] == b"\xff\xd8":
+                payload = payload[:2] + tabs + payload[2:]
+            gray = jpeg_decode(payload)  # luma plane = gray for YCbCr/gray
+            n_rows = min(rps, h - y)
+            strips.append(gray[:n_rows, :w])
+            y += n_rows
+        px = np.vstack(strips)[:h]
+        if photo == 0:
+            px = (255 - px.astype(np.int16)).astype(np.uint8)
+        return px
+    if photo == 6:
+        raise ValueError("YCbCr TIFF only supported with JPEG compression")
+    pred = tags.get(317, [1])[0]
     raw = bytearray()
     for si, (so, sc) in enumerate(zip(offs, cnts)):
         chunk = data[so : so + sc]
         if len(chunk) != sc:
             raise ValueError("truncated TIFF strip")
+        rows = min(rps, h - si * rps)
         if comp == 32773:
-            rows = min(rps, h - si * rps)
             chunk = packbits_decode(chunk, rows * w * spp)
+        elif comp == 5:
+            from dedoc_ray.readers.pdf_objects import _lzw
+
+            chunk = _lzw(chunk)  # TIFF LZW = PDF LZWDecode, EarlyChange 1
+        elif comp in (8, 32946):
+            chunk = zlib.decompress(chunk)
+        if pred == 2 and comp in (5, 8, 32946):
+            # horizontal differencing: undo by cumulative sum per sample
+            arr = np.frombuffer(chunk[: rows * w * spp], np.uint8).reshape(rows, w, spp)
+            chunk = np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8).tobytes()
         raw += chunk
     if len(raw) < h * w * spp:
         raise ValueError("TIFF pixel data short")

@@ -401,7 +401,9 @@ def _lzw(data: bytes, early: int = 1) -> bytes:
                 table.append(entry)
             out.extend(entry)
             prev = entry
-            if len(table) + (early or 0) - 1 >= (1 << bits) and bits < 12:
+            # EarlyChange=1 (TIFF rule): the decoder's table runs one entry
+            # behind the encoder's, so widen at size 511/1023/2047
+            if len(table) + (1 if early else 0) >= (1 << bits) and bits < 12:
                 bits += 1
     return bytes(out)
 

@@ -274,9 +274,9 @@ def test_tiff_rejects_unsupported():
     with pytest.raises(ValueError):
         tiff_decode(b"XX*\x00" + b"\x00" * 20)
     data = bytearray(tiff_encode(np.zeros((4, 4), np.uint8)))
-    # patch Compression (tag 259) value to 5 (LZW)
+    # patch Compression (tag 259) value to 6 (old-style JPEG — unsupported)
     idx = data.index(struct.pack("<HHII", 259, 3, 1, 1))
-    data[idx + 8] = 5
+    data[idx + 8] = 6
     with pytest.raises(ValueError, match="compression"):
         tiff_decode(bytes(data))
 
