@@ -215,16 +215,72 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int, off: int = 0) -> Tuple[np.ndarray, int]:
+    """Undo the five scanline filters over h rows of `stride` bytes starting
+    at byte `off` of the decompressed stream; returns (rows, new offset)."""
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = raw[off]
+        row = np.frombuffer(raw[off + 1 : off + 1 + stride], np.uint8).astype(np.int32)
+        off += 1 + stride
+        if ftype == 0:
+            recon = row
+        elif ftype == 2:  # Up — vectorized
+            recon = (row + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need the running left
+            recon = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    recon[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    recon[x] = (row[x] + (a + b) // 2) & 0xFF
+                else:
+                    recon[x] = (row[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out, off
+
+
+def _png_samples(rows: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """Defiltered byte rows → (h, w, nch) uint8 samples. Sub-byte depths
+    unpack MSB-first and scale to full range for gray (palette indices are
+    left as-is by the caller); 16-bit takes the high byte (libpng strip_16)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return rows[:, : w * nch * 2].reshape(h, w, nch, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits[:, : w * nch * depth].reshape(h, w * nch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (vals.astype(np.uint16) @ weights).astype(np.uint8).reshape(h, w, nch)
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """PNG → (h, w) uint8 grayscale. Supports color type 0 (gray) and 2
-    (RGB, exact channel mean); all five row filters; verifies chunk CRCs.
-    Interlaced (Adam7), paletted and 16-bit streams raise ValueError."""
+    """PNG → (h, w) uint8 grayscale. All five row filters, gray/RGB/palette
+    /gray+alpha/RGBA color types, bit depths 1/2/4/8/16, Adam7 interlace;
+    verifies chunk CRCs. RGB reduces by exact channel mean; alpha composites
+    over white; 16-bit reduces to the high byte (as libpng strip_16)."""
     import zlib
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat: List[bytes] = []
+    palette = None
     while pos + 8 <= len(data):
         (clen,) = struct.unpack(">I", data[pos : pos + 4])
         if pos + 12 + clen > len(data):
@@ -236,9 +292,13 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError("PNG chunk CRC mismatch")
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or ctype not in (0, 2) or interlace:
-                raise ValueError("unsupported PNG variant (8-bit gray/RGB, no interlace)")
-            nch = 1 if ctype == 0 else 3
+            nch = _PNG_NCH.get(ctype)
+            if nch is None or depth not in (1, 2, 4, 8, 16) or interlace > 1:
+                raise ValueError("unsupported PNG variant")
+            if depth < 8 and ctype not in (0, 3):
+                raise ValueError("sub-byte depth only valid for gray/palette")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -247,38 +307,47 @@ def png_decode(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prior = np.zeros(stride, np.int32)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = np.frombuffer(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8).astype(np.int32)
-        if ftype == 0:
-            recon = row
-        elif ftype == 2:  # Up — vectorized
-            recon = (row + prior) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need the running left
-            recon = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = recon[x - nch] if x >= nch else 0
-                b = prior[x]
-                c = prior[x - nch] if x >= nch else 0
-                if ftype == 1:
-                    recon[x] = (row[x] + a) & 0xFF
-                elif ftype == 3:
-                    recon[x] = (row[x] + (a + b) // 2) & 0xFF
-                else:
-                    recon[x] = (row[x] + _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = recon.astype(np.uint8)
-        prior = recon
-    if nch == 1:
-        return out
-    px = out.reshape(h, w, 3).astype(np.uint16)
-    return (px.sum(axis=2) // 3).astype(np.uint8)
+    bpp = max(1, nch * depth // 8)
+
+    def stride_of(width: int) -> int:
+        return (width * nch * depth + 7) // 8
+
+    if not interlace:
+        rows, off = _png_defilter(raw, h, stride_of(w), bpp)
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        samples = _png_samples(rows, w, nch, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        samples = np.zeros((h, w, nch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_defilter(raw, ph, stride_of(pw), bpp, off)
+            samples[y0::dy, x0::dx] = _png_samples(rows, pw, nch, depth)
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        rgb = palette[samples[..., 0]].astype(np.uint16)
+        return (rgb.sum(axis=2) // 3).astype(np.uint8)
+    if depth < 8 and ctype == 0:  # scale sub-byte gray to full range
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    if ctype == 0:
+        return samples[..., 0]
+    if ctype == 2:
+        return (samples.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    # alpha types: composite over white, rounding division
+    if ctype == 4:
+        g = samples[..., 0].astype(np.uint32)
+        a = samples[..., 1].astype(np.uint32)
+    else:  # 6: RGBA
+        g = samples[..., :3].astype(np.uint32).sum(axis=2) // 3
+        a = samples[..., 3].astype(np.uint32)
+    return ((g * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
 
 
 # ----------------------------------------------------------------- GIF
