@@ -1520,6 +1520,16 @@ def q_image_features_tiff(sf_dir: str):
     return image_features_tiff(sf_dir)
 
 
+def q_image_features_scanext(sf_dir: str):
+    """Image features over the scanner-raster container family (Netpbm P6 /
+    PCX / Sun raster / SGI by doc_id % 4) — the cv2/PIL-long-tail formats
+    the reference's PdfImageReader accepts; decoders pinned pixel-exact
+    against the real scanned page in tests/test_raster_family.py."""
+    from dedoc_ray.ops.multimodal import image_features_scanext
+
+    return image_features_scanext(sf_dir)
+
+
 def q_image_features_mixed(sf_dir: str):
     """Image features over a HETEROGENEOUS corpus: each doc's container is
     doc_id % 6 of BMP/PNG/GIF/TIFF/JPEG/color-JPEG, one stream, per-row
@@ -1775,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_jpeg_prog_color": q_image_features_jpeg_prog_color,
         "image_features_jpeg_arith": q_image_features_jpeg_arith,
         "image_features_tiff": q_image_features_tiff,
+        "image_features_scanext": q_image_features_scanext,
         "image_features_mixed": q_image_features_mixed,
         "audio_frames_wav": q_audio_frames_wav,
         "audio_frames_au": q_audio_frames_au,
@@ -2167,6 +2178,7 @@ FROM base WHERE cls <= 3
         "image_features_jpeg_prog_color": IMAGE_FEATURES_JPEG_SQL,  # same field, 3-comp SOF2
         "image_features_jpeg_arith": IMAGE_FEATURES_JPEG_SQL,  # same field, SOF9 QM coder
         "image_features_tiff": IMAGE_FEATURES_BMP_SQL,  # same pixel field, TIFF container
+        "image_features_scanext": IMAGE_FEATURES_BMP_SQL,  # same field, PNM/PCX/RAS/SGI
         "image_features_mixed": IMAGE_FEATURES_MIXED_SQL,
         "audio_frames_wav": AUDIO_FRAMES_WAV_SQL,
         "audio_frames_au": AUDIO_FRAMES_WAV_SQL,  # same sample field, Sun AU container

@@ -452,7 +452,7 @@ def gif_encode(gray: np.ndarray) -> bytes:
 def gif_decode(data: bytes) -> np.ndarray:
     """GIF87a/89a, first image frame → (h, w) uint8 grayscale (palette
     entries mapped by exact RGB mean). Extensions are skipped; interlaced
-    images raise ValueError."""
+    frames are de-interlaced by the four-pass row order."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, _, _ = struct.unpack("<HHBBB", data[6:13])
@@ -472,8 +472,6 @@ def gif_decode(data: bytes) -> np.ndarray:
         elif block == 0x2C:
             _, _, _, w, h, ipack = struct.unpack("<BHHHHB", data[pos : pos + 10])
             pos += 10
-            if ipack & 0x40:
-                raise ValueError("interlaced GIF unsupported")
             if ipack & 0x80:
                 n = 2 << (ipack & 7)
                 palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
@@ -491,7 +489,14 @@ def gif_decode(data: bytes) -> np.ndarray:
             if len(indices) < w * h:
                 raise ValueError("truncated GIF image data")
             gray = (palette.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
-            return gray[indices[: w * h]].reshape(h, w)
+            img = gray[indices[: w * h]].reshape(h, w)
+            if ipack & 0x40:  # interlaced: rows stored in four passes
+                order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                        np.arange(2, h, 4), np.arange(1, h, 2)])
+                out = np.empty_like(img)
+                out[order] = img
+                return out
+            return img
         elif block == 0x3B:
             break
         else:
@@ -958,3 +963,386 @@ def adpcm_payload(doc_id: int) -> bytes:
     n = 500 + (doc_id % 50) * 20
     i = np.arange(n)
     return ima_adpcm_encode(((doc_id * 7 + i) % 200 - 100).astype(np.int16), rate)
+
+
+# ------------------------------------------- scanner raster containers
+#
+# The reference's PdfImageReader accepts every raster its cv2/PIL stack can
+# open (supported_image_formats in dedoc/utils/parameter_utils.py); its test
+# corpus carries the same scanned page as pbm/pgm/pnm/ppm, pcx, ras/sr, sgi
+# and hdr/pic. These are plain container parses — tests pin pixel equality
+# of every lossless variant against the PNG decode of the same page.
+
+
+def pnm_decode(data: bytes) -> np.ndarray:
+    """Netpbm P1–P6 → (h, w) uint8 grayscale. ASCII and raw variants,
+    comments, arbitrary maxval (16-bit samples are big-endian); bitmaps
+    map 1 → black. RGB reduces by exact channel mean."""
+    if data[:1] != b"P" or data[1:2] not in b"123456":
+        raise ValueError("not a PNM")
+    kind = data[1] - 0x30
+    pos = 2
+    tokens: List[int] = []
+    need = 2 if kind in (1, 4) else 3
+    while len(tokens) < need:
+        while pos < len(data) and data[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos] not in b" \t\r\n#":
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    w, h = tokens[0], tokens[1]
+    maxval = tokens[2] if need == 3 else 1
+    nch = 3 if kind in (3, 6) else 1
+    if kind in (1, 2, 3):  # ASCII samples
+        vals = np.array(data[pos:].split()[: w * h * nch], dtype=np.uint32)
+        if len(vals) < w * h * nch:
+            raise ValueError("truncated PNM")
+        samples = vals.reshape(h, w, nch)
+    else:
+        pos += 1  # exactly one whitespace byte after the header
+        if kind == 4:
+            stride = (w + 7) // 8
+            rows = np.frombuffer(data[pos : pos + stride * h], np.uint8).reshape(h, stride)
+            bits = np.unpackbits(rows, axis=1)[:, :w]
+            return np.where(bits, 0, 255).astype(np.uint8)
+        itemsize = 2 if maxval > 255 else 1
+        count = w * h * nch
+        buf = data[pos : pos + count * itemsize]
+        if len(buf) < count * itemsize:
+            raise ValueError("truncated PNM")
+        dt = ">u2" if itemsize == 2 else np.uint8
+        samples = np.frombuffer(buf, dt).astype(np.uint32).reshape(h, w, nch)
+    if kind == 1:  # ASCII bitmap: 1 = black
+        return np.where(samples[..., 0], 0, 255).astype(np.uint8)
+    samples = samples * 255 // maxval
+    if nch == 3:
+        return (samples.sum(axis=2) // 3).astype(np.uint8)
+    return samples[..., 0].astype(np.uint8)
+
+
+def pcx_decode(data: bytes) -> np.ndarray:
+    """ZSoft PCX (8-bit, 1 or 3 planes, RLE) → (h, w) uint8 grayscale.
+    Single-plane images use the 256-color VGA palette trailer when present,
+    else the raw index as gray."""
+    if data[0] != 0x0A or data[2] != 1 or data[3] != 8:
+        raise ValueError("unsupported PCX (8-bit RLE only)")
+    xmin, ymin, xmax, ymax = struct.unpack("<4H", data[4:12])
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    nplanes = data[65]
+    (bpl,) = struct.unpack("<H", data[66:68])
+    if nplanes not in (1, 3):
+        raise ValueError("unsupported PCX plane count")
+    total = h * nplanes * bpl
+    out = bytearray()
+    i = 128
+    n = len(data)
+    while len(out) < total and i < n:
+        b = data[i]
+        i += 1
+        if b >= 0xC0:
+            out += data[i : i + 1] * (b & 0x3F)
+            i += 1
+        else:
+            out.append(b)
+    if len(out) < total:
+        raise ValueError("truncated PCX")
+    rows = np.frombuffer(bytes(out[:total]), np.uint8).reshape(h, nplanes, bpl)[:, :, :w]
+    if nplanes == 3:
+        return (rows.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+    idx = rows[:, 0, :]
+    if len(data) >= 769 and data[-769] == 0x0C:  # VGA palette trailer
+        pal = np.frombuffer(data[-768:], np.uint8).reshape(256, 3)
+        gray = (pal.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
+        return gray[idx]
+    return idx.copy()
+
+
+def sun_raster_decode(data: bytes) -> np.ndarray:
+    """Sun Rasterfile (.ras/.sr) → (h, w) uint8 grayscale. Standard (type
+    0/1) and byte-RLE (type 2) encodings; 1/8/24-bit depths; rows padded
+    to 16 bits; 24-bit pixels are BGR; 8-bit uses the RGB colormap when
+    present."""
+    if data[:4] != b"\x59\xa6\x6a\x95":
+        raise ValueError("not a Sun raster")
+    w, h, depth, _length, rtype, maptype, maplen = struct.unpack(">7I", data[4:32])
+    if rtype not in (0, 1, 2) or depth not in (1, 8, 24):
+        raise ValueError("unsupported Sun raster variant")
+    cmap = data[32 : 32 + maplen]
+    raw = data[32 + maplen :]
+    if rtype == 2:  # byte RLE: 0x80 <count> <value>; 0x80 0x00 = literal 0x80
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            b = raw[i]
+            if b == 0x80:
+                cnt = raw[i + 1]
+                if cnt == 0:
+                    out.append(0x80)
+                    i += 2
+                else:
+                    out += raw[i + 2 : i + 3] * (cnt + 1)
+                    i += 3
+            else:
+                out.append(b)
+                i += 1
+        raw = bytes(out)
+    stride = ((w * depth + 15) // 16) * 2
+    if len(raw) < stride * h:
+        raise ValueError("truncated Sun raster")
+    rows = np.frombuffer(raw[: stride * h], np.uint8).reshape(h, stride)
+    if depth == 1:  # 1 = black (foreground)
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        return np.where(bits, 0, 255).astype(np.uint8)
+    if depth == 24:  # BGR order
+        px = rows[:, : w * 3].reshape(h, w, 3).astype(np.uint16)
+        return (px.sum(axis=2) // 3).astype(np.uint8)
+    idx = rows[:, :w]
+    if maptype == 1 and maplen >= 3:  # RGB colormap: r-plane, g-plane, b-plane
+        n = maplen // 3
+        pal = np.frombuffer(cmap, np.uint8).reshape(3, n).T.astype(np.uint16)
+        gray = (pal.sum(axis=1) // 3).astype(np.uint8)
+        return gray[idx]
+    return idx.copy()
+
+
+def sgi_decode(data: bytes) -> np.ndarray:
+    """SGI image (.sgi/.rgb) → (h, w) uint8 grayscale. 1 byte per channel,
+    verbatim and RLE storage; rows are stored bottom-up, channels planar;
+    RGB(A) reduces by exact channel mean of the first three channels."""
+    if data[:2] != b"\x01\xda":
+        raise ValueError("not an SGI image")
+    storage, bpc = data[2], data[3]
+    _dim, x, y, z = struct.unpack(">4H", data[4:12])
+    if bpc != 1:
+        raise ValueError("unsupported SGI bytes-per-channel")
+    z = max(z, 1)
+    if storage == 0:
+        need = x * y * z
+        planes = np.frombuffer(data[512 : 512 + need], np.uint8)
+        if len(planes) < need:
+            raise ValueError("truncated SGI image")
+        planes = planes.reshape(z, y, x)[:, ::-1, :]  # bottom-up rows
+    else:  # RLE: per-(row, channel) offset/length tables then packed runs
+        ntab = y * z
+        starts = np.frombuffer(data[512 : 512 + 4 * ntab], ">u4")
+        lens = np.frombuffer(data[512 + 4 * ntab : 512 + 8 * ntab], ">u4")
+        planes = np.zeros((z, y, x), np.uint8)
+        for c in range(z):
+            for row in range(y):
+                i = int(starts[c * y + row])
+                end = i + int(lens[c * y + row])
+                pos = 0
+                while i < end:
+                    b = data[i]
+                    i += 1
+                    cnt = b & 0x7F
+                    if cnt == 0:
+                        break
+                    if b & 0x80:
+                        planes[c, y - 1 - row, pos : pos + cnt] = np.frombuffer(
+                            data[i : i + cnt], np.uint8)
+                        i += cnt
+                    else:
+                        planes[c, y - 1 - row, pos : pos + cnt] = data[i]
+                        i += 1
+                    pos += cnt
+    if z == 1:
+        return planes[0].copy()
+    return (planes[:3].astype(np.uint16).sum(axis=0) // 3).astype(np.uint8)
+
+
+def hdr_decode(data: bytes) -> np.ndarray:
+    """Radiance RGBE (.hdr/.pic) → (h, w) uint8 grayscale. New-style RLE
+    scanlines; shared-exponent floats reduce by linear channel mean, then
+    clamp to [0, 1] and scale to 8 bits."""
+    if not data.startswith(b"#?"):
+        raise ValueError("not a Radiance picture")
+    pos = 0
+    res = None
+    while pos < len(data):
+        eol = data.index(b"\n", pos)
+        line = data[pos:eol]
+        pos = eol + 1
+        if line.startswith(b"-Y") or line.startswith(b"+Y"):
+            res = line.split()
+            break
+    if res is None or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError("unsupported Radiance orientation")
+    h, w = int(res[1]), int(res[3])
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    for row in range(h):
+        if pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2 \
+                and (data[pos + 2] << 8 | data[pos + 3]) == w:
+            pos += 4  # new-style RLE: four component streams
+            for c in range(4):
+                xpos = 0
+                while xpos < w:
+                    cnt = data[pos]
+                    pos += 1
+                    if cnt > 128:
+                        rgbe[row, xpos : xpos + cnt - 128, c] = data[pos]
+                        pos += 1
+                        xpos += cnt - 128
+                    else:
+                        rgbe[row, xpos : xpos + cnt, c] = np.frombuffer(
+                            data[pos : pos + cnt], np.uint8)
+                        pos += cnt
+                        xpos += cnt
+        else:  # flat scanline of RGBE quadruples
+            rgbe[row] = np.frombuffer(data[pos : pos + 4 * w], np.uint8).reshape(w, 4)
+            pos += 4 * w
+    mant = rgbe[..., :3].astype(np.float64)
+    exp = rgbe[..., 3:4].astype(np.int32)
+    rgb = np.where(exp > 0, mant * np.exp2(exp - (128 + 8)), 0.0)
+    gray = rgb.mean(axis=2)
+    return np.clip(gray * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def webp_decode(data: bytes) -> np.ndarray:
+    """WebP → (h, w) uint8 grayscale THROUGH THE SYSTEM libwebp via ctypes
+    (public WebPDecodeRGBA API). VP8/VP8L entropy decoding is the one
+    raster codec not reimplemented natively here — gated honestly: raises
+    ValueError when the shared library is absent."""
+    import ctypes
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError as exc:  # pragma: no cover - container always has it
+        raise ValueError("libwebp unavailable for WebP decode") from exc
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    buf = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not buf:
+        raise ValueError("WebP decode failed")
+    n = w.value * h.value * 4
+    arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+    lib.WebPFree(buf)
+    px = arr.reshape(h.value, w.value, 4)[..., :3].astype(np.uint16)
+    return (px.sum(axis=2) // 3).astype(np.uint8)
+
+
+def image_decode_gray(data: bytes) -> np.ndarray:
+    """Magic-dispatched raster decode → (h, w) uint8 grayscale. One entry
+    point for every container the engine parses natively (the analogue of
+    the reference's cv2.imread/PIL.Image.open catch-all)."""
+    if data[:2] == b"\xff\xd8":
+        from dedoc_ray.ops.jpeg_codec import jpeg_decode
+
+        return jpeg_decode(data)
+    if data[:2] == b"BM":
+        return bmp_decode(data)
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:4] == b"GIF8":
+        return gif_decode(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_decode(data)
+    if data[:1] == b"P" and data[1:2] in b"123456":
+        return pnm_decode(data)
+    if data[:4] == b"\x59\xa6\x6a\x95":
+        return sun_raster_decode(data)
+    if data[:2] == b"\x01\xda":
+        return sgi_decode(data)
+    if data[:2] == b"#?":
+        return hdr_decode(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return webp_decode(data)
+    if len(data) > 68 and data[0] == 0x0A and data[2] == 1:
+        return pcx_decode(data)
+    raise ValueError("unknown image container")
+
+
+# --------------------------------- writers for the scanner-raster corpus
+#
+# Same pixel field as bmp_payload (doc_id + x + y mod 256, equal channels)
+# so the one exact SQL oracle covers the whole container family.
+
+
+def pnm_encode(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 → binary PPM (P6, equal RGB channels)."""
+    h, w = gray.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.repeat(gray.reshape(-1), 3).tobytes()
+
+
+def pcx_encode(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 → 8-bit 3-plane RLE PCX (equal channels)."""
+    h, w = gray.shape
+    bpl = w + (w & 1)  # even bytes per line
+    head = bytearray(128)
+    head[0], head[1], head[2], head[3] = 0x0A, 5, 1, 8
+    head[4:12] = struct.pack("<4H", 0, 0, w - 1, h - 1)
+    head[12:16] = struct.pack("<2H", 72, 72)
+    head[65] = 3
+    head[66:68] = struct.pack("<H", bpl)
+    head[68:70] = struct.pack("<H", 1)
+    out = bytearray(head)
+    for y in range(h):
+        row = bytes(gray[y]) + b"\0" * (bpl - w)
+        for _plane in range(3):  # equal channels
+            x = 0
+            while x < len(row):
+                v = row[x]
+                run = 1
+                while x + run < len(row) and row[x + run] == v and run < 63:
+                    run += 1
+                if run > 1 or v >= 0xC0:
+                    out.append(0xC0 | run)
+                out.append(v)
+                x += run
+    return bytes(out)
+
+
+def sun_raster_encode(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 → 24-bit standard (type 1) Sun rasterfile."""
+    h, w = gray.shape
+    stride = ((w * 3 + 1) // 2) * 2
+    rows = []
+    for y in range(h):
+        rows.append(np.repeat(gray[y], 3).tobytes() + b"\0" * (stride - w * 3))
+    body = b"".join(rows)
+    head = struct.pack(">8I", 0x59A66A95, w, h, 24, len(body), 1, 0, 0)
+    return head + body
+
+
+def sgi_encode(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 → verbatim 3-channel SGI image (bottom-up planes)."""
+    h, w = gray.shape
+    head = bytearray(512)
+    head[0:2] = b"\x01\xda"
+    head[2], head[3] = 0, 1  # verbatim, 1 byte per channel
+    head[4:12] = struct.pack(">4H", 3, w, h, 3)
+    head[12:20] = struct.pack(">2I", 0, 255)
+    plane = gray[::-1].tobytes()  # bottom-up
+    return bytes(head) + plane * 3
+
+
+def pnm_payload(doc_id: int) -> bytes:
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return pnm_encode(((doc_id + x + y) % 256).astype(np.uint8))
+
+
+def pcx_payload(doc_id: int) -> bytes:
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return pcx_encode(((doc_id + x + y) % 256).astype(np.uint8))
+
+
+def ras_payload(doc_id: int) -> bytes:
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return sun_raster_encode(((doc_id + x + y) % 256).astype(np.uint8))
+
+
+def sgi_payload(doc_id: int) -> bytes:
+    w, h = 4 + doc_id % 8, 3 + doc_id % 5
+    y, x = np.mgrid[0:h, 0:w]
+    return sgi_encode(((doc_id + x + y) % 256).astype(np.uint8))

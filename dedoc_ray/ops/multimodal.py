@@ -118,7 +118,8 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
         img_fn = jpeg_payload_arith
     else:
         img_fn = {"bmp": mc.bmp_payload, "png": mc.png_payload, "gif": mc.gif_payload,
-                  "tiff": mc.tiff_payload}[image_codec]
+                  "tiff": mc.tiff_payload, "pnm": mc.pnm_payload, "pcx": mc.pcx_payload,
+                  "ras": mc.ras_payload, "sgi": mc.sgi_payload}[image_codec]
     if audio_codec == "flac":
         from dedoc_ray.ops.flac_codec import flac_payload
 
@@ -146,49 +147,19 @@ def media_corpus_real(sf_dir: str, image_codec: str = "bmp", audio_codec: str = 
 
 
 def _decode_payload(data: bytes):
-    """→ (width, height, pixel ndarray). REAL codecs for BMP (24-bit),
-    PNG (gray/RGB, stdlib-zlib DEFLATE), GIF (LZW) — ops/media_codecs.py —
-    and baseline JPEG, grayscale AND YCbCr color with 4:2:0/4:4:4
-    sampling (ops/jpeg_codec.py; color returns the BT.601 luma plane);
-    the synthetic FIMG container for tests; progressive/arithmetic JPEG
-    stays gated on PIL (``_HAVE_PIL``, absent here)."""
-    if data[:2] == b"\xff\xd8":
-        from dedoc_ray.ops.jpeg_codec import jpeg_decode
+    """→ (width, height, pixel ndarray). The synthetic FIMG container for
+    tests, else ops/media_codecs.image_decode_gray's magic dispatch over
+    the full native raster family (BMP/PNG/GIF/TIFF/JPEG/Netpbm/PCX/Sun/
+    SGI/HDR, plus WebP through the system libwebp)."""
+    if data[:4] == IMG_MAGIC:
+        w, h = struct.unpack("<HH", data[4:8])
+        px = np.frombuffer(data[8:8 + w * h], dtype=np.uint8)
+        return w, h, px
+    from dedoc_ray.ops.media_codecs import image_decode_gray
 
-        gray = jpeg_decode(data)
-        h, w = gray.shape
-        return w, h, gray.reshape(-1)
-    if data[:2] == b"BM":
-        from dedoc_ray.ops.media_codecs import bmp_decode
-
-        gray = bmp_decode(data)
-        h, w = gray.shape
-        return w, h, gray.reshape(-1)
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        from dedoc_ray.ops.media_codecs import png_decode
-
-        gray = png_decode(data)
-        h, w = gray.shape
-        return w, h, gray.reshape(-1)
-    if data[:4] == b"GIF8":
-        from dedoc_ray.ops.media_codecs import gif_decode
-
-        gray = gif_decode(data)
-        h, w = gray.shape
-        return w, h, gray.reshape(-1)
-    if data[:4] in (b"II*\x00", b"MM\x00*"):
-        from dedoc_ray.ops.media_codecs import tiff_decode
-
-        gray = tiff_decode(data)
-        h, w = gray.shape
-        return w, h, gray.reshape(-1)
-    if data[:4] != IMG_MAGIC:
-        if _HAVE_PIL:
-            raise NotImplementedError("compressed-codec decode not wired in this container")
-        raise ValueError("unknown image container")
-    w, h = struct.unpack("<HH", data[4:8])
-    px = np.frombuffer(data[8:8 + w * h], dtype=np.uint8)
-    return w, h, px
+    gray = image_decode_gray(data)
+    h, w = gray.shape
+    return w, h, gray.reshape(-1)
 
 
 class ImageFeatureKernel:
@@ -485,6 +456,31 @@ def image_features_tiff(sf_dir: str):
     """The image feature stage over REAL TIFF payloads (IFD walk, strips,
     PackBits on every third doc) — same kernel, magic-dispatched decode."""
     return media_corpus_real(sf_dir, image_codec="tiff").drop_columns(["audio", "video"]).map_batches(
+        ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def image_features_scanext(sf_dir: str):
+    """The image feature stage over the scanner-raster container family —
+    Netpbm P6 / PCX RLE / Sun raster / SGI rotated by doc_id % 4. All four
+    decoders are pinned pixel-exact against the reference's real scanned
+    page (tests/test_raster_family.py); the corpus writers share bmp's
+    pixel field, so the one exact SQL oracle covers the family."""
+    from dedoc_ray.ops import media_codecs as mc
+
+    fns = [mc.pnm_payload, mc.pcx_payload, mc.ras_payload, mc.sgi_payload]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "image": pa.array([fns[d % 4](d) for d in doc_ids], "binary"),
+        })
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(gen, batch_format="pyarrow").map_batches(
         ImageFeatureKernel, batch_format="pyarrow", batch_size=128, concurrency=(1, 4), num_cpus=1
     )
 

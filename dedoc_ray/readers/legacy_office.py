@@ -173,10 +173,14 @@ def read_xls(data: bytes) -> UnstructuredDoc:
     while pos + 4 <= len(wb):
         rec, ln = struct.unpack_from("<HH", wb, pos)
         payload = wb[pos + 4 : pos + 4 + ln]
+        if len(payload) < ln:
+            raise BadLegacyFile("truncated BIFF record")
         pos += 4 + ln
         if rec == _BIFF_BOF:
             # substreams are sequential, not nested: dt 0x0005 = workbook
             # globals, 0x0010 = worksheet ([MS-XLS] 2.4.21)
+            if len(payload) < 4:
+                raise BadLegacyFile("short BOF record")
             (dt,) = struct.unpack_from("<H", payload, 2)
             if dt != 0x0005:
                 cur = {}
@@ -186,6 +190,8 @@ def read_xls(data: bytes) -> UnstructuredDoc:
         elif rec == _BIFF_SST:
             sst = _parse_sst(payload)
         elif cur is not None and rec == 0x00BD:  # MULRK: a run of RK cells
+            if len(payload) < 6:
+                raise BadLegacyFile("short MULRK record")
             rw, col_first = struct.unpack_from("<HH", payload, 0)
             (col_last,) = struct.unpack_from("<H", payload, len(payload) - 2)
             for k in range(col_last - col_first + 1):
@@ -195,6 +201,8 @@ def read_xls(data: bytes) -> UnstructuredDoc:
                 (rk,) = struct.unpack_from("<I", payload, off + 2)  # skip ixfe
                 cur[(rw, col_first + k)] = _decode_rk(rk)
         elif cur is not None and rec in (_BIFF_NUMBER, _BIFF_RK, _BIFF_LABELSST, _BIFF_LABEL):
+            if len(payload) < {_BIFF_NUMBER: 14, _BIFF_RK: 10, _BIFF_LABELSST: 10, _BIFF_LABEL: 8}[rec]:
+                raise BadLegacyFile("short BIFF cell record")
             rw, col = struct.unpack_from("<HH", payload, 0)
             if rec == _BIFF_NUMBER:
                 (num,) = struct.unpack_from("<d", payload, 6)

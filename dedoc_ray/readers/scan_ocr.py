@@ -360,23 +360,17 @@ def lines_from_recognized(
 def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
     """Image scan → UnstructuredDoc (the image half of the reference's
     PdfImageReader, which accepts bare images alongside textless PDFs;
-    supported_image_types there spans bmp/png/jpg/tiff — here the
-    container-parseable rasters: PGM, 24-bit BMP, PNG and TIFF).
+    supported_image_types there spans the cv2/PIL container family — here
+    every raster ops/media_codecs.image_decode_gray parses: BMP, PNG, GIF,
+    TIFF, JPEG, the Netpbm family, PCX, Sun raster, SGI, Radiance HDR,
+    WebP; bare PGM from the synthetic corpus as the fallback).
     ``orientation="no_change"`` skips rotation correction (the reference's
     document_orientation query knob)."""
-    if data[:2] == b"BM":
-        from dedoc_ray.ops.media_codecs import bmp_decode
+    try:
+        from dedoc_ray.ops.media_codecs import image_decode_gray
 
-        img = bmp_decode(data)
-    elif data[:8] == b"\x89PNG\r\n\x1a\n":
-        from dedoc_ray.ops.media_codecs import png_decode
-
-        img = png_decode(data)
-    elif data[:2] in (b"II", b"MM"):
-        from dedoc_ray.ops.media_codecs import tiff_decode
-
-        img = tiff_decode(data)
-    else:
+        img = image_decode_gray(data)
+    except ValueError:
         img = parse_pgm(data)
     file_hash = hashlib.md5(data).hexdigest()
     recognized, k = ocr_raster(img, orientation=orientation, with_metadata=True)
