@@ -84,6 +84,10 @@ def render_tree(row: Dict) -> Dict:
     """Tree return-format analogue: rebuild the recursive structure
     (node_id path strings → subparagraphs) — the ParsedDocument shape
     (api/schema/tree_node.py:9-33) minus request-scoped fields."""
+    anns_by_node: Dict[str, List[Dict]] = {}
+    for a in row.get("annotations") or []:
+        anns_by_node.setdefault(a["node_id"], []).append(
+            {"start": a["start"], "end": a["end"], "name": a["name"], "value": a["value"]})
     index: Dict[str, Dict] = {}
     root: Dict = {}
     for node in row.get("nodes") or []:
@@ -91,6 +95,7 @@ def render_tree(row: Dict) -> Dict:
             "node_id": node["node_id"],
             "text": _node_text(row, node),
             "metadata": {"paragraph_type": node["line_type"]},
+            "annotations": anns_by_node.get(node["node_id"], []),
             "subparagraphs": [],
         }
         index[node["node_id"]] = entry

@@ -48,9 +48,12 @@ def format_number(num_fmt: str, shift: int) -> str:
 
 
 class LevelInfo:
-    __slots__ = ("lvl_text", "num_fmt", "start", "lvl_restart", "restart", "suff", "style_id")
+    __slots__ = ("lvl_text", "num_fmt", "start", "lvl_restart", "restart", "suff", "style_id",
+                 "ppr", "rpr")
 
     def __init__(self) -> None:
+        self.ppr: Optional[ElementTree.Element] = None  # lvl paragraph props
+        self.rpr: Optional[ElementTree.Element] = None  # lvl run props
         self.lvl_text = ""
         self.num_fmt = "none"
         self.start = 1
@@ -107,6 +110,12 @@ class _AbstractNum:
             if override:
                 info.restart = True
                 info.start = int(override)
+            ppr = lvl.find(f"{W}pPr")
+            if ppr is not None:
+                info.ppr = ppr
+            rpr = lvl.find(f"{W}rPr")
+            if rpr is not None:
+                info.rpr = rpr
             self.levels[ilvl] = info
 
 
@@ -250,6 +259,12 @@ class NumberingEngine:
             depth = max(depth, 1)
             text = _PLACEHOLDER_RE.sub(self._number_at(num, level), text, count=1)
         return text + info.suff, depth
+
+    def level_info(self, num_id: str, ilvl: str) -> Optional[LevelInfo]:
+        """Resolved LevelInfo (for the lvl's pPr/rPr formatting) — no
+        counter side effects."""
+        num = self.nums.get(num_id)
+        return num.level(ilvl) if num is not None else None
 
 
 class StylesDb:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import struct
 from typing import Dict, List, Optional, Tuple
 
+from dedoc_ray.core.annotation import Annotation
 from dedoc_ray.core.hierarchy import HierarchyLevel
 from dedoc_ray.core.line import LineMetadata, LineWithMeta
 from dedoc_ray.core.table import CellWithMeta, Table
@@ -69,8 +70,110 @@ def _doc_pieces(word: bytes, table: bytes) -> List[Tuple[int, int, bool]]:
     return pieces
 
 
+_FC_PLCFBTECHPX_OFF = 0x00FA  # FibRgFcLcb97: fcPlcfBteChpx / lcbPlcfBteChpx
+
+
+def _parse_chpx_sprms(grpprl: bytes) -> Dict[str, int]:
+    """Chpx grpprl → character properties ([MS-DOC] 2.6.1 sprms: CFBold
+    0x0835, CFItalic 0x0836, CFStrike 0x0837, CKul 0x2A3E, CIss 0x2A48,
+    CHps 0x4A43). Operand width comes from the sprm's spra bits."""
+    props: Dict[str, int] = {}
+    i = 0
+    while i + 2 <= len(grpprl):
+        (sprm,) = struct.unpack_from("<H", grpprl, i)
+        i += 2
+        spra = sprm >> 13
+        if spra in (0, 1):
+            size = 1
+        elif spra in (2, 4, 5):
+            size = 2
+        elif spra == 3:
+            size = 4
+        elif spra == 7:
+            size = 3
+        else:  # 6: variable — cb byte + payload
+            if i >= len(grpprl):
+                break
+            size = grpprl[i] + 1
+        op = grpprl[i : i + size]
+        i += size
+        if not op:
+            continue
+        if sprm == 0x0835:
+            props["bold"] = op[0]
+        elif sprm == 0x0836:
+            props["italic"] = op[0]
+        elif sprm == 0x0837:
+            props["strike"] = op[0]
+        elif sprm == 0x2A3E:
+            props["kul"] = op[0]
+        elif sprm == 0x2A48:
+            props["iss"] = op[0]
+        elif sprm == 0x4A43 and len(op) >= 2:
+            props["hps"] = struct.unpack_from("<H", op)[0]
+    return props
+
+
+def _doc_char_runs(word: bytes, table: bytes) -> List[Tuple[int, int, Dict[str, int]]]:
+    """PlcfBteChpx → ChpxFkp pages → [(fc_start, fc_end, props)] runs."""
+    fc, lcb = struct.unpack_from("<II", word, _FC_PLCFBTECHPX_OFF)
+    if not lcb or fc + lcb > len(table):
+        return []
+    plc = table[fc : fc + lcb]
+    n = (len(plc) - 4) // 8  # n+1 FCs + n page numbers
+    if n <= 0:
+        return []
+    pns = struct.unpack_from(f"<{n}I", plc, (n + 1) * 4)
+    runs: List[Tuple[int, int, Dict[str, int]]] = []
+    for pn in pns:
+        page = word[pn * 512 : (pn + 1) * 512]
+        if len(page) < 512:
+            continue
+        crun = page[511]
+        if crun == 0 or (crun + 1) * 4 + crun > 511:
+            continue
+        rgfc = struct.unpack_from(f"<{crun + 1}I", page, 0)
+        for i in range(crun):
+            boff = page[(crun + 1) * 4 + i]
+            if not boff:
+                continue  # no Chpx: style-inherited run
+            cpos = boff * 2
+            cb = page[cpos]
+            props = _parse_chpx_sprms(page[cpos + 1 : cpos + 1 + cb])
+            if props:
+                runs.append((rgfc[i], rgfc[i + 1], props))
+    return runs
+
+
+def _toggle_on(val: int) -> bool:
+    # [MS-DOC] ToggleOperand: 1 = on, 0 = off, 0x80 = match style,
+    # 0x81 = invert style (base styles default off → on)
+    return val in (1, 0x81)
+
+
+def _chpx_annotations(props: Dict[str, int], start: int, end: int) -> List[Annotation]:
+    out: List[Annotation] = []
+    if _toggle_on(props.get("bold", 0)):
+        out.append(Annotation(start, end, "bold", "True"))
+    if _toggle_on(props.get("italic", 0)):
+        out.append(Annotation(start, end, "italic", "True"))
+    if _toggle_on(props.get("strike", 0)):
+        out.append(Annotation(start, end, "strike", "True"))
+    if props.get("kul", 0):
+        out.append(Annotation(start, end, "underlined", "True"))
+    iss = props.get("iss", 0)
+    if iss == 1:
+        out.append(Annotation(start, end, "superscript", "True"))
+    elif iss == 2:
+        out.append(Annotation(start, end, "subscript", "True"))
+    if "hps" in props:
+        out.append(Annotation(start, end, "size", str(props["hps"] / 2)))
+    return out
+
+
 def read_doc(data: bytes) -> UnstructuredDoc:
-    """Word 97 .doc → paragraphs (piece-table text split on \\r marks)."""
+    """Word 97 .doc → paragraphs (piece-table text split on \\r marks) with
+    character-run annotations from the CHPX bin table (FKP pages)."""
     cfb = _open_cfb(data)
     word = cfb.stream("WordDocument")
     if word is None or len(word) < 0x01AA or struct.unpack_from("<H", word, 0)[0] != 0xA5EC:
@@ -79,23 +182,56 @@ def read_doc(data: bytes) -> UnstructuredDoc:
     table = cfb.stream("1Table" if flags & 0x0200 else "0Table")
     if table is None:
         raise BadLegacyFile("no table stream")
+    pieces = _doc_pieces(word, table)
     chunks: List[str] = []
-    for fc, n_chars, utf16 in _doc_pieces(word, table):
+    for fc, n_chars, utf16 in pieces:
         if utf16:
             chunks.append(word[fc : fc + n_chars * 2].decode("utf-16-le", "replace"))
         else:
             chunks.append(word[fc : fc + n_chars].decode("cp1252", "replace"))
     text = "".join(chunks)
+
+    # character runs: FC ranges → document char spans via the piece table
+    doc_spans: List[Tuple[int, int, Dict[str, int]]] = []
+    try:
+        char_runs = _doc_char_runs(word, table)
+    except struct.error:
+        char_runs = []
+    if char_runs:
+        cp = 0
+        for fc, n_chars, utf16 in pieces:
+            width = 2 if utf16 else 1
+            fc_end = fc + n_chars * width
+            for run_s, run_e, props in char_runs:
+                s, e = max(run_s, fc), min(run_e, fc_end)
+                if s < e:
+                    doc_spans.append((cp + (s - fc) // width, cp + (e - fc) // width, props))
+            cp += n_chars
+
     lines: List[LineWithMeta] = []
     # \r = paragraph mark, \x07 = cell/row mark, \x0b = soft break ([MS-DOC])
-    paras = text.replace("\x07", "\r").split("\r")
+    norm = text.replace("\x07", "\r")
+    paras = norm.split("\r")
     if paras and paras[-1] == "":
         paras.pop()  # trailing mark terminates the last paragraph
+    from dedoc_ray.core.annotation_merger import merge_annotations
+
+    offset = 0
     for line_id, para in enumerate(paras):
+        para_start, para_end = offset, offset + len(para)
+        offset = para_end + 1  # the \r separator
+        lead = len(para) - len(para.lstrip("\x00"))
         para = para.replace("\x0b", "\n").strip("\x00")
+        annotations: List[Annotation] = []
+        for s, e, props in doc_spans:
+            s2, e2 = max(s, para_start + lead) - para_start - lead, min(e, para_end) - para_start - lead
+            if 0 <= s2 < e2 <= len(para):
+                annotations.extend(_chpx_annotations(props, s2, e2))
+        annotations = merge_annotations(annotations, para) if annotations else []
         hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if line_id == 0 else None
         lines.append(
-            LineWithMeta(para + "\n", metadata=LineMetadata(page_id=0, line_id=line_id, tag_hierarchy_level=hl))
+            LineWithMeta(para + "\n", metadata=LineMetadata(page_id=0, line_id=line_id, tag_hierarchy_level=hl),
+                         annotations=annotations)
         )
     return UnstructuredDoc(lines=lines, metadata=read_summary_info(cfb))
 

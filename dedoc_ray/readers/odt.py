@@ -26,28 +26,84 @@ TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 META = "{urn:oasis:names:tc:opendocument:xmlns:meta:1.0}"
 DC = "{http://purl.org/dc/elements/1.1/}"
+STYLE = "{urn:oasis:names:tc:opendocument:xmlns:style:1.0}"
+FO = "{urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0}"
 
 ODT_MIMETYPE = b"application/vnd.oasis.opendocument.text"
 
 
-def _element_text(el: ElementTree.Element) -> str:
+def _odt_text_styles(*roots: Optional[ElementTree.Element]) -> Dict[str, Dict[str, str]]:
+    """style:style → run-property dict from style:text-properties
+    (content.xml automatic styles + styles.xml): fo:font-weight/-style,
+    underline/line-through, style:text-position super/sub, fo:font-size."""
+    out: Dict[str, Dict[str, str]] = {}
+    for root in roots:
+        if root is None:
+            continue
+        for style in root.iter(f"{STYLE}style"):
+            name = style.get(f"{STYLE}name")
+            tp = style.find(f"{STYLE}text-properties")
+            if not name or tp is None:
+                continue
+            props: Dict[str, str] = {}
+            if tp.get(f"{FO}font-weight") == "bold":
+                props["bold"] = "True"
+            if tp.get(f"{FO}font-style") == "italic":
+                props["italic"] = "True"
+            under = tp.get(f"{STYLE}text-underline-style")
+            if under and under != "none":
+                props["underlined"] = "True"
+            through = tp.get(f"{STYLE}text-line-through-style")
+            if through and through != "none":
+                props["strike"] = "True"
+            position = tp.get(f"{STYLE}text-position", "")
+            if position.startswith("super"):
+                props["superscript"] = "True"
+            elif position.startswith("sub"):
+                props["subscript"] = "True"
+            size = tp.get(f"{FO}font-size")
+            if size and size.endswith("pt"):
+                props["size"] = str(float(size[:-2]))
+            if props:
+                out[name] = props
+    return out
+
+
+def _element_text(el: ElementTree.Element,
+                  styles: Optional[Dict[str, Dict[str, str]]] = None,
+                  annotations: Optional[List] = None) -> str:
     """Flatten one paragraph-level element: tabs/line-breaks/spaces expand
-    per the ODF spec (text:tab, text:line-break, text:s)."""
+    per the ODF spec (text:tab, text:line-break, text:s). With ``styles``
+    and ``annotations`` given, styled text:span runs emit bold/italic/
+    underlined/strike/superscript/subscript/size annotation spans."""
+    from dedoc_ray.core.annotation import Annotation
+
     parts: List[str] = []
+    length = [0]
+
+    def emit(s: str) -> None:
+        parts.append(s)
+        length[0] += len(s)
 
     def walk(e: ElementTree.Element) -> None:
+        span_start = length[0]
         if e.tag == f"{TEXT}tab":
-            parts.append("\t")
+            emit("\t")
         elif e.tag == f"{TEXT}line-break":
-            parts.append("\n")
+            emit("\n")
         elif e.tag == f"{TEXT}s":
-            parts.append(" " * int(e.get(f"{TEXT}c", "1")))
+            emit(" " * int(e.get(f"{TEXT}c", "1")))
         if e.text:
-            parts.append(e.text)
+            emit(e.text)
         for child in e:
             walk(child)
             if child.tail:
-                parts.append(child.tail)
+                emit(child.tail)
+        if annotations is not None and styles and e.tag == f"{TEXT}span":
+            props = styles.get(e.get(f"{TEXT}style-name", ""), {})
+            for name, value in props.items():
+                if span_start < length[0]:
+                    annotations.append(Annotation(span_start, length[0], name, value))
 
     walk(el)
     return "".join(parts)
@@ -130,6 +186,11 @@ def read_odt(data: bytes) -> UnstructuredDoc:
     text_el = body.find(f"{OFFICE}text") if body is not None else None
     if text_el is None:
         raise BadOfficeFile("no office:text body")
+    try:
+        styles_root = _xml(zf, "styles.xml")
+    except BadOfficeFile:
+        styles_root = None
+    text_styles = _odt_text_styles(root, styles_root)
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = [0]
@@ -137,17 +198,21 @@ def read_odt(data: bytes) -> UnstructuredDoc:
         if child.tag == f"{TEXT}h":
             level = int(child.get(f"{TEXT}outline-level", "1"))
             hl = HierarchyLevel(1, level, False, HierarchyLevel.header)
+            anns: List = []
+            text = _element_text(child, text_styles, anns)
             lines.append(
                 LineWithMeta(
-                    _element_text(child) + "\n",
+                    text + "\n", annotations=anns,
                     metadata=LineMetadata(page_id=0, line_id=line_id[0], tag_hierarchy_level=hl),
                 )
             )
             line_id[0] += 1
         elif child.tag == f"{TEXT}p":
+            anns = []
+            text = _element_text(child, text_styles, anns)
             lines.append(
                 LineWithMeta(
-                    _element_text(child) + "\n",
+                    text + "\n", annotations=anns,
                     metadata=LineMetadata(page_id=0, line_id=line_id[0]),
                 )
             )

@@ -93,38 +93,39 @@ def _docx_paragraph(
     styles: Optional["StylesDb"] = None,
     footnotes: Optional[Dict[str, str]] = None,
     endnotes: Optional[Dict[str, str]] = None,
-) -> LineWithMeta:
-    """One w:p → LineWithMeta with run-level style annotations and, for list
-    paragraphs, the rendered numbering prefix ("1.\\t", "a)\\t", bullets —
-    reference numbering_extractor.py inserts the numbering text as a leading
-    run; we prepend it and shift run annotations accordingly)."""
-    texts: List[str] = []
-    annotations: List[Annotation] = []
-    pos = 0
-    for run in p.iter(f"{W}r"):
-        run_text = "".join(t.text or "" for t in run.iter(f"{W}t"))
-        if not run_text:
-            continue
-        rpr = run.find(f"{W}rPr")
-        start, end = pos, pos + len(run_text)
-        if rpr is not None:
-            if rpr.find(f"{W}b") is not None:
-                annotations.append(Annotation(start, end, "bold", "True"))
-            if rpr.find(f"{W}i") is not None:
-                annotations.append(Annotation(start, end, "italic", "True"))
-            if rpr.find(f"{W}u") is not None:
-                annotations.append(Annotation(start, end, "underlined", "True"))
-        texts.append(run_text)
-        pos = end
+    resolver: Optional["StyleResolver"] = None,
+    prev_spacing_after: int = 0,
+) -> Tuple[LineWithMeta, int]:
+    """One w:p → (LineWithMeta, spacing_after). Properties resolve through
+    the reference's full hierarchy (docx_props.py: docDefaults → default
+    style → pStyle basedOn chain → direct pPr → character style → run rPr);
+    annotations mirror line_with_meta_converter.py — paragraph-wide
+    indentation/alignment/spacing/style + per-run size and the six boolean
+    styles, merged by the shared AnnotationMerger. List paragraphs get the
+    rendered numbering prefix as a leading run."""
+    from dedoc_ray.core.annotation_merger import merge_annotations
+    from dedoc_ray.readers.docx_props import (
+        Props, change_paragraph_properties, change_run_properties, run_text as _run_text,
+    )
 
     ppr = p.find(f"{W}pPr")
+    ppr_rpr = ppr.find(f"{W}rPr") if ppr is not None else None
+    _pstyle = ppr.find(f"{W}pStyle") if ppr is not None else None
+    pstyle_id = _pstyle.get(f"{W}val", "") if _pstyle is not None else ""
+
+    par = Props()
+    if resolver is not None:
+        resolver.parse(pstyle_id or None, par, "paragraph", is_paragraph=True)
+    if ppr is not None:
+        change_paragraph_properties(par, ppr)
+
+    # numbering resolution first: the lvl's pPr feeds paragraph properties
+    # and its rPr the numbering run (reference paragraph.py step 7 before 8)
     tag_hl: Optional[HierarchyLevel] = None
-    style_id = ""
+    style_id = pstyle_id
     num_ref: Optional[Tuple[str, str]] = None
     bare_list_depth: Optional[int] = None  # numPr without a resolvable numId
     if ppr is not None:
-        style = ppr.find(f"{W}pStyle")
-        style_id = style.get(f"{W}val", "") if style is not None else ""
         numpr = ppr.find(f"{W}numPr")
         if numpr is not None:
             num_el = numpr.find(f"{W}numId")
@@ -146,41 +147,87 @@ def _docx_paragraph(
             heading = int(m.group(1)) if m else None
 
     prefix = ""
+    num_rpr = None
     if heading is not None:
         tag_hl = HierarchyLevel(1, heading, False, HierarchyLevel.header)
     elif num_ref is not None or bare_list_depth is not None:
         depth = bare_list_depth or 1
         if num_ref is not None and numbering is not None:
             prefix, depth = numbering.prefix(*num_ref)
+            lvl = numbering.level_info(*num_ref)
+            if lvl is not None:
+                if lvl.style_id and resolver is not None:
+                    resolver.parse(lvl.style_id, par, "paragraph")
+                if lvl.ppr is not None:
+                    change_paragraph_properties(par, lvl.ppr)
+                num_rpr = lvl.rpr
         tag_hl = HierarchyLevel(2, depth, False, HierarchyLevel.list_item)
-        if prefix:
-            annotations = [a.shifted(len(prefix)) for a in annotations]
 
-    # paragraph-level unit → trailing newline, like the HTML kernel's
-    # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
-    text = prefix + "".join(texts) + "\n"
-    # footnote/endnote references → linked_text annotations spanning the
-    # paragraph (reference paragraph.py:88-93 + line_with_meta_converter.py:40-41)
+    runs: List[Tuple[str, Props]] = []
+    if prefix:
+        # reference __get_numbering_formatting: the numbering text is a
+        # leading run carrying paragraph + lvl rPr + pPr>rPr properties
+        np_props = Props(par)
+        if num_rpr is not None:
+            change_run_properties(np_props, num_rpr)
+        if ppr_rpr is not None:
+            change_run_properties(np_props, ppr_rpr)
+        runs.append((prefix, np_props))
+    for run in p.iter(f"{W}r"):
+        rp = Props(par)
+        rpr = run.find(f"{W}rPr")
+        rstyle = rpr.find(f"{W}rStyle") if rpr is not None else None
+        if rstyle is not None and resolver is not None:
+            resolver.parse(rstyle.get(f"{W}val", ""), rp, "character")
+            if ppr_rpr is not None:
+                change_run_properties(rp, ppr_rpr)
+        if rpr is not None:
+            change_run_properties(rp, rpr)
+        text_r = _run_text(run)
+        if not text_r:
+            continue
+        if rp.caps and any(el.tag == f"{W}caps" for el in run.iter()):
+            text_r = text_r.upper()
+        runs.append((text_r, rp))
+
+    body = "".join(t for t, _ in runs)
+    if par.caps:
+        body = body.upper()
+    blen = len(body)
+
+    # annotations per line_with_meta_converter.py:35-55 — paragraph-wide
+    # indentation/alignment/spacing/style (+ linked_text per footnote),
+    # per-run size (always) and the six boolean styles; then merged
+    spacing = max(prev_spacing_after, par.spacing_before) if line_id else par.spacing_before
+    annotations: List[Annotation] = [
+        Annotation(0, blen, "indentation", str(par.indentation)),
+        Annotation(0, blen, "alignment", par.jc),
+        Annotation(0, blen, "spacing", str(spacing)),
+    ]
     for ref_tag, id2note in ((f"{W}footnoteReference", footnotes), (f"{W}endnoteReference", endnotes)):
         if not id2note:
             continue
         for ref in p.iter(ref_tag):
             note = id2note.get(ref.get(f"{W}id", ""))
             if note:
-                annotations.append(Annotation(0, max(len(text) - 1, 0), "linked_text", note))
-    # paragraph-level alignment/indentation annotations (reference
-    # docx_reader/properties_extractor.py: w:jc → alignment, w:ind →
-    # indentation in twentieths of a point)
-    if ppr is not None and text.strip():
-        jc = ppr.find(f"{W}jc")
-        if jc is not None:
-            annotations.append(Annotation(0, len(text), "alignment", jc.get(f"{W}val", "left")))
-        ind = ppr.find(f"{W}ind")
-        if ind is not None:
-            left_ind = ind.get(f"{W}firstLine") or ind.get(f"{W}left") or "0"
-            annotations.append(Annotation(0, len(text), "indentation", left_ind))
+                annotations.append(Annotation(0, blen, "linked_text", note))
+    if par.style_name is not None:
+        annotations.append(Annotation(0, blen, "style", par.style_name))
+    pos = 0
+    for text_r, rp in runs:
+        start, end = pos, pos + len(text_r)
+        pos = end
+        annotations.append(Annotation(start, end, "size", str(rp.size / 2)))
+        for name in ("bold", "italic", "underlined", "strike", "superscript", "subscript"):
+            if getattr(rp, name):
+                annotations.append(Annotation(start, end, name, "True"))
+    annotations = merge_annotations(annotations, body)
+
+    # paragraph-level unit → trailing newline, like the HTML kernel's
+    # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
+    text = body + "\n"
     metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=tag_hl)
-    return LineWithMeta(text, metadata=metadata, annotations=annotations)
+    return LineWithMeta(text, metadata=metadata, annotations=annotations), par.spacing_after
 
 
 def _docx_table(tbl: ElementTree.Element, page_id: int, uid: str) -> Table:
@@ -274,11 +321,20 @@ def _cached_styles(xml_bytes: bytes):
     return StylesDb(ElementTree.fromstring(xml_bytes))
 
 
+@lru_cache(maxsize=64)
+def _cached_resolver(xml_bytes: Optional[bytes]):
+    from dedoc_ray.readers.docx_props import StyleResolver
+
+    return StyleResolver(ElementTree.fromstring(xml_bytes) if xml_bytes else None)
+
+
 def read_docx(data: bytes) -> UnstructuredDoc:
     from dedoc_ray.readers.docx_numbering import NumberingEngine, StylesDb
 
     zf = _open_zip(data)
     root = _xml(zf, "word/document.xml")
+    if root is None:  # reference docx_document.py:30 falls back to document2.xml
+        root = _xml(zf, "word/document2.xml")
     if root is None:
         raise BadOfficeFile("no word/document.xml")
     body = root.find(f"{W}body")
@@ -295,22 +351,43 @@ def read_docx(data: bytes) -> UnstructuredDoc:
         styles = _cached_styles(styles_bytes) if styles_bytes else StylesDb(None)
     except ElementTree.ParseError as e:
         raise BadOfficeFile(f"bad xml in word/styles.xml: {e}") from e
+    try:
+        resolver = _cached_resolver(styles_bytes)
+    except ElementTree.ParseError as e:
+        raise BadOfficeFile(f"bad xml in word/styles.xml: {e}") from e
     footnotes = _docx_notes(zf, "word/footnotes.xml")
     endnotes = _docx_notes(zf, "word/endnotes.xml")
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = 0
+    prev_after = 0
     for child in body:
         if child.tag == f"{W}p":
-            lines.append(
-                _docx_paragraph(child, page_id=0, line_id=line_id, numbering=numbering,
-                                styles=styles, footnotes=footnotes, endnotes=endnotes)
-            )
+            line, prev_after = _docx_paragraph(
+                child, page_id=0, line_id=line_id, numbering=numbering,
+                styles=styles, footnotes=footnotes, endnotes=endnotes,
+                resolver=resolver, prev_spacing_after=prev_after)
+            lines.append(line)
             line_id += 1
         elif child.tag == f"{W}tbl":
             tbl = _docx_table(child, page_id=0, uid=f"table_{len(tables)}")
             tbl.order = line_id  # document-order anchor for line↔table linking
             tables.append(tbl)
+    # reference docx_reader.py:37-53 __fix_lines: between consecutive
+    # unknown-type lines the paragraph newline joins the line, and
+    # annotations that touched the old end stretch over it (our text always
+    # carries the trailing "\n"; only the annotation ends need the rule)
+    for i in range(len(lines) - 1):
+        cur_hl = lines[i].metadata.tag_hierarchy_level
+        nxt_hl = lines[i + 1].metadata.tag_hierarchy_level
+        cur_unknown = cur_hl is None or cur_hl.line_type == HierarchyLevel.unknown
+        nxt_unknown = nxt_hl is None or nxt_hl.line_type == HierarchyLevel.unknown
+        if not (cur_unknown and nxt_unknown):
+            continue
+        old_len = len(lines[i].line) - 1  # text length before the "\n"
+        for a in lines[i].annotations:
+            if a.end == old_len:
+                a.end += 1
     # embedded media/OLE parts → attachment manifest (reference
     # attachments_handler/attachments_handler.py:1-91 + docx
     # attachments_extractor; rows carry (name, size) instead of temp files)

@@ -417,9 +417,11 @@ def test_docx_annotations_fixture():
         "a.docx", open(os.path.join(DATA, "annotation_docx/example_1.docx"), "rb").read()
     )
     spans = {(a["name"], row["extracted_text"][a["start"]:a["end"]]) for a in row["annotations"]}
-    assert ("italic", "Italic text") in spans
-    assert ("bold", "Bold text") in spans
-    assert ("underlined", "Underlined text") in spans
+    # spans stretch over the joining newline between unknown-type lines
+    # (reference docx_reader.py __fix_lines + node-level annotation merge)
+    assert ("italic", "Italic text\n") in spans
+    assert ("bold", "Bold text\n") in spans
+    assert ("underlined", "Underlined text\n") in spans
     assert any(n == "alignment" for n, _ in spans)
     assert "Text aligned to both borders" in text
 
@@ -441,3 +443,105 @@ def test_xml_raw_text_lines():
     assert lines[0] == '<?xml version="1.0" encoding="UTF-8"?>'
     assert lines[1] == "<note>"
     assert lines[2] == "  <to>Tove</to>"
+
+
+def _line_annotations(rel):
+    from dedoc_ray.readers.office import read_docx
+
+    with open(os.path.join(DATA, rel), "rb") as f:
+        doc = read_docx(f.read())
+    return doc, [[(a.start, a.end, a.name, a.value) for a in l.annotations] for l in doc.lines]
+
+
+def test_docx_annotations_example_2():
+    # reference test_api_format_docx_annotations.py:35-63 — heading styles
+    # (style-chain italic + style name), per-run size spans, alignment, and
+    # whole-paragraph bold/italic/underlined including the joining newline
+    _, anns = _line_annotations("annotation_docx/example_2.docx")
+    pins = {
+        3: [(0, 31, "italic", "True"), (0, 31, "style", "heading 4")],
+        8: [(0, 29, "italic", "True"), (0, 29, "style", "heading 9")],
+        35: [(66, 73, "italic", "True"), (75, 89, "bold", "True"),
+             (91, 111, "underlined", "True"), (0, 153, "size", "14.0"),
+             (153, 175, "size", "20.0"), (183, 199, "size", "11.0")],
+        43: [(0, 46, "alignment", "right")],
+        44: [(0, 40, "alignment", "center")],
+        45: [(0, 160, "alignment", "both")],
+        47: [(0, 26, "bold", "True")],
+        48: [(0, 29, "italic", "True")],
+        49: [(0, 32, "underlined", "True")],
+        50: [(0, 35, "bold", "True"), (0, 35, "italic", "True")],
+        51: [(0, 51, "bold", "True"), (0, 51, "underlined", "True"),
+             (0, 51, "italic", "True")],
+    }
+    for idx, expected in pins.items():
+        for pin in expected:
+            assert pin in anns[idx], (idx, pin, anns[idx][:6])
+
+
+def test_docx_annotations_example_1_full():
+    # reference test_api_format_docx_annotations.py:14-33 — the complete
+    # example_1 pin list including style/indentation/strike
+    _, anns = _line_annotations("annotation_docx/example_1.docx")
+    pins = {
+        0: [(0, 11, "style", "Body")],
+        1: [(0, 12, "italic", "True")],
+        2: [(0, 10, "bold", "True")],
+        3: [(0, 16, "underlined", "True")],
+        4: [(0, 6, "italic", "True")],
+        5: [(8, 13, "bold", "True")],
+        6: [(0, 20, "bold", "True"), (5, 20, "underlined", "True")],
+        8: [(0, 10, "alignment", "left")],
+        9: [(0, 14, "alignment", "center")],
+        10: [(0, 11, "alignment", "right")],
+        11: [(0, 29, "alignment", "both")],
+        12: [(0, 12, "indentation", "0")],
+        13: [(0, 11, "indentation", "720.0")],
+        14: [(0, 12, "indentation", "1440.0")],
+        15: [(0, 11, "strike", "True")],
+    }
+    for idx, expected in pins.items():
+        for pin in expected:
+            assert pin in anns[idx], (idx, pin, anns[idx][:6])
+
+
+def test_docx_spacing_annotations():
+    # reference test_spacing_1/test_spacing_2: spacing = max(prev after,
+    # cur before), LibreOffice and Word flavors
+    _, anns = _line_annotations("annotation_docx/spacing_libreoffice.docx")
+    for idx, pin in {0: "0", 1: "0", 2: "57", 3: "114", 4: "114",
+                     5: "114", 6: "114", 7: "0"}.items():
+        vals = [a[3] for a in anns[idx] if a[2] == "spacing"]
+        assert vals == [pin], (idx, vals)
+    _, anns = _line_annotations("annotation_docx/spacing_microsoft_word.docx")
+    for idx, pin in {0: "0", 1: "0", 2: "200", 3: "200", 4: "400",
+                     5: "400", 6: "600", 7: "400", 8: "0"}.items():
+        vals = [a[3] for a in anns[idx] if a[2] == "spacing"]
+        assert vals == [pin], (idx, vals)
+
+
+def test_docx_indentation_annotations():
+    # reference test_identation: the ind algebra over left/start/firstLine/
+    # hanging, including numbering-level pPr indentation (786.0 on line 20)
+    _, anns = _line_annotations("annotation_docx/indentation_libreoffice.docx")
+    for idx, pin in {5: (0, 188, "360.0"), 10: (0, 152, "708.0"),
+                     12: (0, 0, "1429.0"), 16: (0, 21, "709.0"),
+                     20: (0, 65, "786.0")}.items():
+        assert (pin[0], pin[1], "indentation", pin[2]) in anns[idx], (idx, anns[idx][:4])
+
+
+@pytest.mark.parametrize("rel", ["docx/example_superscript.docx",
+                                 "docx/example_superscript.odt",
+                                 "docx/example_superscript.doc"])
+def test_superscript_subscript(rel):
+    # reference _check_superscript: H(2)O-style spans at (5,6)/(9,10)
+    if not rel.endswith(".docx"):
+        r = parse(rel)
+        subs = r["content"]["structure"]["subparagraphs"]
+        anns = [(a["start"], a["end"], a["name"], a["value"])
+                for s in subs for a in s.get("annotations", [])]
+    else:
+        _, per_line = _line_annotations(rel)
+        anns = [a for line in per_line for a in line]
+    assert (5, 6, "superscript", "True") in anns, anns[:8]
+    assert (9, 10, "subscript", "True") in anns, anns[:8]

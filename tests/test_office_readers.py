@@ -51,7 +51,11 @@ def test_docx_headings_runs_annotations():
     hl0 = doc.lines[0].metadata.tag_hierarchy_level
     assert (hl0.level_1, hl0.level_2, hl0.line_type) == (1, 2, "header")
     names = {(a.name, a.start, a.end) for a in doc.lines[1].annotations}
-    assert names == {("bold", 0, 4), ("italic", 0, 4)}
+    # paragraph-wide indentation/alignment/spacing/size always present
+    # (reference line_with_meta_converter.py:35-49); bold/italic per run
+    assert {("bold", 0, 4), ("italic", 0, 4)} <= names
+    assert {n for n, _, _ in names} == {"bold", "italic", "indentation",
+                                        "alignment", "spacing", "size"}
     assert doc.lines[2].metadata.tag_hierarchy_level.line_type == "list_item"
 
 
