@@ -304,11 +304,16 @@ class StylesDb:
                         )
 
     def heading_depth(self, style_id: str) -> Optional[int]:
-        m = self._NAME_HEADING_RE.match(self.name.get(style_id, ""))
+        """Reference styles_extractor.__get_heading_level: "title" → 1,
+        "heading N" → N + 1 (Title reserves level 1)."""
+        name = self.name.get(style_id, "") or style_id
+        if name.lower().strip() == "title":
+            return 1
+        m = self._NAME_HEADING_RE.match(name)
         if m:
-            return int(m.group(1))
+            return int(m.group(1)) + 1
         m = self._NAME_HEADING_RE.match(style_id)
-        return int(m.group(1)) if m else None
+        return int(m.group(1)) + 1 if m else None
 
     def numbering_of(self, style_id: str) -> Optional[Tuple[str, str]]:
         """numPr resolved through the basedOn chain (nearest wins)."""

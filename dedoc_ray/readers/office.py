@@ -144,7 +144,7 @@ def _docx_paragraph(
             heading = styles.heading_depth(style_id)
         if heading is None:
             m = _HEADING_RE.match(style_id)
-            heading = int(m.group(1)) if m else None
+            heading = int(m.group(1)) + 1 if m else None  # reference: N + 1
 
     prefix = ""
     num_rpr = None

@@ -49,7 +49,8 @@ def test_docx_headings_runs_annotations():
     ))
     assert [l.line for l in doc.lines] == ["Section\n", "both plain\n", "item\n"]
     hl0 = doc.lines[0].metadata.tag_hierarchy_level
-    assert (hl0.level_1, hl0.level_2, hl0.line_type) == (1, 2, "header")
+    # reference __get_heading_level: "heading N" maps to N + 1 ("Title" is 1)
+    assert (hl0.level_1, hl0.level_2, hl0.line_type) == (1, 3, "header")
     names = {(a.name, a.start, a.end) for a in doc.lines[1].annotations}
     # paragraph-wide indentation/alignment/spacing/size always present
     # (reference line_with_meta_converter.py:35-49); bold/italic per run
