@@ -2068,7 +2068,11 @@ FROM base WHERE cls <= 3
                         "'%Y-%m-%dT%H:%M:%SZ') AS warc_ts, 'ok' AS status, "
                         "replace(text, ' the ', chr(10)) || chr(10) AS extracted_text FROM documents",
         "extract_eml": f"SELECT {office_url.format(ext='eml')} AS url, 'ok' AS status, "
-                       f"'Doc ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+                       # reference line shape: root subject + typed subject/from/to
+                       # field lines, then the body (email_reader.py __get_main_fields)
+                       f"'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || "
+                       f"'corpus@synth.test' || chr(10) || 'reader@synth.test' || chr(10) || "
+                       f"{body} AS extracted_text FROM documents",
         "extract_mhtml": f"SELECT {office_url.format(ext='mhtml')} AS url, 'ok' AS status, "
                          f"{body} AS extracted_text FROM documents",
         "extract_xlsx": f"SELECT {office_url.format(ext='xlsx')} AS url, CAST(1 AS BIGINT) AS n_tables, "

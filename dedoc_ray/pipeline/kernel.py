@@ -141,7 +141,15 @@ class ExtractKernel:
         if fmt == "docx":
             from dedoc_ray.readers.office import read_docx
 
-            return read_docx(data)
+            doc = read_docx(data)
+            # the reader's line text is reference-exact (conditional trailing
+            # newline — docx_reader.py:37-54 __fix_lines); the flat corpus
+            # text keeps one separator per paragraph, like json2txt's
+            # per-node "\n" (api_utils.py:271-275)
+            for ln in doc.lines:
+                if not ln.line.endswith("\n"):
+                    ln.line += "\n"
+            return doc
         if fmt == "xlsx":
             from dedoc_ray.readers.office import read_xlsx
 
@@ -197,7 +205,14 @@ class ExtractKernel:
         if fmt == "eml":
             from dedoc_ray.readers.email_reader import read_eml
 
-            return read_eml(data)
+            doc = read_eml(data)
+            # reader lines are reference-exact (header-field lines carry no
+            # newline — email_reader.py __get_field); the flat corpus text
+            # keeps one separator per line, like json2txt's per-node "\n"
+            for ln in doc.lines:
+                if not ln.line.endswith("\n"):
+                    ln.line += "\n"
+            return doc
         if fmt == "mhtml":
             from dedoc_ray.readers.email_reader import read_mhtml
 
@@ -289,8 +304,11 @@ class ExtractKernel:
             if self.config.with_attachments:
                 import base64 as _b64
 
+                from dedoc_ray.readers.base import attachment_uid
+
                 out["attachments"] = [
                     {"name": t[0], "size": t[1],
+                     "uid": attachment_uid(t[0], t[2] if len(t) > 2 else b""),
                      "base64": (_b64.b64encode(t[2]).decode() if self.config.return_base64 and len(t) > 2 else "")}
                     for t in doc.attachments
                 ]

@@ -58,6 +58,9 @@ ATTACHMENT_TYPE = pa.struct(
     [
         ("name", pa.string()),
         ("size", pa.int64()),
+        # deterministic md5-based analogue of the reference attach_{uuid4}
+        # uid (attached_file.py) — attach annotations point at this
+        ("uid", pa.string()),
         # filled only under return_base64 (reference api_args return_base)
         ("base64", pa.string()),
     ]

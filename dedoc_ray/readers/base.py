@@ -19,6 +19,16 @@ from dedoc_ray.core.table import Table
 METADATA_KEYS = ("title", "author", "created", "modified", "subject")
 
 
+def attachment_uid(name: str, payload: bytes) -> str:
+    """Deterministic analogue of the reference's ``attach_{uuid4}`` uid
+    (abstract_office_attachments_extractor / attached_file.py) — md5 over
+    name+payload so corpora replay bit-exact and attach annotations can
+    point at the manifest row."""
+    import hashlib
+
+    return "attach_" + hashlib.md5(name.encode("utf-8", "replace") + b"\x00" + payload).hexdigest()
+
+
 class UnstructuredDoc:
     __slots__ = ("lines", "tables", "warnings", "attachments", "metadata")
 

@@ -34,14 +34,18 @@ def _decode_part(part) -> bytes:
     return payload if payload is not None else b""
 
 
-def _plain_lines(text: str, page_id: int) -> List[LineWithMeta]:
-    out = []
-    for i, raw in enumerate(text.splitlines()):
-        out.append(LineWithMeta(raw + "\n", metadata=LineMetadata(page_id=page_id, line_id=i)))
-    return out
+#: header fields that become typed lines, in reference order
+#: (email_reader.py:205-217 __get_main_fields)
+_EML_FIELDS = ("subject", "from", "to", "cc", "bcc", "date", "reply-to")
 
 
 def read_eml(data: bytes) -> UnstructuredDoc:
+    """Reference shape (email_reader.py:33-217): the subject is the ROOT
+    line (level 0,0 type "root"), then one line per non-empty header field
+    with the field name as its line type (level 1,0), then the body —
+    text/html parts via the HTML reader, text/plain split per newline (only
+    when no html part carried the same content). Header fields are also
+    dumped into a leading ``message_header_*.json`` attachment."""
     try:
         msg = email.message_from_bytes(data, policy=email.policy.default)
     except Exception as e:
@@ -49,15 +53,39 @@ def read_eml(data: bytes) -> UnstructuredDoc:
     if not msg.keys():
         raise BadMailFile("no rfc822 headers")
 
-    lines: List[LineWithMeta] = []
+    def field(name: str) -> str:
+        try:
+            return str(msg.get(name, "") or "")
+        except Exception:  # undecodable rfc2047 garbage
+            return ""
+
+    subject = field("subject")
+    lines: List[LineWithMeta] = [
+        LineWithMeta(subject, metadata=LineMetadata(page_id=0, line_id=0, tag_hierarchy_level=HierarchyLevel(0, 0, False, "root")))
+    ]
+    for name in _EML_FIELDS:
+        value = field(name)
+        if value:
+            hl = HierarchyLevel(1, 0, False, name)
+            lines.append(LineWithMeta(value, metadata=LineMetadata(page_id=0, line_id=0, tag_hierarchy_level=hl)))
+
     tables = []
-    attachments: List[Tuple[str, int]] = []
-    subject = str(msg.get("Subject", "") or "")
-    if subject:
-        hl = HierarchyLevel(1, 1, False, HierarchyLevel.header)
-        lines.append(LineWithMeta(subject + "\n", metadata=LineMetadata(page_id=0, line_id=0, tag_hierarchy_level=hl)))
+    attachments: List[Tuple[str, int, bytes]] = []
+    # all header fields as a json attachment (reference writes
+    # message_header_{uuid}.json; the name here is deterministic by content)
+    import hashlib
+    import json
+
+    try:
+        header_payload = json.dumps(dict(msg.items()), ensure_ascii=False, indent=4).encode("utf-8")
+    except Exception:
+        header_payload = b"{}"
+    header_name = f"message_header_{hashlib.md5(header_payload).hexdigest()[:16]}.json"
+    attachments.append((header_name, len(header_payload), header_payload))
 
     part_id = 0
+    html_found = False
+    text_parts: List[Tuple[str, bytes]] = []
     for part in msg.walk():
         if part.is_multipart():
             continue
@@ -65,8 +93,7 @@ def read_eml(data: bytes) -> UnstructuredDoc:
         filename = part.get_filename()
         if ctype == "text/plain" and not filename:
             charset = part.get_content_charset() or "utf-8"
-            text = _decode_part(part).decode(charset, errors="replace")
-            lines.extend(_plain_lines(text, page_id=part_id))
+            text_parts.append((charset, _decode_part(part)))
             part_id += 1
         elif ctype == "text/html" and not filename:
             sub = read_html(_decode_part(part))
@@ -74,19 +101,28 @@ def read_eml(data: bytes) -> UnstructuredDoc:
                 line.metadata.page_id = part_id
             lines.extend(sub.lines)
             tables.extend(sub.tables)
+            html_found = True
             part_id += 1
         else:
             payload = _decode_part(part)
             attachments.append((filename or f"part_{part_id}", len(payload), payload))
+    # text/plain usually mirrors text/html — reference keeps only one
+    # (email_reader.py:102-108)
+    if not html_found:
+        for charset, payload in text_parts:
+            text = payload.decode(charset, errors="replace")
+            for i, raw in enumerate(text.split("\n")):
+                lines.append(LineWithMeta(raw + "\n", metadata=LineMetadata(page_id=0, line_id=i)))
+
     doc = UnstructuredDoc(
         lines=lines,
         tables=tables,
-        # header-fields metadata (reference writes a header json attachment —
-        # email_reader.py; we surface the common fields as columns)
+        # header-fields metadata surfaced as columns on top of the
+        # reference's json attachment
         metadata={
             "title": subject,
-            "author": str(msg.get("From", "") or ""),
-            "created": str(msg.get("Date", "") or ""),
+            "author": field("from"),
+            "created": field("date"),
         },
     )
     doc.attachments = attachments

@@ -250,7 +250,12 @@ _BIFF_BOUNDSHEET = 0x0085
 
 
 def _fmt_num(x: float) -> str:
-    return str(int(x)) if float(x).is_integer() else repr(x)
+    # xlrd-parity: every numeric cell is a float, so "1" renders "1.0"
+    # (reference excel_reader.py goes xlrd → DataFrame → astype(str)).
+    # Binary doubles pass through a 15-significant-digit decimal first —
+    # the soffice xls→xlsx serialization the reference rides does the same,
+    # so a cached 5*6.28 = 31.400000000000002 renders "31.4"
+    return str(float(f"{float(x):.15g}"))
 
 
 def _decode_rk(rk: int) -> str:
@@ -305,6 +310,7 @@ def read_xls(data: bytes) -> UnstructuredDoc:
     sst: List[str] = []
     sheets: List[Dict[Tuple[int, int], str]] = []
     cur: Optional[Dict[Tuple[int, int], str]] = None
+    pending_string: Optional[Tuple[int, int]] = None  # FORMULA awaiting STRING
     pos = 0
     while pos + 4 <= len(wb):
         rec, ln = struct.unpack_from("<HH", wb, pos)
@@ -336,6 +342,27 @@ def read_xls(data: bytes) -> UnstructuredDoc:
                     break
                 (rk,) = struct.unpack_from("<I", payload, off + 2)  # skip ixfe
                 cur[(rw, col_first + k)] = _decode_rk(rk)
+        elif cur is not None and rec == 0x0006:  # FORMULA: cached result
+            # [MS-XLS] 2.4.127 FormulaValue: bytes 12-13 == 0xFFFF marks a
+            # non-numeric cached value (byte 6: 0 = string in the following
+            # STRING record, 1 = bool, 2 = error); else an IEEE double
+            if len(payload) >= 14:
+                rw, col = struct.unpack_from("<HH", payload, 0)
+                if struct.unpack_from("<H", payload, 12)[0] != 0xFFFF:
+                    (num,) = struct.unpack_from("<d", payload, 6)
+                    cur[(rw, col)] = _fmt_num(num)
+                elif payload[6] == 0:
+                    pending_string = (rw, col)
+                elif payload[6] == 1:
+                    cur[(rw, col)] = str(bool(payload[8]))
+        elif cur is not None and rec == 0x0207 and pending_string is not None:  # STRING
+            if len(payload) >= 3:
+                (cch,) = struct.unpack_from("<H", payload, 0)
+                if payload[2] & 0x01:
+                    cur[pending_string] = payload[3 : 3 + cch * 2].decode("utf-16-le", "replace")
+                else:
+                    cur[pending_string] = payload[3 : 3 + cch].decode("cp1252", "replace")
+            pending_string = None
         elif cur is not None and rec in (_BIFF_NUMBER, _BIFF_RK, _BIFF_LABELSST, _BIFF_LABEL):
             if len(payload) < {_BIFF_NUMBER: 14, _BIFF_RK: 10, _BIFF_LABELSST: 10, _BIFF_LABEL: 8}[rec]:
                 raise BadLegacyFile("short BIFF cell record")
@@ -393,19 +420,189 @@ def _ppt_walk(buf: bytes, out: List[str]) -> None:
             out.append(body.decode("cp1252", "replace"))
 
 
+# MS-PPT record/escher type ids (public spec [MS-PPT] 2.13.24 + [MS-ODRAW])
+_PPT_DOCUMENT = 1000  # DocumentContainer
+_PPT_SLIDE = 1006  # SlideContainer
+_PPT_SLWT = 4080  # SlideListWithText (instance 0 = slides)
+_PPT_SLIDEPERSIST = 1011  # SlidePersistAtom
+_PPT_TEXTHEADER = 3999  # TextHeaderAtom (dword TextTypeEnum)
+_PPT_OUTLINEREF = 3998  # OutlineTextRefAtom (index into the slide's SLWT texts)
+_ESCHER_SPGR = 61443  # OfficeArtSpgrContainer (shape group)
+_ESCHER_SP = 61444  # OfficeArtSpContainer (one shape)
+_ESCHER_CLIENTTEXT = 61453  # OfficeArtClientTextbox (holds the text atoms)
+_ESCHER_CHILDANCHOR = 61455  # OfficeArtChildAnchorHF (left, top, right, bottom)
+_TITLE_TEXT_TYPES = (0, 6)  # title / centerTitle (TextTypeEnum)
+
+
+def _ppt_records(buf: bytes):
+    pos = 0
+    while pos + 8 <= len(buf):
+        ver_inst, rec, ln = struct.unpack_from("<HHI", buf, pos)
+        yield ver_inst, rec, buf[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln
+
+
+def _ppt_outline_texts(doc_body: bytes) -> List[List[List]]:
+    """Per-slide outline entries from SlideListWithText instance 0: a
+    SlidePersistAtom starts a slide, each TextHeaderAtom starts an entry
+    ([text_type, text]) that the following text atom fills — placeholder
+    shapes in the slide drawing point back here via OutlineTextRefAtom."""
+    slides: List[List[List]] = []
+    for ver_inst, rec, body in _ppt_records(doc_body):
+        if rec != _PPT_SLWT or (ver_inst >> 4) != 0:
+            continue
+        cur: Optional[List[List]] = None
+        for _vi, r2, b2 in _ppt_records(body):
+            if r2 == _PPT_SLIDEPERSIST:
+                cur = []
+                slides.append(cur)
+            elif r2 == _PPT_TEXTHEADER and cur is not None:
+                ttype = struct.unpack_from("<I", b2, 0)[0] if len(b2) >= 4 else 4
+                cur.append([ttype, ""])
+            elif r2 == _PPT_TEXT_CHARS and cur:
+                cur[-1][1] = b2.decode("utf-16-le", "replace")
+            elif r2 == _PPT_TEXT_BYTES and cur:
+                cur[-1][1] = b2.decode("cp1252", "replace")
+    return slides
+
+
+def _ppt_shapes(body: bytes):
+    """Yield ("sp"|"grp", record body) for every shape/group under a slide
+    drawing, in drawing (z) order — recursion stops at each shape/group so
+    the caller decides how to descend."""
+    for ver_inst, rec, rec_body in _ppt_records(body):
+        if rec == _ESCHER_SP:
+            yield "sp", rec_body
+        elif rec == _ESCHER_SPGR:
+            yield "grp", rec_body
+        elif ver_inst & 0xF == 0xF:
+            yield from _ppt_shapes(rec_body)
+
+
+def _ppt_textbox(sp_body: bytes) -> Tuple[Optional[int], Optional[str], Optional[int], Optional[Tuple[int, int, int, int]]]:
+    """(text_type, text, outline_ref, child_anchor) of one SpContainer."""
+    ttype = text = ref = anchor = None
+    for _vi, rec, body in _ppt_records(sp_body):
+        if rec == _ESCHER_CHILDANCHOR and len(body) >= 16:
+            anchor = struct.unpack_from("<4i", body, 0)
+        elif rec == _ESCHER_CLIENTTEXT:
+            for _v2, r2, b2 in _ppt_records(body):
+                if r2 == _PPT_TEXTHEADER and len(b2) >= 4:
+                    ttype = struct.unpack_from("<I", b2, 0)[0]
+                elif r2 == _PPT_TEXT_CHARS:
+                    text = b2.decode("utf-16-le", "replace")
+                elif r2 == _PPT_TEXT_BYTES:
+                    text = b2.decode("cp1252", "replace")
+                elif r2 == _PPT_OUTLINEREF and len(b2) >= 4:
+                    ref = struct.unpack_from("<i", b2, 0)[0]
+    return ttype, text, ref, anchor
+
+
+def _ppt_table_from_group(grp_body: bytes, page_id: int) -> Optional[Table]:
+    """A shape group whose text children's child-anchors tile a full grid is
+    a PPT table (cells are plain textboxes, borders are anchored lines with
+    no textbox). Geometry-only reconstruction — the reference reaches the
+    same grid through soffice's pptx conversion (a:tbl) + table.py:32-66."""
+    cells = []  # (top, left, text)
+    for kind, body in _ppt_shapes(grp_body):
+        if kind != "sp":
+            continue
+        ttype, text, ref, anchor = _ppt_textbox(body)
+        if anchor is None or (text is None and ref is None):
+            continue
+        cells.append((anchor[1], anchor[0], text or ""))
+    if len(cells) < 4:
+        return None
+    rows = sorted({c[0] for c in cells})
+    cols = sorted({c[1] for c in cells})
+    if len(rows) < 2 or len(cols) < 2 or len(cells) != len(rows) * len(cols):
+        return None
+    row_idx = {top: i for i, top in enumerate(rows)}
+    col_idx = {left: j for j, left in enumerate(cols)}
+    grid: List[List[CellWithMeta]] = [[CellWithMeta([]) for _ in cols] for _ in rows]
+    for top, left, text in cells:
+        cell_lines = [
+            LineWithMeta(para + "\n", metadata=LineMetadata(page_id=page_id, line_id=k))
+            for k, para in enumerate(text.split("\r"))
+        ] if text.strip() else []
+        grid[row_idx[top]][col_idx[left]] = CellWithMeta(cell_lines)
+    import hashlib
+
+    return Table(grid, page_id=page_id, uid=hashlib.md5(grp_body).hexdigest())
+
+
 def read_ppt(data: bytes) -> UnstructuredDoc:
-    """.ppt → document-order text atoms; the first atom is the title shape
-    (mirrors read_pptx's first-shape rule)."""
+    """.ppt → lines + tables in slide/drawing order, masters and notes
+    excluded (the reference reaches the same order through soffice → pptx →
+    pptx_reader.py:46-72; this parses the MS-PPT records natively).
+
+    Placeholder shapes resolve their text through OutlineTextRefAtom into
+    SlideListWithText; title-typed text becomes a header line. Streams
+    without Slide containers (outline-only producers) keep the flat
+    document-order text walk."""
     cfb = _open_cfb(data)
     stream = cfb.stream("PowerPoint Document")
     if stream is None:
         raise BadLegacyFile("no PowerPoint Document stream")
-    texts: List[str] = []
-    _ppt_walk(stream, texts)
+    top = list(_ppt_records(stream))
+    slide_bodies = [body for _vi, rec, body in top if rec == _PPT_SLIDE]
+    outline: List[List[List]] = []
+    for _vi, rec, body in top:
+        if rec == _PPT_DOCUMENT:
+            outline = _ppt_outline_texts(body)
+
     lines: List[LineWithMeta] = []
-    for line_id, text in enumerate(t for t in texts if t):
-        hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if line_id == 0 else None
-        lines.append(
-            LineWithMeta(text + "\n", metadata=LineMetadata(page_id=0, line_id=line_id, tag_hierarchy_level=hl))
-        )
-    return UnstructuredDoc(lines=lines, metadata=read_summary_info(cfb))
+    tables: List[Table] = []
+
+    def emit(ttype: Optional[int], text: str, page_id: int) -> None:
+        if not text.strip():
+            return
+        hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if ttype in _TITLE_TEXT_TYPES else None
+        for para in text.split("\r"):
+            lines.append(
+                LineWithMeta(para + "\n", metadata=LineMetadata(page_id=page_id, line_id=len(lines), tag_hierarchy_level=hl))
+            )
+
+    if slide_bodies:
+        for page_id, slide_body in enumerate(slide_bodies):
+            entries = outline[page_id] if page_id < len(outline) else []
+            used: set = set()
+
+            def handle_sp(sp_body: bytes) -> None:
+                ttype, text, ref, _anchor = _ppt_textbox(sp_body)
+                if ref is not None and 0 <= ref < len(entries):
+                    ttype, text = entries[ref]
+                    used.add(ref)
+                if text:
+                    emit(ttype, text, page_id)
+
+            def handle_container(container_body: bytes) -> None:
+                for kind, body in _ppt_shapes(container_body):
+                    if kind == "grp":
+                        table = _ppt_table_from_group(body, page_id)
+                        if table is not None:
+                            table.order = len(lines)
+                            if not lines:
+                                lines.append(LineWithMeta("", metadata=LineMetadata(page_id=page_id, line_id=0)))
+                            lines[-1].annotations.append(Annotation(0, len(lines[-1].line), "table", table.uid))
+                            tables.append(table)
+                        else:  # decorative group — descend for nested shapes/tables
+                            handle_container(body)
+                    else:
+                        handle_sp(body)
+
+            handle_container(slide_body)
+            # outline text never placed by a shape (outline-only producers)
+            for k, (ttype, text) in enumerate(entries):
+                if k not in used:
+                    emit(ttype, text, page_id)
+    else:
+        texts: List[str] = []
+        _ppt_walk(stream, texts)
+        for text in texts:
+            if text:
+                hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if not lines else None
+                lines.append(
+                    LineWithMeta(text + "\n", metadata=LineMetadata(page_id=0, line_id=len(lines), tag_hierarchy_level=hl))
+                )
+    return UnstructuredDoc(lines=lines, tables=tables, metadata=read_summary_info(cfb))

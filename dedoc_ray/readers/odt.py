@@ -239,10 +239,19 @@ ODP_MIMETYPE = b"application/vnd.oasis.opendocument.presentation"
 
 
 def _ods_cell_text(tc: ElementTree.Element) -> str:
+    # numeric cells render from office:value with xlrd-style float text
+    # ("1" → "1.0", locale-free "6.28") — the reference converts ods →
+    # xlsx via soffice and reads through xlrd, so display text (which may
+    # carry locale commas) is not what it extracts
+    val = tc.get(f"{OFFICE}value")
+    if val is not None and tc.get(f"{OFFICE}value-type") in ("float", "percentage", "currency"):
+        try:
+            return str(float(val))
+        except ValueError:
+            pass
     ps = tc.findall(f"{TEXT}p")
     if ps:
         return "\n".join(_element_text(p) for p in ps).strip("\n")
-    val = tc.get(f"{OFFICE}value")
     return val if val is not None else ""
 
 
@@ -312,11 +321,28 @@ def read_odp(data: bytes) -> UnstructuredDoc:
     if pres is None:
         raise BadOfficeFile("no office:presentation body")
     lines: List[LineWithMeta] = []
+    tables: List[Table] = []
     line_id = 0
     for page_idx, page in enumerate(pres.findall(f"{DRAW}page")):
         first = True
         for frame in page.findall(f"{DRAW}frame"):
             tb = frame.find(f"{DRAW}text-box")
+            tbl = frame.find(f"{TABLE}table")
+            if tbl is not None:
+                # presentation table — same shape as the pptx path: cell
+                # paragraph lines carry "\n", the annotation lands on the
+                # preceding line (pptx_reader.py:100-109 semantics)
+                import hashlib
+
+                from dedoc_ray.core.annotation import Annotation
+
+                table = _read_presentation_table(tbl, page_idx, hashlib.md5(ElementTree.tostring(tbl)).hexdigest())
+                table.order = len(lines)
+                if not lines:
+                    lines.append(LineWithMeta("", metadata=LineMetadata(page_id=page_idx, line_id=0)))
+                lines[-1].annotations.append(Annotation(0, len(lines[-1].line), "table", table.uid))
+                tables.append(table)
+                continue
             if tb is None:
                 continue
             for p in tb.findall(f"{TEXT}p"):
@@ -331,4 +357,29 @@ def read_odp(data: bytes) -> UnstructuredDoc:
                     md = LineMetadata(page_id=page_idx, line_id=line_id)
                 lines.append(LineWithMeta(text + "\n", metadata=md))
                 line_id += 1
-    return UnstructuredDoc(lines=lines, metadata=_odt_metadata(zf))
+    return UnstructuredDoc(lines=lines, tables=tables, metadata=_odt_metadata(zf))
+
+
+def _read_presentation_table(el: ElementTree.Element, page_id: int, uid: str) -> Table:
+    """table:table inside a draw:frame (odp) → Table with pptx cell-line
+    semantics (one line per text:p, trailing newline, empty cells bare)."""
+    grid: List[List[CellWithMeta]] = []
+    for tr in el.findall(f"{TABLE}table-row"):
+        row: List[CellWithMeta] = []
+        for tc in tr:
+            if tc.tag not in (f"{TABLE}table-cell", f"{TABLE}covered-table-cell"):
+                continue
+            if tc.tag == f"{TABLE}covered-table-cell":
+                origin = row[-1] if row else CellWithMeta([])
+                row.append(CellWithMeta(origin.lines, colspan=1, rowspan=1, invisible=True))
+                continue
+            colspan = int(tc.get(f"{TABLE}number-columns-spanned", "1"))
+            rowspan = int(tc.get(f"{TABLE}number-rows-spanned", "1"))
+            cell_lines = [
+                LineWithMeta(_element_text(p) + "\n", metadata=LineMetadata(page_id=page_id, line_id=k))
+                for k, p in enumerate(tc.findall(f"{TEXT}p"))
+                if _element_text(p)
+            ]
+            row.append(CellWithMeta(cell_lines, colspan=colspan, rowspan=rowspan))
+        grid.append(row)
+    return Table(grid, page_id=page_id, uid=uid)

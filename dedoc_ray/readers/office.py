@@ -223,11 +223,31 @@ def _docx_paragraph(
                 annotations.append(Annotation(start, end, name, "True"))
     annotations = merge_annotations(annotations, body)
 
-    # paragraph-level unit → trailing newline, like the HTML kernel's
-    # paragraph postprocessing (html_line_postprocessing.py:15-27 analogue)
-    text = body + "\n"
+    # line text is the bare paragraph body — the trailing-newline rule is
+    # positional (depends on the NEXT line) and runs in _fix_paragraph_newlines
     metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=tag_hl)
-    return LineWithMeta(text, metadata=metadata, annotations=annotations), par.spacing_after
+    return LineWithMeta(body, metadata=metadata, annotations=annotations), par.spacing_after
+
+
+_UNKNOWN_HL = HierarchyLevel(None, None, False, HierarchyLevel.unknown)
+
+
+def _fix_paragraph_newlines(lines: List[LineWithMeta]) -> None:
+    """Reference docx_reader.py:37-54 ``__fix_lines``: a paragraph gains a
+    trailing "\\n" only when the NEXT line carries an equal hierarchy level
+    (None levels compare as +inf) and this line is untyped raw text;
+    annotations touching the old end stretch over the newline. Headers and
+    list items never gain one, nor does the last line of the document."""
+    for i in range(len(lines) - 1):
+        cur = lines[i].metadata.tag_hierarchy_level or _UNKNOWN_HL
+        nxt = lines[i + 1].metadata.tag_hierarchy_level or _UNKNOWN_HL
+        if cur != nxt or cur.line_type != HierarchyLevel.unknown or lines[i].line.endswith("\n"):
+            continue
+        old_len = len(lines[i].line)
+        lines[i].line += "\n"
+        for a in lines[i].annotations:
+            if a.end == old_len:
+                a.end += 1
 
 
 def _docx_table(tbl: ElementTree.Element, page_id: int, uid: str) -> Table:
@@ -373,21 +393,7 @@ def read_docx(data: bytes) -> UnstructuredDoc:
             tbl = _docx_table(child, page_id=0, uid=f"table_{len(tables)}")
             tbl.order = line_id  # document-order anchor for line↔table linking
             tables.append(tbl)
-    # reference docx_reader.py:37-53 __fix_lines: between consecutive
-    # unknown-type lines the paragraph newline joins the line, and
-    # annotations that touched the old end stretch over it (our text always
-    # carries the trailing "\n"; only the annotation ends need the rule)
-    for i in range(len(lines) - 1):
-        cur_hl = lines[i].metadata.tag_hierarchy_level
-        nxt_hl = lines[i + 1].metadata.tag_hierarchy_level
-        cur_unknown = cur_hl is None or cur_hl.line_type == HierarchyLevel.unknown
-        nxt_unknown = nxt_hl is None or nxt_hl.line_type == HierarchyLevel.unknown
-        if not (cur_unknown and nxt_unknown):
-            continue
-        old_len = len(lines[i].line) - 1  # text length before the "\n"
-        for a in lines[i].annotations:
-            if a.end == old_len:
-                a.end += 1
+    _fix_paragraph_newlines(lines)
     # embedded media/OLE parts → attachment manifest (reference
     # attachments_handler/attachments_handler.py:1-91 + docx
     # attachments_extractor; rows carry (name, size) instead of temp files)
@@ -442,6 +448,13 @@ def read_xlsx(data: bytes) -> UnstructuredDoc:
                 raw = v.text if v is not None and v.text is not None else ""
                 if c.get("t") == "s" and raw != "":
                     raw = shared[int(raw)]
+                elif c.get("t") in (None, "n") and raw != "":
+                    # xlrd-parity float rendering ("1" → "1.0") — reference
+                    # excel_reader.py reads via xlrd (all numerics float)
+                    try:
+                        raw = str(float(raw))
+                    except ValueError:
+                        pass
                 cells.append((_col_index(c.get("r", "")), raw))
             width = (max(i for i, _ in cells) + 1) if cells else 0
             row = [""] * width
@@ -459,42 +472,8 @@ def read_xlsx(data: bytes) -> UnstructuredDoc:
 
 
 def read_pptx(data: bytes) -> UnstructuredDoc:
-    zf = _open_zip(data)
-    slide_names = sorted(
-        (n for n in zf.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
-        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
-    )
-    if not slide_names:
-        raise BadOfficeFile("no slides")
-    lines: List[LineWithMeta] = []
-    tables: List[Table] = []
-    for page_id, name in enumerate(slide_names):
-        root = _xml(zf, name)
-        first_shape = True
-        line_id = 0
-        for sp in root.iter():
-            if sp.tag.endswith("}sp"):
-                paras = [
-                    "".join(t.text or "" for t in p.iter(f"{A}t"))
-                    for p in sp.iter(f"{A}p")
-                ]
-                text = "\n".join(p for p in paras if p)
-                if not text:
-                    continue
-                # first text shape of the slide = title (pptx_reader.py:30-44)
-                hl = HierarchyLevel(1, 1, False, HierarchyLevel.header) if first_shape else None
-                lines.append(
-                    LineWithMeta(text + "\n", metadata=LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=hl))
-                )
-                first_shape = False
-                line_id += 1
-            elif sp.tag == f"{A}tbl":
-                grid = []
-                for tr in sp.findall(f"{A}tr"):
-                    row = []
-                    for tc in tr.findall(f"{A}tc"):
-                        text = "\n".join("".join(t.text or "" for t in p.iter(f"{A}t")) for p in tc.iter(f"{A}txBody"))
-                        row.append(CellWithMeta(_cell_lines(text)))
-                    grid.append(row)
-                tables.append(Table(grid, page_id=page_id, uid=f"table_{len(tables)}"))
-    return UnstructuredDoc(lines=lines, tables=tables)
+    """Full-fidelity pptx path lives in readers/pptx.py (lazy import — pptx.py
+    borrows BadOfficeFile/_core_properties from this module)."""
+    from dedoc_ray.readers.pptx import read_pptx as _read_pptx
+
+    return _read_pptx(data)

@@ -136,7 +136,9 @@ def pptx_bytes(doc_id: int, text: str) -> bytes:
 
 def eml_bytes(doc_id: int, text: str) -> bytes:
     """Subject header line + plain-text body (one line per chunk).
-    Expected extracted: 'Doc {id}\n' + replace(text,' the ','\n') + '\n'."""
+    Expected extracted (reference header-field lines): 'Doc {id}\n' twice
+    (root + subject field) + from + to lines + replace(text,' the ','\n')
+    + '\n'."""
     body = "\n".join(chunks_of(text))
     msg = (f"From: corpus@synth.test\r\nTo: reader@synth.test\r\nSubject: Doc {doc_id}\r\n"
            f"MIME-Version: 1.0\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n")

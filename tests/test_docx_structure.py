@@ -32,7 +32,9 @@ def test_format_number_formats():
 
 def test_docx_numbered_list_bytes_exact():
     doc = read_docx(docx_bytes(3, "alpha the beta"))
-    text = "".join(l.line for l in doc.lines)
+    # reader lines are reference-exact (conditional "\n" per __fix_lines);
+    # the kernel joins with one "\n" per paragraph like json2txt — replay it
+    text = "".join(l.line if l.line.endswith("\n") else l.line + "\n" for l in doc.lines)
     assert text == "Document 3\nalpha\nbeta\n" + DOCX_LIST_TEXT
 
 

@@ -284,7 +284,8 @@ def test_pptx_example():
 
 @pytest.mark.parametrize(
     "name",
-    ["archives/arch_with_attachs.zip", "archives/arch_with_attachs.7z", "archives/arch_with_attachs.tar.gz"],
+    ["archives/arch_with_attachs.zip", "archives/arch_with_attachs.7z", "archives/arch_with_attachs.tar.gz",
+     "archives/arch_with_attachs.tar", "archives/arch_with_attachs.rar"],
 )
 def test_archive_members(name):
     r = parse(name, with_attachments="true")
@@ -545,3 +546,294 @@ def test_superscript_subscript(rel):
         anns = [a for line in per_line for a in line]
     assert (5, 6, "superscript", "True") in anns, anns[:8]
     assert (9, 10, "subscript", "True") in anns, anns[:8]
+
+
+# ----------------------------------------------- docx reader-level pins
+# (reference tests/unit_tests/test_format_docx_reader.py — these assert
+# LineWithMeta.line at READER level, where the conditional trailing-"\n"
+# of docx_reader.py:37-54 __fix_lines is observable byte-for-byte)
+
+
+def _docx_lines(rel):
+    from dedoc_ray.readers.office import read_docx
+
+    with open(os.path.join(DATA, rel), "rb") as f:
+        return read_docx(f.read()).lines
+
+
+def test_docx_header_test_numbering():
+    # test_format_docx_reader.py:68-87 test_docx_without_tables
+    lines = _docx_lines("docx/header_test.docx")
+    got = [ln.line.strip() for ln in lines[:12]]
+    assert got == [
+        "Глава 543", "Какой-то текст.",
+        "1. Текстового", "2. Текстового", "3. Еще текстового", "4. Пам",
+        "4.1. авп", "4.2. текстового", "4.3. п", "4.4. п", "4.5. п", "4.6. п",
+    ]
+
+
+def test_docx_tz_multiline_first_line():
+    # test_format_docx_reader.py:89-95 test_tz_file (w:br inside the run +
+    # __fix_lines trailing newline, byte-exact)
+    lines = _docx_lines("docx/tz.docx")
+    assert lines[0].line == "Техническое задание\nна оказание услуг по созданию системы защиты персональных данных \n"
+
+
+def test_docx_without_numbering_parses():
+    # test_format_docx_reader.py:97-104 — numPr referencing a numId the
+    # numbering part lacks must not raise
+    assert len(_docx_lines("docx/without_numbering.docx")) > 0
+
+
+def test_docx_caps_letters():
+    # test_format_docx_reader.py:106-119 — w:caps uppercasing, and the
+    # conditional newline: caps_1 lines 2-3 stay bare (unequal levels),
+    # caps_2 lines 0/2 carry it (equal-level unknown successors)
+    lines = _docx_lines("docx/caps_1.docx")
+    assert lines[2].line == "ШИЖМАШ МОГАЙ ЛИЕШ ГЫН?\t"
+    assert lines[3].line == "АНАСТАСИЯ АЙГУЗИНА"
+    lines = _docx_lines("docx/caps_2.docx")
+    assert lines[0].line == 'И. Одар "Таргылтыш"\n'
+    assert lines[2].line == "I глава\n"
+
+
+def test_docx_justification_alignment():
+    # test_format_docx_reader.py:121-129 test_justification
+    lines = _docx_lines("docx/justification.docx")
+    for idx, want in [(15, "left"), (16, "center"), (17, "both"), (18, "right")]:
+        vals = [a.value for a in lines[idx].annotations if a.name == "alignment"]
+        assert vals == [want], (idx, vals)
+
+
+def test_docx_numeration_byte_exact():
+    # test_format_docx_reader.py:130-143 test_numeration — rendered list
+    # prefixes with tab suffixes, list items bare of trailing newline
+    lines = _docx_lines("docx/numeration.docx")
+    assert lines[1].line.strip() == "5. Test numeration"
+    assert lines[2].line.strip() == "5.1 text"
+    expected = [
+        (3, "5.2 text. "), (4, "5.2.1.\tlist. "), (5, "5.2.2.\tlist"),
+        (7, "5.3.\tlist."), (8, "5.3.1\t list."), (9, "5.3.2\t list"),
+        (11, "5.4.\tlist"), (13, "5.5.\tlist"),
+    ]
+    for idx, want in expected:
+        assert lines[idx].line == want, (idx, lines[idx].line)
+
+
+# ------------------------------------------------ pptx family (api pins)
+# reference tests/api_tests/test_api_format_pptx.py — same fixture files,
+# same tree paths, same byte-exact node texts / annotation spans / merges
+
+
+def _tree_nodes(result):
+    def walk(node, path="0"):
+        yield path, node
+        for i, sub in enumerate(node.get("subparagraphs", [])):
+            yield from walk(sub, f"{path}.{i}")
+
+    return dict(walk(result["content"]["structure"]))
+
+
+def _cell_text(cell):
+    return "".join(ln["text"] for ln in cell["lines"]) if "lines" in cell else cell.get("text", "")
+
+
+def _check_pptx_content(result):
+    # reference __check_content (test_api_format_pptx.py:159-173)
+    subs = result["content"]["structure"]["subparagraphs"]
+    assert subs[0]["text"].strip() == "A long time ago in a galaxy far far away"
+    assert subs[1]["text"].strip() == "Example"
+    assert subs[2]["text"].strip() == "Some author"
+    assert subs[3]["text"].strip() == "This is simple table"
+    table = result["content"]["tables"][0]
+    rows = [[_cell_text(c) for c in row] for row in table["cells"]]
+    assert rows[0] == ["", "Header1\n", "Header2\n", "Header3\n"]
+    assert rows[1] == ["Some content\n", "A\n", "B\n", "C\n"]
+    table_anns = [a for a in subs[2]["annotations"] if a["name"] == "table"]
+    assert len(table_anns) == 1 and table_anns[0]["value"] == table["uid"]
+
+
+@pytest.mark.parametrize("name", ["pptx/example.pptx", "pptx/example.ppt", "pptx/example.odp"])
+def test_pptx_family_content(name):
+    _check_pptx_content(parse(name, structure_type="linear"))
+
+
+def test_pptx_structure_and_annotations():
+    # test_api_format_pptx.py:26-119 on test-presentation.pptx
+    r = parse("pptx/test-presentation.pptx", with_attachments="true")
+    nodes = _tree_nodes(r)
+
+    # headers with placeholder-level size/alignment
+    node = nodes["0.0"]
+    assert node["text"] == "Title\n" and node["metadata"]["paragraph_type"] == "header"
+    sizes = [a["value"] for a in node["annotations"] if a["name"] == "size"]
+    assert [float(s) for s in sizes] == [50.0]
+    assert [a["value"] for a in node["annotations"] if a["name"] == "alignment"] == ["center"]
+    assert nodes["0.2"]["text"] == "Title\n" and nodes["0.2"]["metadata"]["paragraph_type"] == "header"
+
+    # auto-numbered lists, nested restarts, bullets (buChar)
+    assert nodes["0.2.1"]["metadata"]["paragraph_type"] == "list"
+    for path, text in [
+        ("0.2.1.0", "1. first item\n"), ("0.2.1.1", "2. second item\n"),
+        ("0.2.1.1.0.0", "a. subitem\n"), ("0.2.1.2", "3. third item\n"),
+        ("0.2.1.2.0.0", "a. \n"),
+        ("0.3.0.0", "❏ first bullet item\n"), ("0.3.0.1", "❏ second bullet item\n"),
+        ("0.3.0.1.0.0", "❏ subitem\n"),
+        ("0.3.1.0", "A. first letter item\n"), ("0.3.1.1", "B. second letter item\n"),
+        ("0.3.1.1.0.0", "○ first subitem\n"), ("0.3.1.1.0.1", "○ second subitem\n"),
+    ]:
+        assert nodes[path]["text"] == text, (path, nodes[path]["text"])
+    assert nodes["0.2.1.1.0"]["metadata"]["paragraph_type"] == "list"
+
+    # run-level annotations on the custom text field (node 0.5/0.5.0)
+    node = nodes["0.5"]
+    assert node["text"] == "Custom title\n" and node["metadata"]["paragraph_type"] == "header"
+    anns = {(a["start"], a["end"], a["name"], a["value"]) for a in node["annotations"]}
+    assert (0, 12, "size", "30.0") in anns and (0, 12, "bold", "True") in anns
+    assert (0, 13, "alignment", "center") in anns
+    node = nodes["0.5.0"]
+    anns = {(a["start"], a["end"], a["name"], a["value"]) for a in node["annotations"]}
+    assert {float(v) for s, e, n, v in anns if n == "size"} == {18.0, 24.0, 10.0}
+    for want in [(18, 27, "bold", "True"), (28, 39, "italic", "True"), (40, 55, "underlined", "True"),
+                 (56, 67, "strike", "True"), (68, 79, "superscript", "True"), (81, 90, "subscript", "True")]:
+        assert want in anns, want
+    node = nodes["0.6"]
+    anns = {(a["start"], a["end"], a["name"], a["value"]) for a in node["annotations"]}
+    for want in [(0, 12, "bold", "True"), (0, 12, "italic", "True"), (0, 12, "underlined", "True"),
+                 (0, 12, "size", "20.0"), (0, 13, "alignment", "right")]:
+        assert want in anns, want
+
+    # hMerge/vMerge invisible copies (all eight reference cell pins)
+    table = r["content"]["tables"][0]
+    tann = [a["value"] for a in nodes["0.4"]["annotations"] if a["name"] == "table"]
+    assert tann == [table["uid"]]
+    cells = table["cells"]
+    def cell(i, j):
+        c = cells[i][j]
+        return (_cell_text(c), c["rowspan"], c["colspan"], c["invisible"])
+    assert cell(0, 0) == ("Horizontally merged cells\n", 1, 2, False)
+    assert cell(0, 1) == ("Horizontally merged cells\n", 1, 1, True)
+    assert cell(1, 2) == ("Vertically merged cells\n", 2, 1, False)
+    assert cell(2, 2) == ("Vertically merged cells\n", 1, 1, True)
+    assert cell(2, 0) == ("Vertically merged cells 2\n", 2, 1, False)
+    assert cell(3, 0) == ("Vertically merged cells 2\n", 1, 1, True)
+    assert cell(3, 2) == ("Horizontally merged cells 2\n", 1, 3, False)
+    assert cell(3, 3) == ("Horizontally merged cells 2\n", 1, 1, True)
+
+    # attachments: pic shapes annotate the preceding line with the uid
+    assert len(r["attachments"]) == 3
+    uids = {a["uid"] for a in r["attachments"]}
+    vals = [a["value"] for a in nodes["0.6"]["annotations"] if a["name"] == "attachment"]
+    assert len(vals) == 2 and all(v in uids for v in vals)
+    assert nodes["0.8.0"]["text"] == "Text text\n"
+    vals = [a["value"] for a in nodes["0.8.0"]["annotations"] if a["name"] == "attachment"]
+    assert len(vals) == 1 and vals[0] in uids
+
+
+# --------------------------------------------- excel family (api pins)
+# reference tests/api_tests/test_api_format_excel.py — xlrd-parity float
+# rendering ("1" → "1.0") and cached formula results, across all three
+# containers (ooxml, opendocument, BIFF8)
+
+
+def _sheet_rows(result, idx):
+    return [[_cell_text(c).strip() for c in row] for row in result["content"]["tables"][idx]["cells"]]
+
+
+@pytest.mark.parametrize("name", ["xlsx/example.xlsx", "xlsx/example.ods", "xlsx/example.xls"])
+def test_excel_family_grids(name):
+    r = parse(name)
+    assert _sheet_rows(r, 0)[:2] == [["1.0", "2.0", "3.0"], ["4.0", "5.0", "6.0"]]
+    assert _sheet_rows(r, 1)[:2] == [["11.0", "22.0", "33.0", "44.0"], ["55.0", "66.0", "77.0", "88.0"]]
+
+
+@pytest.mark.parametrize("name", ["xlsx/example_formulas.xlsx", "xlsx/example_formulas.ods", "xlsx/example_formulas.xls"])
+def test_excel_family_formulas(name):
+    # cached formula results surface like values (BIFF FORMULA/STRING
+    # records, xlsx cached <v>, ods office:value)
+    r = parse(name)
+    assert _sheet_rows(r, 0)[:6] == [
+        ["a", "b", "c"], ["1.0", "2.0", "3.0"], ["3.0", "4.0", "7.0"],
+        ["2.0", "3.0", "5.0"], ["5.0", "6.0", "11.0"], ["7.0", "33.0", "40.0"],
+    ]
+    assert _sheet_rows(r, 1)[:9] == [
+        ["r", "p", "s", "pi"], ["1.0", "6.28", "3.14", "3.14"],
+        ["2.0", "12.56", "12.56", ""], ["3.0", "18.84", "28.26", ""],
+        ["4.0", "25.12", "50.24", ""], ["5.0", "31.4", "78.5", ""],
+        ["6.0", "37.68", "113.04", ""], ["7.0", "43.96", "153.86", ""],
+        ["8.0", "50.24", "200.96", ""],
+    ]
+
+
+def test_eml_typed_header_lines():
+    # test_api_format_email.py:11-50 — root = subject, typed from/to nodes,
+    # message_header json attachment first, fixed attachment names
+    r = parse("eml/message.eml", with_attachments="true")
+    st = r["content"]["structure"]
+    assert st["text"] == "TetSubj\n"
+    subs = st["subparagraphs"]
+    assert subs[0]["metadata"]["paragraph_type"] == "subject"
+    assert subs[1]["text"] == '"aa@aa.aa" <aa@aa.aa>\n'
+    assert subs[1]["metadata"]["paragraph_type"] == "from"
+    assert subs[2]["text"] == '"bb@bb.bb" <bb@bb.bb>\n'
+    assert subs[2]["metadata"]["paragraph_type"] == "to"
+    names = [a["name"] for a in r["attachments"]]
+    assert len(names) == 3
+    assert names[0].startswith("message_header_")
+    assert names[1] == "grafana.jpg"
+    assert names[2] == "KY100Product SheetProduct Sheet.pdf"
+
+
+def test_eml_spam_mail_decoded_subject():
+    # test_api_format_email.py:11-30 (rfc2047-decoded subject, double space)
+    r = parse("eml/spam_mail.eml", with_attachments="true")
+    st = r["content"]["structure"]
+    assert st["text"] == "[Spam]Artificial flowers  for decors\n"
+    subs = st["subparagraphs"]
+    assert subs[1]["text"] == '"sunny_goldensun@126.com" <sunny_goldensun@126.com>\n'
+    assert subs[1]["metadata"]["paragraph_type"] == "from"
+    assert subs[2]["text"] == "modis@ispras.ru\n"
+    assert subs[2]["metadata"]["paragraph_type"] == "to"
+    assert [a["name"] for a in r["attachments"]][0].startswith("message_header_")
+
+
+# ------------------------------------------------- json (api pins)
+# reference tests/api_tests/test_api_format_json.py — typed key/list tree
+
+
+def test_json_string_list_dict():
+    r = parse("json/string.json")
+    assert r["content"]["structure"]["subparagraphs"][0]["text"] == "у попа была собака"
+
+    r = parse("json/list.json")
+    list_node = r["content"]["structure"]["subparagraphs"][0]
+    assert list_node["metadata"]["paragraph_type"] == "list"
+    items = list_node["subparagraphs"]
+    assert [(i["metadata"]["paragraph_type"], i["text"]) for i in items] == [
+        ("list_item", "у попа была собака"), ("list_item", "он её любил"),
+    ]
+
+    r = parse("json/dict.json")
+    nodes = r["content"]["structure"]["subparagraphs"]
+    assert nodes[0]["metadata"]["paragraph_type"] == "key"
+    assert nodes[0]["subparagraphs"][0]["text"] == "у попа была собака"
+    assert nodes[1]["metadata"]["paragraph_type"] == "key"
+    assert nodes[1]["subparagraphs"][0]["text"] == "он её любил"
+
+
+def test_json_nested_containers():
+    # test_api_format_json.py:39-68 (dict_with_list + list_with_dict)
+    r = parse("json/dict_with_list.json")
+    result = r["content"]["structure"]
+    first = result["subparagraphs"][0]["subparagraphs"][0]["subparagraphs"]
+    second = result["subparagraphs"][1]["subparagraphs"][0]["subparagraphs"]
+    first, second = sorted([first, second], key=lambda v: -len(v))
+    assert [i["text"] for i in first] == ["июнь", "июль", "август"]
+    assert [i["text"] for i in second] == ["понедельник", "вторник"]
+
+    r = parse("json/list_with_dict.json")
+    nodes = _tree_nodes(r)
+    assert nodes["0.0.0.0"]["text"] == "month"
+    assert [nodes[f"0.0.0.0.0.{k}"]["text"] for k in range(3)] == ["июнь", "июль", "август"]
+    assert nodes["0.1.0.0"]["text"] == "days"
+    assert [nodes[f"0.1.0.0.0.{k}"]["text"] for k in range(2)] == ["понедельник", "вторник"]

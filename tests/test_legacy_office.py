@@ -130,7 +130,7 @@ def test_doc_bad_file():
 def test_xls_roundtrip_grid():
     doc = read_xls(xls_bytes(7, TEXT))
     grid = [[c.get_text() for c in row] for row in doc.tables[0].cells]
-    assert grid == [["70", "71", "72"], ["73", "74", "75"]]
+    assert grid == [["70.0", "71.0", "72.0"], ["73.0", "74.0", "75.0"]]  # xlrd-parity floats
     assert doc.metadata["author"] == "synth-author-2"
 
 
@@ -159,12 +159,12 @@ def test_xls_rk_and_labelsst():
     blob = build_cfb([("Workbook", b"".join(recs))])
     doc = read_xls(blob)
     grid = [[c.get_text() for c in row] for row in doc.tables[0].cells]
-    assert grid == [["100", "abc", "déf"], ["hi", "", ""]]
+    assert grid == [["100.0", "abc", "déf"], ["hi", "", ""]]
 
 
 def test_decode_rk():
-    assert _decode_rk((100 << 2) | 2) == "100"
-    assert _decode_rk(((-5) << 2 & 0xFFFFFFFF) | 2) == "-5"
+    assert _decode_rk((100 << 2) | 2) == "100.0"
+    assert _decode_rk(((-5) << 2 & 0xFFFFFFFF) | 2) == "-5.0"
     # 1.5 as top-30-bits double
     packed = struct.unpack("<Q", struct.pack("<d", 1.5))[0]
     assert _decode_rk((packed >> 32) & 0xFFFFFFFC) == "1.5"

@@ -86,7 +86,7 @@ def test_read_ods_grid_and_filler_trim():
     assert len(doc.tables) == 1
     grid = doc.tables[0].cells
     assert [[c.lines[0].line for c in row] for row in grid] == [
-        ["70", "71", "72"], ["73", "74", "75"],
+        ["70.0", "71.0", "72.0"], ["73.0", "74.0", "75.0"],
     ]
 
 

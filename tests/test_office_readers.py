@@ -47,7 +47,9 @@ def test_docx_headings_runs_annotations():
         '<w:p><w:r><w:rPr><w:b/><w:i/></w:rPr><w:t>both</w:t></w:r><w:r><w:t> plain</w:t></w:r></w:p>'
         '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr><w:r><w:t>item</w:t></w:r></w:p>'
     ))
-    assert [l.line for l in doc.lines] == ["Section\n", "both plain\n", "item\n"]
+    # reference __fix_lines: "\n" joins only equal-level unknown pairs —
+    # header and list item stay bare, and the last line never gains one
+    assert [l.line for l in doc.lines] == ["Section", "both plain", "item"]
     hl0 = doc.lines[0].metadata.tag_hierarchy_level
     # reference __get_heading_level: "heading N" maps to N + 1 ("Title" is 1)
     assert (hl0.level_1, hl0.level_2, hl0.line_type) == (1, 3, "header")
@@ -105,7 +107,7 @@ def test_xlsx_shared_strings_and_grid():
     doc = read_xlsx(data)
     assert len(doc.tables) == 2
     t0 = doc.tables[0]
-    assert [[c.get_text() for c in row] for row in t0.cells] == [["alpha", "", "7"], ["", "beta", ""]]
+    assert [[c.get_text() for c in row] for row in t0.cells] == [["alpha", "", "7.0"], ["", "beta", ""]]
     assert t0.page_id == 0 and doc.tables[1].page_id == 1
     assert doc.lines == []
 
@@ -142,10 +144,19 @@ def test_eml_subject_plain_and_attachment():
            b"--BB\r\nContent-Type: application/octet-stream\r\n"
            b"Content-Disposition: attachment; filename=data.bin\r\n\r\nBINBIN\r\n--BB--\r\n")
     doc = read_eml(eml)
-    assert doc.lines[0].line == "Greetings\n"
-    assert doc.lines[0].metadata.tag_hierarchy_level.line_type == "header"
-    assert [l.line for l in doc.lines[1:]] == ["hello\n", "world\n"]
-    assert doc.attachments == [("data.bin", 6, b"BINBIN")]
+    # reference shape: root subject + typed field lines (subject/from/to),
+    # then the body split per newline; header json attachment leads
+    assert doc.lines[0].line == "Greetings"
+    assert doc.lines[0].metadata.tag_hierarchy_level.line_type == "root"
+    types = [l.metadata.tag_hierarchy_level.line_type for l in doc.lines[1:4]]
+    assert types == ["subject", "from", "to"]
+    assert [l.line for l in doc.lines[1:4]] == ["Greetings", "a@example.com", "b@example.com"]
+    body = [l.line for l in doc.lines[4:]]
+    # reference splits the decoded payload on "\n" only, so CRLF bodies
+    # keep the "\r" (email_reader.py __add_text_content)
+    assert body[:2] == ["hello\r\n", "world\n"]
+    assert doc.attachments[0][0].startswith("message_header_")
+    assert doc.attachments[-1] == ("data.bin", 6, b"BINBIN")
 
 
 def test_eml_html_part_delegates_to_html_reader():
