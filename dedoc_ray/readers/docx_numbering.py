@@ -266,6 +266,18 @@ class NumberingEngine:
         num = self.nums.get(num_id)
         return num.level(ilvl) if num is not None else None
 
+    def level_for_style(self, num_id: str, style_id: str) -> Optional[str]:
+        """The ilvl whose lvl carries pStyle == style_id — how a style's
+        numPr without an explicit ilvl binds to its level (reference
+        numbering_extractor.py:56-66)."""
+        num = self.nums.get(num_id)
+        if num is None:
+            return None
+        for ilvl, info in num.levels.items():
+            if info.style_id == style_id:
+                return ilvl
+        return None
+
 
 class StylesDb:
     """word/styles.xml essentials: style name, basedOn chain, style numPr.
@@ -298,9 +310,12 @@ class StylesDb:
                     num_el = numpr.find(f"{W}numId")
                     ilvl_el = numpr.find(f"{W}ilvl")
                     if num_el is not None:
+                        # ilvl may be absent in a style's numPr — the level
+                        # is then the lvl whose pStyle names this style
+                        # (reference numbering_extractor.py:56-66)
                         self.num_pr[sid] = (
                             num_el.get(f"{W}val", ""),
-                            ilvl_el.get(f"{W}val", "0") if ilvl_el is not None else "0",
+                            ilvl_el.get(f"{W}val", "0") if ilvl_el is not None else None,
                         )
 
     def heading_depth(self, style_id: str) -> Optional[int]:

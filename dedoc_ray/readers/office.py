@@ -137,6 +137,11 @@ def _docx_paragraph(
                 bare_list_depth = int(ilvl_val) + 1 if ilvl_val.isdigit() else 1
     if num_ref is None and style_id and styles is not None:
         num_ref = styles.numbering_of(style_id)
+        if num_ref is not None and num_ref[1] is None:
+            # style numPr without ilvl: bind to the lvl whose pStyle names
+            # this style (reference numbering_extractor.py:56-66)
+            ilvl = numbering.level_for_style(num_ref[0], style_id) if numbering is not None else None
+            num_ref = (num_ref[0], ilvl) if ilvl is not None else None
 
     heading: Optional[int] = None
     if style_id:
@@ -146,21 +151,25 @@ def _docx_paragraph(
             m = _HEADING_RE.match(style_id)
             heading = int(m.group(1)) + 1 if m else None  # reference: N + 1
 
+    # numbering renders for list items AND numbered headings alike — the
+    # reference appends the numbering run regardless of style_level
+    # (styles_extractor.py:80-86 for style numPr, paragraph.py:74-77 for
+    # direct numPr); only the hierarchy kind differs
     prefix = ""
     num_rpr = None
+    depth = bare_list_depth or 1
+    if num_ref is not None and numbering is not None:
+        prefix, depth = numbering.prefix(*num_ref)
+        lvl = numbering.level_info(*num_ref)
+        if lvl is not None:
+            if lvl.style_id and resolver is not None:
+                resolver.parse(lvl.style_id, par, "paragraph")
+            if lvl.ppr is not None:
+                change_paragraph_properties(par, lvl.ppr)
+            num_rpr = lvl.rpr
     if heading is not None:
         tag_hl = HierarchyLevel(1, heading, False, HierarchyLevel.header)
     elif num_ref is not None or bare_list_depth is not None:
-        depth = bare_list_depth or 1
-        if num_ref is not None and numbering is not None:
-            prefix, depth = numbering.prefix(*num_ref)
-            lvl = numbering.level_info(*num_ref)
-            if lvl is not None:
-                if lvl.style_id and resolver is not None:
-                    resolver.parse(lvl.style_id, par, "paragraph")
-                if lvl.ppr is not None:
-                    change_paragraph_properties(par, lvl.ppr)
-                num_rpr = lvl.rpr
         tag_hl = HierarchyLevel(2, depth, False, HierarchyLevel.list_item)
 
     runs: List[Tuple[str, Props]] = []

@@ -837,3 +837,88 @@ def test_json_nested_containers():
     assert [nodes[f"0.0.0.0.0.{k}"]["text"] for k in range(3)] == ["июнь", "июль", "август"]
     assert nodes["0.1.0.0"]["text"] == "days"
     assert [nodes[f"0.1.0.0.0.{k}"]["text"] for k in range(2)] == ["понедельник", "вторник"]
+
+
+def test_docx_style_numbering_on_headings():
+    # test_api_misc_nesting_list.py pins "1.5.\tОснования разработки" etc. —
+    # Heading styles whose numPr lacks ilvl bind to the lvl naming them via
+    # pStyle, and numbered headings render their prefix
+    # (styles_extractor.py:80-86 + numbering_extractor.py:56-66)
+    r = parse("docx/pr14tz_v5_2007_03_01.docx", structure_type="tree")
+    t = r["extracted_text"]
+    assert "1.5.\tОснования разработки" in t
+    assert "1.6.\tНормативные документы" in t
+    assert "1.7.\tСведения об источниках и порядке финансирования работ" in t
+    assert "4.1.1.\tТребования к структуре и функционированию" in t
+    assert "Система должна иметь базу хранения" in t
+
+
+def test_docx_structure_types():
+    # test_api_misc_structure.py:11-33 — example.docx node counts per
+    # structure_type
+    r = parse("docx/example.docx", structure_type="linear")
+    nodes = r["content"]["structure"]["subparagraphs"]
+    assert len(nodes) == 13 and all(n["subparagraphs"] == [] for n in nodes)
+    r = parse("docx/example.docx", structure_type="tree")
+    nodes = r["content"]["structure"]["subparagraphs"]
+    assert len(nodes) == 2
+    assert nodes[0]["text"].split("\n")[0] == "Пример документа"
+    assert nodes[1]["subparagraphs"][0]["text"].strip() == "1.2.1. Поясним за непонятное"
+
+
+# ------------------------------------------- csv + txt api pins
+# reference tests/api_tests/test_api_format_csv.py / test_api_format_txt.py
+
+
+@pytest.mark.parametrize("name", ["csvs/utf-8.csv", "csvs/cp1251.csv", "csvs/utf-8.tsv", "csvs/cp1251.tsv"])
+def test_csv_encodings_and_tsv(name):
+    r = parse(name)
+    t = [[_cell_text(c).strip() for c in row] for row in r["content"]["tables"][0]["cells"]]
+    assert t[0] == ["имя", "фамилия", "возраст"]
+    assert t[1] == ["Иванов", "Иван", "31"]
+    assert t[2] == ["Алексей", "Петров", "15"]
+
+
+def test_csv_books_quoting():
+    r = parse("csvs/books.csv")
+    assert "delimiter is ','" in r["warnings"]
+    t = [[_cell_text(c).strip() for c in row] for row in r["content"]["tables"][0]["cells"]]
+    assert t[0] == ["id", "cat", "name", "price", "inStock", "author", "series_t", "sequence_i", "genre_s"]
+    assert t[3] == ["055357342X", "book", "A Storm of Swords", "7.99", "true",
+                    "George R.R. Martin", "A Song of Ice and Fire", "3", "fantasy"]
+    r = parse("csvs/books_2.csv")
+    t = [[_cell_text(c).strip() for c in row] for row in r["content"]["tables"][0]["cells"]]
+    assert t[1][2] == "A Game of Throne, kings and other stuff"
+    assert t[2][2] == 'A Clash of "Kings"'
+
+
+def test_txt_special_symbols_byte_exact():
+    # test_api_format_txt.py:46-51 — the whole file is one node, byte-exact
+    r = parse("txt/special_symbol.txt", structure_type="tree", encoding="utf-8")
+    with open(os.path.join(DATA, "txt/special_symbol.txt")) as f:
+        assert r["content"]["structure"]["subparagraphs"][0]["text"] == f.read()
+
+
+@pytest.mark.parametrize("name", ["txt/football.txt", "txt/football.txt.gz"])
+def test_txt_football_paragraphs(name):
+    # test_api_format_txt.py:53-63 + __check_football — 4 paragraph nodes,
+    # leading indentation preserved, spacing annotation span byte-exact
+    r = parse(name, structure_type="tree")
+    subs = r["content"]["structure"]["subparagraphs"]
+    assert len(subs) == 4
+    assert subs[0]["text"].startswith("    Association football, more commonly known as simply")
+    assert subs[0]["text"].endswith("The team with the higher number of goals wins the game.\n\n")
+    assert {"name": "spacing", "value": "50", "start": 0, "end": 546} in [
+        {k: a[k] for k in ("name", "value", "start", "end")} for a in subs[0]["annotations"]
+    ]
+    assert subs[1]["text"].startswith("  Football is played in accordance with a set of rules known")
+    assert subs[1]["text"].strip().endswith("the coin toss prior to kick-off or penalty kicks.")
+
+
+def test_txt_large_gz_line_numbers():
+    # test_api_format_txt.py:65-71
+    r = parse("txt/large_text.txt.gz", structure_type="tree")
+    content = r["content"]["structure"]["subparagraphs"][0]["text"]
+    for i, line in enumerate(content.split("\n")):
+        if line.strip():
+            assert line == f"Line number {i:09d}"
