@@ -95,8 +95,30 @@ class DedocRayManager:
                 data = f.read()
             file_name = file_name or os.path.basename(file_path)
         config = config_from_params(parameters)
-        kernel = self._kernel(config)
-        row = kernel.extract_row(file_name or "document", data)
+        # the manager surface follows the REFERENCE default (api_args.py:17):
+        # attachments only on explicit request — unlike the corpus kernels,
+        # whose manifest defaults on. Recursive content analysis happens
+        # HERE (attachments.py), never inside the kernel, so the parent
+        # archive document keeps its reference-empty content.
+        raw_with = (parameters or {}).get("with_attachments", False)
+        want_attachments = (
+            raw_with is True or str(raw_with).strip().lower() in ("true", "1")
+        )
+        kernel = self._kernel(dataclasses.replace(config, need_content_analysis=False))
+        sink: Optional[list] = [] if want_attachments else None
+        row = kernel.extract_row(file_name or "document", data, attachment_sink=sink)
+        if want_attachments:
+            from dedoc_ray.attachments import handle_attachments
+
+            attachments = handle_attachments(
+                self,
+                sink,
+                parameters,
+                need_content_analysis=config.need_content_analysis,
+                recursion_deep_attachments=config.recursion_deep_attachments,
+            )
+        else:
+            attachments = []
 
         if config.return_format == "html":
             content: object = render_html(row)
@@ -112,6 +134,6 @@ class DedocRayManager:
             "content": content,
             "extracted_text": row["extracted_text"],
             "metadata": row["metadata"],
-            "attachments": row["attachments"],
+            "attachments": attachments,
             "warnings": list(row["warnings"]),
         }

@@ -20,6 +20,7 @@ contract."""
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from typing import List, Tuple
@@ -193,11 +194,13 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def png_encode(gray: np.ndarray) -> bytes:
-    """(h, w) uint8 grayscale → PNG (color type 0, bit depth 8, filter 0)."""
+    """(h, w) uint8 grayscale → PNG color type 0, or (h, w, 3) uint8 RGB →
+    color type 2; bit depth 8, filter 0 rows."""
     import zlib
 
-    h, w = gray.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    h, w = gray.shape[:2]
+    color_type = 2 if gray.ndim == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\0" + gray[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
@@ -1227,6 +1230,77 @@ def webp_decode(data: bytes) -> np.ndarray:
     lib.WebPFree(buf)
     px = arr.reshape(h.value, w.value, 4)[..., :3].astype(np.uint16)
     return (px.sum(axis=2) // 3).astype(np.uint8)
+
+
+def image_dimensions(data: bytes) -> "Tuple[int, int] | None":
+    """(width, height) from container headers WITHOUT decoding pixel data —
+    the cheap peek that lets callers apply pixel caps before committing to
+    a pure-Python decode. None = container unknown here (caller decides)."""
+    try:
+        if data[:3] == b"\xff\xd8\xff":  # JPEG: walk markers to SOFn
+            pos = 2
+            while pos + 9 < len(data):
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                marker = data[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                    return w, h
+                pos += 2 + seg_len
+            return None
+        if data[:8] == _PNG_SIG:
+            w, h = struct.unpack(">II", data[16:24])
+            return w, h
+        if data[:2] == b"BM":
+            w, h = struct.unpack("<ii", data[18:26])
+            return abs(w), abs(h)
+        if data[:4] == b"GIF8":
+            w, h = struct.unpack("<HH", data[6:10])
+            return w, h
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            bo = "<" if data[:2] == b"II" else ">"
+            off = struct.unpack(bo + "I", data[4:8])[0]
+            n = struct.unpack(bo + "H", data[off:off + 2])[0]
+            w = h = None
+            for i in range(n):
+                e = off + 2 + 12 * i
+                tag, typ = struct.unpack(bo + "HH", data[e:e + 4])
+                if tag in (256, 257):
+                    v = struct.unpack(
+                        bo + ("H" if typ == 3 else "I"), data[e + 8:e + 10 if typ == 3 else e + 12]
+                    )[0]
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            return (w, h) if w and h else None
+        if data[:1] == b"P" and data[1:2] in b"123456":
+            toks = []
+            pos = 2
+            while len(toks) < 2 and pos < min(len(data), 512):
+                m = re.match(rb"\s*(?:#[^\n]*\n\s*)*(\d+)", data[pos:])
+                if not m:
+                    break
+                toks.append(int(m.group(1)))
+                pos += m.end()
+            return (toks[0], toks[1]) if len(toks) == 2 else None
+        if data[:4] == b"\x59\xa6\x6a\x95":
+            w, h = struct.unpack(">II", data[4:12])
+            return w, h
+        if data[:2] == b"\x01\xda":
+            w, h = struct.unpack(">HH", data[6:10])  # XSIZE, YSIZE
+            return w, h
+        if len(data) > 68 and data[0] == 0x0A and data[2] == 1:
+            x0, y0, x1, y1 = struct.unpack("<4H", data[4:12])
+            return x1 - x0 + 1, y1 - y0 + 1
+    except (struct.error, IndexError):
+        return None
+    return None
 
 
 def image_decode_gray(data: bytes) -> np.ndarray:

@@ -129,7 +129,7 @@ class ExtractKernel:
         if fmt == "pdf":
             from dedoc_ray.readers.pdf import read_pdf_auto
 
-            return read_pdf_auto(
+            doc = read_pdf_auto(
                 data,
                 pages=self.pages,
                 mode=self.config.pdf_with_text_layer,
@@ -138,6 +138,15 @@ class ExtractKernel:
                 table_analysis=self.config.need_pdf_table_analysis,
                 merge_paragraphs=self.config.need_paragraph_analysis,
             )
+            if self.pages != (0, None):
+                # reference pdf_base_reader partial-slice surface
+                # (test_api_format_pdf_page_limit.py:80-85): a warning plus
+                # first_page/last_page in metadata
+                doc.warnings.append("The document is partially parsed")
+                doc.metadata = dict(doc.metadata or {})
+                doc.metadata["first_page"] = self.pages[0]
+                doc.metadata["last_page"] = self.pages[1]
+            return doc
         if fmt == "docx":
             from dedoc_ray.readers.office import read_docx
 
@@ -241,7 +250,9 @@ class ExtractKernel:
             return read_archive(data)
         raise ValueError(f"unsupported format: {fmt}")
 
-    def extract_row(self, url: str, data: bytes) -> Dict[str, object]:
+    def extract_row(
+        self, url: str, data: bytes, attachment_sink: Optional[list] = None
+    ) -> Dict[str, object]:
         fmt = sniff_format(url, data)
         if fmt in self.converters:
             fmt, data = self.converters[fmt](data)
@@ -301,6 +312,22 @@ class ExtractKernel:
             flat = flatten_tree(root)
             out.update(flat)
             out["warnings"] = doc.warnings
+            if attachment_sink is not None:
+                # raw (name, size, payload) tuples for the manager-level
+                # recursive attachments handler (reference
+                # attachments_handler.py:31-81 lives ABOVE the readers).
+                # PDF additionally surfaces PAINTED page images first —
+                # reference order: attached images, then embedded files +
+                # notes (pdf_tabby_reader.py:72-79). Manager surface only:
+                # the corpus manifest keeps embedded FILES, not rasters.
+                if fmt == "pdf":
+                    from dedoc_ray.readers.pdf_attachments import extract_pdf_drawn_images
+
+                    try:
+                        attachment_sink.extend(extract_pdf_drawn_images(data))
+                    except Exception:
+                        pass
+                attachment_sink.extend(doc.attachments)
             if self.config.with_attachments:
                 import base64 as _b64
 

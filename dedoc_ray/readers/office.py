@@ -403,18 +403,78 @@ def read_docx(data: bytes) -> UnstructuredDoc:
             tbl.order = line_id  # document-order anchor for line↔table linking
             tables.append(tbl)
     _fix_paragraph_newlines(lines)
-    # embedded media/OLE parts → attachment manifest (reference
-    # attachments_handler/attachments_handler.py:1-91 + docx
-    # attachments_extractor; rows carry (name, size) instead of temp files)
-    attachments = [
-        (name.rsplit("/", 1)[-1], zf.getinfo(name).file_size, zf.read(name))
-        for name in zf.namelist()
-        if name.startswith(("word/media/", "word/embeddings/"))
-        and not name.endswith("/")  # zip directory entries are not members
-    ]
     return UnstructuredDoc(
-        lines=lines, tables=tables, metadata=_core_properties(zf), attachments=attachments
+        lines=lines, tables=tables, metadata=_core_properties(zf),
+        attachments=_office_attachments(zf, "word"),
     )
+
+
+def _ole_native_contents(payload: bytes) -> "tuple[str, bytes] | None":
+    """``\\x01Ole10Native`` stream → (original ANSI name, embedded bytes) —
+    the packager layout the reference walks byte-for-byte
+    (abstract_office_attachments_extractor.py:15-62)."""
+    from dedoc_ray.readers.txt import _detect_encoding
+
+    stream = payload[6:]  # header: 4-byte size + 2-byte type
+    end = stream.find(b"\0")
+    if end < 0:
+        return None
+    name_raw = stream[:end]
+    stream = stream[end + 1:]
+    end = stream.find(b"\0")  # original filepath, unused
+    if end < 0:
+        return None
+    stream = stream[end + 1 + 4:]  # path NUL + 4 unused bytes
+    if len(stream) < 4:
+        return None
+    tmp_path_len = int.from_bytes(stream[:4], "little")
+    stream = stream[4 + tmp_path_len:]
+    if len(stream) < 4:
+        return None
+    size = int.from_bytes(stream[:4], "little")
+    contents = stream[4:4 + size]
+    name = name_raw.decode(_detect_encoding(name_raw, default="cp1251"), errors="replace")
+    return name, contents
+
+
+def _office_attachments(zf: zipfile.ZipFile, part_dir: str):
+    """media/embeddings parts of an OOXML package → (name, size, payload)
+    attachment tuples, reference semantics
+    (abstract_office_attachments_extractor.py:64-107): windows metafiles
+    (.emf/.wmf) are skipped; ``.bin`` OLE containers are UNPACKED — a
+    ``CONTENTS`` stream holding %PDF becomes <oleObjectN>.pdf, an
+    ``\\x01Ole10Native`` stream yields the packaged file under its original
+    name; other parts attach as-is."""
+    out = []
+    for name in zf.namelist():
+        if not name.startswith((f"{part_dir}/media/", f"{part_dir}/embeddings/")):
+            continue
+        if name.endswith("/"):  # zip directory entries are not members
+            continue
+        base = name.rsplit("/", 1)[-1]
+        if base.lower().endswith((".emf", ".wmf")):
+            continue
+        payload = zf.read(name)
+        if base.lower().endswith(".bin"):
+            try:
+                from dedoc_ray.readers.cfb import CfbFile
+
+                cfb = CfbFile(payload)
+                contents = cfb.stream("CONTENTS")
+                if contents is not None and contents[:5] == b"%PDF-":
+                    out.append((base.rsplit(".", 1)[0] + ".pdf", len(contents), contents))
+                    continue
+                native = cfb.stream("\x01Ole10Native")
+                if native is not None:
+                    unpacked = _ole_native_contents(native)
+                    if unpacked is not None:
+                        out.append((unpacked[0], len(unpacked[1]), unpacked[1]))
+                        continue
+            except Exception:
+                pass
+            continue  # undecodable OLE: reference attaches nothing (TODO at :102)
+        out.append((base, len(payload), payload))
+    return out
 
 
 # --------------------------------------------------------------------- xlsx
@@ -474,7 +534,9 @@ def read_xlsx(data: bytes) -> UnstructuredDoc:
         for row in rows:  # rectangularize (reference pads via pandas/xlrd grid)
             row.extend(CellWithMeta([]) for _ in range(max_cols - len(row)))
         tables.append(Table(rows, page_id=page_id, uid=f"sheet_{page_id}"))
-    return UnstructuredDoc(lines=[], tables=tables)
+    # embedded media → attachments (reference ExcelAttachmentsExtractor
+    # over xl/media + xl/embeddings — test_api_misc_with_attachments.py:23-33)
+    return UnstructuredDoc(lines=[], tables=tables, attachments=_office_attachments(zf, "xl"))
 
 
 # --------------------------------------------------------------------- pptx

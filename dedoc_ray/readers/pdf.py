@@ -758,6 +758,39 @@ def read_pdf_auto(
     table_analysis: bool = True,
     merge_paragraphs: bool = False,
 ) -> UnstructuredDoc:
+    """Attachment-carrying wrapper: the reference runs its
+    PDFAttachmentsExtractor for EVERY pdf route (pdf_base_reader.py reader
+    composition), so tabby/OCR results get the embedded files too."""
+    doc = _read_pdf_auto(
+        data,
+        pages=pages,
+        mode=mode,
+        fast_detection=fast_detection,
+        one_column=one_column,
+        first_page_reader=first_page_reader,
+        table_analysis=table_analysis,
+        merge_paragraphs=merge_paragraphs,
+    )
+    if not doc.attachments:
+        from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
+
+        try:
+            doc.attachments = extract_pdf_attachments(data)
+        except Exception:
+            pass
+    return doc
+
+
+def _read_pdf_auto(
+    data: bytes,
+    pages: tuple = (0, None),
+    mode: str = "auto",
+    fast_detection: bool = False,
+    one_column: bool = False,
+    first_page_reader=None,
+    table_analysis: bool = True,
+    merge_paragraphs: bool = False,
+) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
     (pdf_auto_reader.py:7-153): extract the text layer, then the trained
     txtlayer classifier decides whether it is CORRECT readable text

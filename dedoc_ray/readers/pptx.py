@@ -315,12 +315,17 @@ def read_pptx(data: bytes) -> UnstructuredDoc:
 
     props_ex = _PropertiesExtractor(zf)
     images_rels = _slide_media_rels(zf)
-    attachments = [
-        (name.rsplit("/", 1)[-1], zf.getinfo(name).file_size, zf.read(name))
+    from dedoc_ray.readers.office import _office_attachments
+
+    # attachments follow reference PptxAttachmentsExtractor semantics
+    # (emf/wmf skipped, .bin OLE unpacked); image-annotation uids keep the
+    # RAW media listing so slides referencing skipped metafiles still link
+    attachments = _office_attachments(zf, "ppt")
+    name2uid = {
+        name.rsplit("/", 1)[-1]: attachment_uid(name.rsplit("/", 1)[-1], zf.read(name))
         for name in zf.namelist()
         if name.startswith(("ppt/media/", "ppt/embeddings/")) and not name.endswith("/")
-    ]
-    name2uid = {name: attachment_uid(name, payload) for name, _, payload in attachments}
+    }
 
     lines: List[LineWithMeta] = []
     tables: List[Table] = []

@@ -39,6 +39,14 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+#: full-decode caps for bare rasters — same rationale as the embedded-image
+#: caps in readers/pdf.py:542-547 (pure-Python codec constant factor); a
+#: deployment with C-backed decoders raises them. Bitstream codecs whose
+#: decode is a per-symbol Python loop (JPEG huffman, GIF LZW, RLE families)
+#: cap low; numpy/zlib containers (BMP/PNG/PNM/uncompressed TIFF) cap high.
+SCAN_MAX_PIXELS_SLOW = 1_500_000
+SCAN_MAX_PIXELS = 24_000_000
+
 from dedoc_ray.core.annotation import Annotation, AnnotationNames as AN
 from dedoc_ray.core.hierarchy import HierarchyLevel
 from dedoc_ray.core.line import LineMetadata, LineWithMeta
@@ -366,13 +374,29 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
     WebP; bare PGM from the synthetic corpus as the fallback).
     ``orientation="no_change"`` skips rotation correction (the reference's
     document_orientation query knob)."""
-    try:
-        from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.ops.media_codecs import image_decode_gray, image_dimensions
 
+    file_hash = hashlib.md5(data).hexdigest()
+    dims = image_dimensions(data)
+    slow = data[:3] == b"\xff\xd8\xff" or data[:4] == b"GIF8" or (
+        len(data) > 68 and data[0] == 0x0A and data[2] == 1  # PCX RLE
+    )
+    cap = SCAN_MAX_PIXELS_SLOW if slow else SCAN_MAX_PIXELS
+    if dims is not None and dims[0] * dims[1] > cap:
+        # same cap story as the PDF OCR route (readers/pdf.py:542-547):
+        # the pure-Python decode constant factor makes multi-megapixel
+        # rasters minutes-per-image; surface geometry instead of hanging
+        return UnstructuredDoc(
+            lines=[],
+            warnings=[
+                f"scan raster {dims[0]}x{dims[1]} exceeds the native-codec "
+                f"decode cap ({cap} px): geometry only"
+            ],
+        )
+    try:
         img = image_decode_gray(data)
     except ValueError:
         img = parse_pgm(data)
-    file_hash = hashlib.md5(data).hexdigest()
     recognized, k = ocr_raster(img, orientation=orientation, with_metadata=True)
     warnings: List[str] = []
     # fixed-width LUT struggling → try the atlas-learned template

@@ -36,7 +36,9 @@ XLS_EXT = (".xls",)
 PPT_EXT = (".ppt",)
 TEI_EXT = (".tei", ".tei.xml")
 NOTE_EXT = (".note.pickle",)
-PGM_EXT = (".pgm", ".bmp", ".png", ".tif", ".tiff")
+PGM_EXT = (".pgm", ".bmp", ".png", ".tif", ".tiff", ".jpg", ".jpeg",
+           ".gif", ".webp", ".pcx", ".ppm", ".pbm", ".pnm", ".ras",
+           ".sgi", ".rgb", ".hdr")
 
 _EXT_TABLE = (
     (HTML_EXT, "html"),
@@ -113,6 +115,18 @@ def sniff_format(url: str, data: bytes) -> str:
         return "pgm"  # PNG raster → OCR route (reference supported_image_types)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "pgm"  # TIFF raster → OCR route
+    if data[:3] == b"\xff\xd8\xff":
+        return "pgm"  # JPEG raster → OCR route (reference supported_image_types)
+    if data[:4] == b"GIF8":
+        return "pgm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "pgm"
+    if data[:1] == b"P" and data[1:2] in b"12346" and data[2:3].isspace():
+        return "pgm"  # other Netpbm variants (P5 matched above)
+    if data[:4] == b"\x59\xa6\x6a\x95" or data[:2] == b"\x01\xda":
+        return "pgm"  # Sun raster / SGI
+    if data[:11] == b"#?RADIANCE\n" or data[:7] == b"#?RGBE\n":
+        return "pgm"  # Radiance HDR
     if data[:5] == b"{\\rtf":
         return "rtf"
     if data[:4] == b"PK\x03\x04":

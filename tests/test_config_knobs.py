@@ -50,12 +50,14 @@ def test_is_one_column_true_forces_interleaved_order():
     assert forced != auto  # y-sort interleaves the columns
 
 
-def test_html_fields_parsed_as_html():
+def test_html_fields_become_attachments():
+    # reference json_reader.py:41-48: html fields are EXCLUDED from the
+    # parsed json and attached as .html files named json.dumps(keys)+".html"
     data = b'{"body": "<html><body><p>rich para</p></body></html>", "plain": "x"}'
     k = ExtractKernel(config=PipelineConfig(html_fields=["body"]))
     row = k.extract_row("https://x.test/a.json", data)
-    assert "rich para\n" in row["extracted_text"]
-    assert "<p>" not in row["extracted_text"]  # html parsed, not kept raw
+    assert "<p>" not in row["extracted_text"]  # excluded, not inlined
+    assert [a["name"] for a in row["attachments"]] == ['["body"].html']
     row2 = ExtractKernel().extract_row("https://x.test/a.json", data)
     assert "<p>rich para</p>" in row2["extracted_text"]  # default: raw scalar line
 

@@ -428,12 +428,17 @@ def test_docx_annotations_fixture():
 
 
 def test_docx_attachment_manifest_names():
-    # reference with_attachments_0.docx: 4 OLE objects + media images;
-    # zip DIRECTORY entries must not surface as empty-name attachments
+    # reference with_attachments_0.docx: OLE .bin containers UNPACK to the
+    # packaged files (test_api_misc_with_attachments.py:125-134: zip, pdf,
+    # txt, csv all present by original name), media images attach as-is,
+    # .emf metafiles are skipped, and zip DIRECTORY entries must not
+    # surface as empty-name attachments
     r = parse("with_attachments/with_attachments_0.docx", with_attachments="true")
     names = [a.get("file_name") or a.get("name") for a in r["attachments"]]
     assert "" not in names
-    assert "oleObject1.bin" in names and "image1.png" in names
+    for expected in ("arch_with_attachs.zip", "VVP_global_table.pdf", "lorem.txt", "books.csv", "image1.png"):
+        assert expected in names
+    assert not any(n.endswith((".bin", ".emf")) for n in names)
 
 
 def test_xml_raw_text_lines():
