@@ -129,7 +129,22 @@ def read_eml(data: bytes) -> UnstructuredDoc:
     return doc
 
 
+# reference dedoc/utils/__init__.py:_supported_image_types
+_MHTML_IMAGE_TYPES = {
+    "bmp", "dib", "eps", "gif", "hdr", "jfif", "jp2", "jpe", "jpeg", "jpg",
+    "pbm", "pcx", "pgm", "pic", "png", "pnm", "ppm", "ras", "sgi", "sr",
+    "tiff", "webp", "j2k",
+}
+
+
 def read_mhtml(data: bytes) -> UnstructuredDoc:
+    if data[:2] == b"\x1f\x8b":  # .mhtml.gz (reference mhtml_reader.py:24)
+        import gzip
+
+        try:
+            data = gzip.decompress(data)
+        except Exception as e:
+            raise BadMailFile(f"invalid mhtml.gz: {e}") from e
     try:
         msg = email.message_from_bytes(data, policy=email.policy.default)
     except Exception as e:
@@ -154,8 +169,17 @@ def read_mhtml(data: bytes) -> UnstructuredDoc:
             page_id += 1
             found_html = True
         else:
-            name = part.get_filename() or part.get("Content-Location", "") or f"part_{page_id}"
-            attachments.append((str(name), len(_decode_part(part)), _decode_part(part)))
+            from urllib.parse import urlparse as _urlparse
+
+            # reference mhtml_reader.py:126-135: only IMAGE parts attach
+            # (supported_image_types by extension of the Content-Location
+            # basename); css/js/font parts are dropped
+            loc = str(part.get_filename() or part.get("Content-Location", "") or f"part_{page_id}")
+            base = _urlparse(loc).path.rsplit("/", 1)[-1] or loc
+            ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
+            if ext in _MHTML_IMAGE_TYPES:
+                payload = _decode_part(part)
+                attachments.append((base, len(payload), payload))
     if not found_html and not attachments:
         raise BadMailFile("no html parts in mhtml")
     doc = UnstructuredDoc(lines=lines, tables=tables)

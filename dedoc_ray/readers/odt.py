@@ -24,6 +24,7 @@ from dedoc_ray.readers.office import BadOfficeFile, _open_zip, _xml
 TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+XLINK = "{http://www.w3.org/1999/xlink}"
 META = "{urn:oasis:names:tc:opendocument:xmlns:meta:1.0}"
 DC = "{http://purl.org/dc/elements/1.1/}"
 STYLE = "{urn:oasis:names:tc:opendocument:xmlns:style:1.0}"
@@ -194,6 +195,47 @@ def read_odt(data: bytes) -> UnstructuredDoc:
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = [0]
+    # Pictures referenced by draw:image, numbered in DOCUMENT order — the
+    # observable contract of the reference's soffice odt→docx conversion
+    # (word/media/image{N}.jpeg), pinned by
+    # test_api_misc_with_images_refs.test_odt_with_images
+    from dedoc_ray.core.annotation import Annotation
+    from dedoc_ray.readers.base import attachment_uid
+
+    attachments: List[tuple] = []
+    href2uid: dict = {}
+
+    def _image_uid(href: str) -> "str | None":
+        if href in href2uid:
+            return href2uid[href]
+        try:
+            payload = zf.read(href)
+        except KeyError:
+            href2uid[href] = None
+            return None
+        ext = href.rsplit(".", 1)[-1].lower() if "." in href else "png"
+        name = f"image{len(attachments) + 1}.{'jpeg' if ext == 'jpg' else ext}"
+        attachments.append((name, len(payload), payload))
+        href2uid[href] = attachment_uid(name, payload)
+        return href2uid[href]
+
+    def _annotate_images(child) -> None:
+        uids = [
+            uid for img in child.iter(f"{DRAW}image")
+            for uid in [_image_uid(img.get(f"{XLINK}href", ""))]
+            if uid is not None
+        ]
+        if not uids:
+            return
+        # anchor on the last non-empty paragraph (same pop-trailing-empty
+        # semantics as the docx route, office.py read_docx)
+        while lines and not lines[-1].line.strip():
+            lines.pop()
+            line_id[0] -= 1
+        if lines:
+            for uid in uids:
+                lines[-1].annotations.append(Annotation(0, len(lines[-1].line), "attachment", uid))
+
     for child in text_el:
         if child.tag == f"{TEXT}h":
             level = int(child.get(f"{TEXT}outline-level", "1"))
@@ -217,13 +259,16 @@ def read_odt(data: bytes) -> UnstructuredDoc:
                 )
             )
             line_id[0] += 1
+            _annotate_images(child)
         elif child.tag == f"{TEXT}list":
             _read_list(child, lines, line_id, depth=1)
         elif child.tag == f"{TABLE}table":
             tbl = _read_table(child, page_id=0, uid=f"table_{len(tables)}")
             tbl.order = line_id[0]
             tables.append(tbl)
-    return UnstructuredDoc(lines=lines, tables=tables, metadata=_odt_metadata(zf))
+    return UnstructuredDoc(
+        lines=lines, tables=tables, metadata=_odt_metadata(zf), attachments=attachments
+    )
 
 
 # ------------------------------------------------------------- ODS / ODP

@@ -32,6 +32,7 @@ from dedoc_ray.readers.base import UnstructuredDoc
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 SHEET_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 _HEADING_RE = re.compile(r"heading\s*(\d+)", re.IGNORECASE)
@@ -386,6 +387,21 @@ def read_docx(data: bytes) -> UnstructuredDoc:
         raise BadOfficeFile(f"bad xml in word/styles.xml: {e}") from e
     footnotes = _docx_notes(zf, "word/footnotes.xml")
     endnotes = _docx_notes(zf, "word/endnotes.xml")
+    attachments = _office_attachments(zf, "word")
+    from dedoc_ray.readers.base import attachment_uid
+
+    name2uid = {name: attachment_uid(name, payload) for name, _, payload in attachments}
+    # rId → media basename (reference __handle_images_xml,
+    # docx_document.py:133-154)
+    images_rels: Dict[str, str] = {}
+    rels_root = _xml(zf, "word/_rels/document.xml.rels")
+    if rels_root is None:
+        rels_root = _xml(zf, "word/_rels/document2.xml.rels")
+    if rels_root is not None:
+        for rel in rels_root:
+            target = rel.get("Target", "")
+            if target.startswith("media/"):
+                images_rels[rel.get("Id", "")] = target[6:]
     lines: List[LineWithMeta] = []
     tables: List[Table] = []
     line_id = 0
@@ -398,6 +414,25 @@ def read_docx(data: bytes) -> UnstructuredDoc:
                 resolver=resolver, prev_spacing_after=prev_after)
             lines.append(line)
             line_id += 1
+            # image refs: each a:blip in the paragraph anchors an
+            # `attachment` annotation on the last NON-empty paragraph —
+            # trailing empty paragraphs are dropped, the reference's
+            # __prepare_paragraph_list pop (docx_document.py:86-89,145-154,
+            # 167-171; pinned by test_api_misc_with_images_refs.py)
+            image_uids = [
+                name2uid[images_rels[blip.get(f"{R}embed", "")]]
+                for blip in child.iter(f"{A}blip")
+                if images_rels.get(blip.get(f"{R}embed", "")) in name2uid
+            ]
+            if image_uids:
+                while lines and not lines[-1].line.strip():
+                    lines.pop()
+                    line_id -= 1
+                if lines:
+                    for uid in image_uids:
+                        lines[-1].annotations.append(
+                            Annotation(0, len(lines[-1].line), "attachment", uid)
+                        )
         elif child.tag == f"{W}tbl":
             tbl = _docx_table(child, page_id=0, uid=f"table_{len(tables)}")
             tbl.order = line_id  # document-order anchor for line↔table linking
@@ -405,7 +440,7 @@ def read_docx(data: bytes) -> UnstructuredDoc:
     _fix_paragraph_newlines(lines)
     return UnstructuredDoc(
         lines=lines, tables=tables, metadata=_core_properties(zf),
-        attachments=_office_attachments(zf, "word"),
+        attachments=attachments,
     )
 
 

@@ -1,9 +1,13 @@
-"""Format dispatch: extension first, then content magic bytes.
+"""Format dispatch: decisive content magic first, then extension.
 
-Mirrors the reference's dispatch policy (dedoc_manager.py:145-167 +
-utils.py:65-77,139-150 + extensions.py): the file extension decides when
-recognized, otherwise the content is sniffed. Here the "file name" is the
-row's ``url`` and the "file bytes" are the ``html`` column payload.
+Mirrors the reference's dispatch policy (utils.get_mime_extension —
+libmagic's content sniff leads, the extension breaks ties;
+test_api_misc_mime_detection.py parses every format with NO extension and
+with a WRONG extension). Magic wins only where it is decisive (container
+signatures); text-family formats without reliable magic (csv/json/html/
+txt/eml) fall to the extension, then to content heuristics. Here the
+"file name" is the row's ``url`` and the "file bytes" are the ``html``
+column payload.
 """
 
 from __future__ import annotations
@@ -100,11 +104,26 @@ def _sniff_zip(data: bytes) -> str:
 def sniff_format(url: str, data: bytes) -> str:
     """Return one of: html, txt, csv, json, pdf, docx, xlsx, pptx, odt, rtf,
     eml, mhtml, archive, bad_file."""
+    magic = _sniff_magic(data)
+    if magic is not None:
+        return magic
     path = urlparse(url).path.lower() if url else ""
     for exts, fmt in _EXT_TABLE:
         if path.endswith(exts):
-            return fmt
+            if fmt == "pgm":
+                # a raster extension whose content shows NO raster magic is
+                # a mislabeled file (wrong-extension uploads,
+                # test_api_misc_mime_detection.py:40-46) — sniff content
+                from dedoc_ray.ops.media_codecs import image_dimensions
 
+                if image_dimensions(data) is None:
+                    break
+            return fmt
+    return _sniff_weak(data)
+
+
+def _sniff_magic(data: bytes) -> "str | None":
+    """Decisive container signatures (libmagic's role); None = undecided."""
     if data[:5] == b"%PDF-":
         return "pdf"
     if data[:2] == b"P5" and data[2:3].isspace():
@@ -127,6 +146,14 @@ def sniff_format(url: str, data: bytes) -> str:
         return "pgm"  # Sun raster / SGI
     if data[:11] == b"#?RADIANCE\n" or data[:7] == b"#?RGBE\n":
         return "pgm"  # Radiance HDR
+    if (
+        len(data) > 128
+        and data[0] == 0x0A
+        and data[1] in (0, 2, 3, 4, 5)
+        and data[2] in (0, 1)
+        and data[3] in (1, 2, 4, 8)
+    ):
+        return "pgm"  # PCX (manufacturer/version/encoding/bpp header)
     if data[:5] == b"{\\rtf":
         return "rtf"
     if data[:4] == b"PK\x03\x04":
@@ -146,18 +173,41 @@ def sniff_format(url: str, data: bytes) -> str:
     if data[:4] == b"AT&T" and data[4:8] == b"FORM":
         return "djvu"  # container/structure reader (readers/djvu.py)
     if data[:2] == b"\x1f\x8b":
-        return "txt"  # .txt.gz analogue
+        # gzip: re-sniff the decompressed head — .tar.gz stays an archive,
+        # .mhtml.gz routes to the mhtml reader (reference accepts .gz for
+        # both), everything else is the .txt.gz analogue
+        import gzip
+
+        try:
+            inner = gzip.decompress(data)[:4096]
+        except Exception:
+            return "txt"
+        if len(inner) > 262 and inner[257:262] == b"ustar":
+            return "archive"
+        if b"MIME-Version:" in inner and b"multipart/related" in inner:
+            return "mhtml"
+        return "txt"
     if data[:3] == b"BZh" or data[:6] == b"\xfd7zXZ\x00":
         return "txt"  # bz2/xz single-file text (stdlib decompress)
+    return None
+
+
+def _sniff_weak(data: bytes) -> str:
+    """Content heuristics for the text family (no reliable magic)."""
     head = data[:4096]
     if b"MIME-Version:" in head and b"multipart/related" in head:
         return "mhtml"
+    if (
+        _MAIL_HEADER_RE.match(head)
+        and head.count(b":") >= 2
+        and (b"\n\n" in data[:8192] or b"\r\n\r\n" in data[:8192])
+    ):
+        # rfc822 header block STARTING the file — checked before the html
+        # tag scan because mail bodies embed html parts
+        # (test_api_misc_mime_detection: message.eml with no extension)
+        return "eml"
     if _TAG_RE.search(head):
         return "html"
-    if _MAIL_HEADER_RE.search(head[:1024]) and (b"\n\n" in data[:8192] or b"\r\n\r\n" in data[:8192]):
-        # rfc822-looking header block (reference sniffs mime via libmagic)
-        if head.count(b":") >= 2 and _MAIL_HEADER_RE.match(head):
-            return "eml"
     stripped = head.lstrip()
     if stripped[:1] in (b"{", b"["):
         try:

@@ -317,3 +317,86 @@ def test_pdf_page_limit_partial_warning():
     assert "first_page" in r["metadata"] and "last_page" in r["metadata"]
     _, r = _page_text("")
     assert "The document is partially parsed" not in r["warnings"]
+
+
+def test_mhtml_image_attachments_only():
+    # test_api_format_mhtml.py:5-9 — exactly the 17 image parts attach
+    # (css/js parts drop, reference supported_image_types filter)
+    r = parse("mhtml/Валентин Николаевич Ничипоренко биография, досье, компромат, "
+              "фото и видео - ЗНАЙ ЮА.mhtml", with_attachments="true")
+    assert len(r["attachments"]) == 17
+
+
+def test_mhtml_gz_routes_to_mhtml():
+    # test_api_format_mhtml.py:11-16 — .mhtml.gz unwraps and parses as html
+    r = parse("mhtml/antivaxxers.mhtml.gz")
+    assert "Эрнест Валеев" in r["extracted_text"]
+
+
+def test_mime_detection_no_or_wrong_extension():
+    # test_api_misc_mime_detection.py — every supported format parses with
+    # NO extension and with a WRONG extension (magic-first dispatch)
+    files = [
+        "archives/arch_with_attachs.7z", "archives/arch_with_attachs.tar.gz",
+        "archives/arch_with_attachs.zip", "csvs/csv_coma.csv", "csvs/csv_tab.tsv",
+        "docx/english_doc.doc", "docx/english_doc.docx", "docx/english_doc.odt",
+        "docx/english_doc.rtf", "pdf_with_text_layer/english_doc.pdf",
+        "scanned/example.bmp", "scanned/example.gif", "scanned/example.jpg",
+        "scanned/example.pcx", "scanned/example.png", "scanned/example.tiff",
+        "scanned/example.webp", "htmls/example.html", "xlsx/example.ods",
+        "xlsx/example.xls", "xlsx/example.xlsx", "pptx/example.odp",
+        "pptx/example.ppt", "pptx/example.pptx", "json/dict.json",
+        "txt/football.txt", "eml/message.eml", "xml/simple.xml",
+        "mhtml/with_attachments.mhtml",
+    ]
+    for f in files:
+        with open(os.path.join(DATA, f), "rb") as fh:
+            data = fh.read()
+        wrong = "file.png" if not f.endswith("png") else "file.docx"
+        for fake in ("file", wrong):
+            r = _manager.parse(data=data, file_name=fake)
+            assert r["status"] == "ok", (f, fake, r["error_msg"])
+
+
+# ----------------------------------------------------------- image refs
+# reference test_api_misc_with_images_refs.py — paragraphs that contain
+# images carry `attachment` annotations whose value is the attachment uid,
+# anchored on the last non-empty paragraph
+
+
+def _attach_names_by_paragraph(rel):
+    r = parse(rel, with_attachments="true", structure_type="linear")
+    uid2name = {a["metadata"]["uid"]: a["metadata"]["file_name"] for a in r["attachments"]}
+    out = {}
+    for i, p in enumerate(r["content"]["structure"]["subparagraphs"]):
+        names = sorted(uid2name[a["value"]] for a in p.get("annotations", [])
+                       if a["name"] == "attachment" and a["value"] in uid2name)
+        if names:
+            out[i] = names
+    return out
+
+
+def test_docx_with_images_refs():
+    # :11-30
+    refs = _attach_names_by_paragraph("with_attachments/docx_with_images.docx")
+    assert refs[0] == ["image1.png"]
+    assert refs[2] == ["image2.jpeg", "image3.jpeg"]
+    assert refs[5] == ["image4.jpeg"]
+    assert refs[6] == ["image5.jpeg", "image6.jpeg", "image7.jpeg"]
+
+
+def test_docx_with_images_from_mac_refs():
+    # :48-62
+    refs = _attach_names_by_paragraph("with_attachments/doc_with_images.docx")
+    assert refs[2] == ["image1.jpeg"]
+    assert refs[3] == ["image2.jpeg"]
+    assert refs[5] == ["image3.png"]
+
+
+def test_odt_with_images_refs():
+    # :32-46 — picture names follow the document-order image{N} contract of
+    # the reference's odt→docx conversion
+    refs = _attach_names_by_paragraph("with_attachments/odt_with_images.odt")
+    assert refs[0] == ["image1.jpeg"]
+    assert refs[7] == ["image2.jpeg"]
+    assert refs[8] == ["image3.jpeg"]

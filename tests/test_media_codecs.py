@@ -300,7 +300,7 @@ def test_scan_route_decodes_png_and_tiff_rasters():
     for gen, ext in ((scan_png, "png"), (scan_tiff, "tif")):
         data = gen(5, text)
         assert sniff_format("", data) == "pgm"
-        assert sniff_format(f"https://x.test/p.{ext}", b"") == "pgm"
+        assert sniff_format(f"https://x.test/p.{ext}", data) == "pgm"
         got = [ln.line for ln in read_scan(data).lines]
         assert got == want
 

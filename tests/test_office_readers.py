@@ -173,7 +173,8 @@ def test_mhtml_html_parts():
              b"--MM\r\nContent-Type: image/png\r\nContent-Location: http://a/i.png\r\n\r\nPNGPNG\r\n--MM--\r\n")
     doc = read_mhtml(mhtml)
     assert any("first page" in l.line for l in doc.lines)
-    assert doc.attachments == [("http://a/i.png", 6, b"PNGPNG")]
+    # basename of Content-Location, reference mhtml_reader.py:93-94
+    assert doc.attachments == [("i.png", 6, b"PNGPNG")]
 
 
 # ----------------------------------------------------------------- archive

@@ -97,8 +97,11 @@ def test_pgm_comment_header():
 
 
 def test_sniff_pgm():
-    assert sniff_format("https://x/p.pgm", b"") == "pgm"
+    assert sniff_format("https://x/p.pgm", scan_pgm(2, "x y")) == "pgm"
     assert sniff_format("https://x/p.bin", scan_pgm(1, "a b")) == "pgm"
+    # raster extension over NON-raster bytes = mislabeled upload → content
+    # heuristics, not the OCR route (reference mime-first dispatch)
+    assert sniff_format("https://x/p.pgm", b"plain text, not a raster") == "txt"
 
 
 def test_bmp_scan_route():
