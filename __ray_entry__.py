@@ -527,8 +527,13 @@ def q_extract_csv(sf_dir: str):
 
 
 def _domain_count_query(sf_dir: str, fmt: str, document_type: str, line_type: str,
-                        out_col: str, use_ml: bool = False):
-    """Shared shape for the domain extractors: count one node line_type."""
+                        out_col: str, use_ml: bool = False, text_re: str = None):
+    """Shared shape for the domain extractors: count one node line_type,
+    optionally restricted to nodes whose text matches ``text_re`` (needed
+    where the reference taxonomy folds several shapes into one type, e.g.
+    diploma chapters are named_item)."""
+    import re as _re
+
     from dedoc_ray.pipeline.config import PipelineConfig
     from dedoc_ray.pipeline.extract import extract_pages
     from dedoc_ray.sources.synth_office import office_corpus
@@ -537,15 +542,26 @@ def _domain_count_query(sf_dir: str, fmt: str, document_type: str, line_type: st
         office_corpus(sf_dir, fmt),
         config=PipelineConfig(document_type=document_type, use_ml_line_classifier=use_ml),
     )
+    pat = _re.compile(text_re, _re.IGNORECASE) if text_re else None
 
     def shape(batch: pa.Table) -> pa.Table:
         nodes = batch["nodes"].to_pylist()
+        texts = batch["extracted_text"].to_pylist()
+
+        def count(ns, full_text):
+            total = 0
+            for n in ns:
+                if n["line_type"] != line_type:
+                    continue
+                if pat is not None and not pat.match(full_text[n["text_start"]:n["text_end"]].strip()):
+                    continue
+                total += 1
+            return total
+
         return pa.Table.from_pydict(
             {
                 "url": batch["url"],
-                out_col: pa.array(
-                    [sum(1 for n in ns if n["line_type"] == line_type) for ns in nodes], "int64"
-                ),
+                out_col: pa.array([count(ns, t) for ns, t in zip(nodes, texts)], "int64"),
             }
         )
 
@@ -563,13 +579,17 @@ def q_extract_tz_ml(sf_dir: str):
 
 
 def q_extract_diploma(sf_dir: str):
-    """document_type="diploma": chapter count (regex skeleton)."""
-    return _domain_count_query(sf_dir, "diploma", "diploma", "chapter", "n_chapters")
+    """document_type="diploma": chapter count. Chapters are named_item in
+    the reference diploma taxonomy (diploma body_builder.py:16), so count
+    named_item nodes whose text is a chapter heading."""
+    return _domain_count_query(sf_dir, "diploma", "diploma", "named_item", "n_chapters",
+                               text_re=r"(глава|гл\.|chapter|chap\.)\s*\d")
 
 
 def q_extract_diploma_ml(sf_dir: str):
     """Trained DiplomaLineClassifier over chapter/named variants."""
-    return _domain_count_query(sf_dir, "diploma_ml", "diploma", "chapter", "n_chapters", use_ml=True)
+    return _domain_count_query(sf_dir, "diploma_ml", "diploma", "named_item", "n_chapters",
+                               use_ml=True, text_re=r"(глава|гл\.|chapter|chap\.)\s*\d")
 
 
 def q_extract_law(sf_dir: str):

@@ -288,6 +288,11 @@ class ExtractKernel:
 
                 doc.lines, hf_warnings = remove_headers_footers(doc.lines)
                 doc.warnings.extend(hf_warnings)
+            if self.config.document_type in ("law", "law_txt") and fmt == "txt":
+                from dedoc_ray.structure.domain import law_preprocess_txt_lines
+
+                # З А К О Н → ЗАКОН etc. (reference txt-route preprocess)
+                doc.lines = law_preprocess_txt_lines(doc.lines)
             if self.fintoc is not None:
                 lines = self.fintoc.apply(doc.lines)
             elif self.law_ml is not None:
@@ -302,6 +307,26 @@ class ExtractKernel:
                 doc.warnings.append(route_warning)
             else:
                 lines = extract_structure(doc.lines, self.patterns)
+            if self.config.document_type in ("law", "law_txt"):
+                from dedoc_ray.structure.domain import law_shape
+
+                # root(hat) → body → units, applications as body siblings
+                # (reference law tree contract, test_api_doctype_law.py);
+                # runs BEFORE the prefix split, like the reference's
+                # builders-then-_postprocess_lines order
+                lines = law_shape(lines)
+            elif self.config.document_type in ("tz", "tz_txt"):
+                from dedoc_ray.structure.domain import tz_shape
+
+                # root(header) → toc → toc_items, one body node for units
+                # (reference tz tree contract, test_api_doctype_tz.py)
+                lines = tz_shape(lines)
+            elif self.config.document_type == "diploma":
+                from dedoc_ray.structure.domain import diploma_shape
+
+                # root(hat) → body, toc, named_item siblings
+                # (reference diploma tree, test_api_doctype_diploma.py)
+                lines = diploma_shape(lines)
             if self.config.document_type != "other":
                 from dedoc_ray.structure.postprocess import split_for_document_type
 

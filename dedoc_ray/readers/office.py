@@ -126,6 +126,7 @@ def _docx_paragraph(
     style_id = pstyle_id
     num_ref: Optional[Tuple[str, str]] = None
     bare_list_depth: Optional[int] = None  # numPr without a resolvable numId
+    numbering_removed = False  # direct numId=0 blocks style numbering too
     if ppr is not None:
         numpr = ppr.find(f"{W}numPr")
         if numpr is not None:
@@ -133,10 +134,17 @@ def _docx_paragraph(
             ilvl_el = numpr.find(f"{W}ilvl")
             ilvl_val = ilvl_el.get(f"{W}val", "0") if ilvl_el is not None else "0"
             if num_el is not None:
-                num_ref = (num_el.get(f"{W}val", ""), ilvl_val)
+                num_id = num_el.get(f"{W}val", "")
+                # numId=0 REMOVES inherited numbering (ISO 29500 §17.9.15) —
+                # the paragraph is NOT a list item (reference num_dict has
+                # no entry "0", so its numbering extractor skips it too)
+                if num_id != "0":
+                    num_ref = (num_id, ilvl_val)
+                else:
+                    numbering_removed = True
             else:
                 bare_list_depth = int(ilvl_val) + 1 if ilvl_val.isdigit() else 1
-    if num_ref is None and style_id and styles is not None:
+    if num_ref is None and not numbering_removed and style_id and styles is not None:
         num_ref = styles.numbering_of(style_id)
         if num_ref is not None and num_ref[1] is None:
             # style numPr without ilvl: bind to the lvl whose pStyle names
@@ -406,7 +414,20 @@ def read_docx(data: bytes) -> UnstructuredDoc:
     tables: List[Table] = []
     line_id = 0
     prev_after = 0
-    for child in body:
+
+    def _body_children(el):
+        """Flatten w:sdt wrappers (TOC fields, content controls) into their
+        sdtContent paragraphs — reference reads them via find_all("w:p")
+        (docx_document.py:78-81)."""
+        for c in el:
+            if c.tag == f"{W}sdt":
+                content = c.find(f"{W}sdtContent")
+                if content is not None:
+                    yield from _body_children(content)
+            else:
+                yield c
+
+    for child in _body_children(body):
         if child.tag == f"{W}p":
             line, prev_after = _docx_paragraph(
                 child, page_id=0, line_id=line_id, numbering=numbering,

@@ -832,6 +832,20 @@ def _read_pdf_auto(
             raise
         return ocr_route("pdf without text layer")
     if mode == "true":  # trust the layer unconditionally
+        if table_analysis:
+            # the reference's txtlayer route still recognizes tables
+            # (pdf_txtlayer_reader + table recognizer;
+            # test_api_misc_multipage_table loops reader="true"); reuse the
+            # geometric grid detector — only table-carrying docs switch to
+            # the table-aware line/table split
+            try:
+                from dedoc_ray.readers.pdf_tables import read_pdf_tabby
+
+                tdoc = read_pdf_tabby(data, pages=pages)
+            except ValueError:
+                tdoc = None
+            if tdoc is not None and tdoc.tables:
+                return tdoc
         return doc
     text = "".join(line.line for line in doc.lines)
     if fast_detection:  # classify a bounded prefix (api_args.py:29)

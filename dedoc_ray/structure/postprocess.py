@@ -103,7 +103,7 @@ def split_prefix_lines(
 # per-domain split configuration: (paragraph_types, regexps, excluding)
 _DOMAIN_SPLITS: Dict[str, Tuple[Sequence[str], Sequence[RePattern], Sequence[Optional[RePattern]]]] = {
     "law": (
-        ("item", "subitem"),
+        ("articlePart", "item", "subitem"),
         (REGEXPS_DIGITS_WITH_DOTS, REGEXPS_BRACKET_ITEM, REGEXPS_BULLET),
         (REGEXPS_ENDS_OF_NUMBER, REGEXPS_ENDS_OF_NUMBER, None),
     ),

@@ -1,0 +1,196 @@
+"""Domain structure extractors over the REFERENCE's real documents.
+
+Pins reference tests/api_tests/test_api_doctype_{law,tz,diploma}.py
+expectations: the law root(hat)→body→units tree with the articlePart
+taxonomy, the tz single-body-after-toc contract, and the diploma
+body/toc/named_item sibling layout.
+"""
+
+import os
+import re
+
+import pytest
+
+from dedoc_ray.manager import DedocRayManager
+
+DATA = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA), reason="reference fixtures not present")
+
+_manager = DedocRayManager()
+
+
+def parse(rel: str, **params):
+    return _manager.parse(file_path=os.path.join(DATA, rel), parameters=params or None)
+
+
+def tree2linear(tree):
+    out = []
+    stack = [tree]
+    while stack:
+        node = stack.pop(0)
+        out.append(node)
+        stack = node.get("subparagraphs", []) + stack
+    return out
+
+
+def by_path(tree, path):
+    node = tree
+    for i in path.split(".")[1:]:
+        node = node["subparagraphs"][int(i)]
+    return node
+
+
+# ------------------------------------------------------------------- law
+
+
+def test_law_txt():
+    # test_api_doctype_law.py:16-27 — hat merges into root (incl. the
+    # spaced-letter З А К О Н join), body adopts the articles
+    r = parse("laws/коап_москвы_8_7_2015_utf.txt", document_type="law")
+    content = r["content"]
+    assert content["tables"] == []
+    structure = content["structure"]
+    assert "ЗАКОН" in structure["text"]
+    assert structure["metadata"]["paragraph_type"] == "root"
+    body = structure["subparagraphs"][0]
+    assert body["metadata"]["paragraph_type"] == "body"
+    first = body["subparagraphs"][0]["text"].split("\n")[0].strip()
+    assert first == "Статья   1.1.   Законодательство   города   Москвы   об    административных"
+    assert body["subparagraphs"][2]["text"].strip().startswith("Статья")
+
+
+def test_law_html():
+    # :29-37 — dotted clauses are articlePart under body; УКАЗ hat in root
+    r = parse("laws/doc_Правовые акты_0A1B19DB-15D0-47BC-B559-76DA41A36105_27.html",
+              document_type="law")
+    structure = r["content"]["structure"]
+    assert "У К А З" in structure["text"]
+    body = structure["subparagraphs"][0]
+    assert body["metadata"]["paragraph_type"] == "body"
+    assert body["subparagraphs"][0]["metadata"]["paragraph_type"] == "articlePart"
+
+
+# -------------------------------------------------------------------- tz
+
+
+def _check_tz_tree(tree):
+    # test_api_doctype_tz.py:76-82 — exactly ONE body node, after the toc
+    lines = tree2linear(tree)
+    toc_end = max((i for i, l in enumerate(lines)
+                   if l["metadata"]["paragraph_type"].startswith("toc")), default=0)
+    body_ids = [i for i, l in enumerate(lines) if l["metadata"]["paragraph_type"] == "body"]
+    assert len(body_ids) == 1
+    assert max(body_ids) > toc_end
+
+
+@pytest.mark.parametrize("name", ["tz.txt", "alpaca_tz.docx", "alpaca_tz.doc"])
+def test_tz_tree(name):
+    r = parse(f"tz/{name}", document_type="tz")
+    _check_tz_tree(r["content"]["structure"])
+
+
+def test_tz_moloko_item_depth():
+    # :34-42 — items "6.N" all sit at node depth 4 (root.body.section.item)
+    r = parse("tz/13 молоко 1 полуг.docx", document_type="tz")
+    tree = r["content"]["structure"]
+    _check_tz_tree(tree)
+    num = re.compile(r"\s*6\.\d")
+    depths = {len(l["node_id"].split(".")) for l in tree2linear(tree) if num.match(l["text"])}
+    assert depths == {4}
+
+
+def test_tz_gasu_root_text():
+    # :44-53 — title merges into root text
+    r = parse("tz/Технические_требования_ГАСУ_(2012-2014)(1)(1)(1).docx", document_type="tz")
+    tree = r["content"]["structure"]
+    _check_tz_tree(tree)
+    assert tree["text"].replace("\n", "")[:30] == "Технические требования на дора"
+    assert tree["metadata"]["paragraph_type"] == "root"
+
+
+# --------------------------------------------------------------- diploma
+
+
+def test_diploma_docx():
+    # test_api_doctype_diploma.py:54-89 — root hat ends "Москва 2023 г.";
+    # children: empty body, toc("Содержание") with toc_items, named_items
+    # for Введение and every Глава, in document order
+    r = parse("diplomas/diploma.docx", document_type="diploma")
+    s = r["content"]["structure"]
+    assert s["text"].strip()[-14:] == "Москва 2023 г."
+    assert by_path(s, "0.0")["metadata"]["paragraph_type"] == "body"
+    assert by_path(s, "0.0")["text"] == ""
+    assert by_path(s, "0.1")["metadata"]["paragraph_type"] == "toc"
+    assert by_path(s, "0.1")["text"].strip() == "Содержание"
+    toc0 = by_path(s, "0.1.0")
+    assert toc0["metadata"]["paragraph_type"] == "toc_item"
+    assert toc0["text"][:8] == "Введение"
+    named = [(n["text"].strip().split("\n")[0][:8]) for n in s["subparagraphs"]
+             if n["metadata"]["paragraph_type"] == "named_item"]
+    assert named[0] == "Введение"
+    assert named[1].startswith("Глава 1.")
+    assert named[2].startswith("Глава 2.")
+    assert named[3].startswith("Глава 3.")
+
+
+def test_diploma_pdf():
+    # :11-52 — tabby route; СОДЕРЖАНИЕ toc with wrapped entries, then the
+    # numbered ALL-CAPS chapters / ЗАКЛЮЧЕНИЕ / БИБЛИОГРАФИЧЕСКИЙ СПИСОК
+    # as root-level named_items
+    r = parse("diplomas/diploma.pdf", document_type="diploma", pdf_with_text_layer="tabby")
+    s = r["content"]["structure"]
+    assert s["text"].strip()[-15:] == "Москва, 2021 г."
+    assert by_path(s, "0.0")["metadata"]["paragraph_type"] == "body"
+    assert by_path(s, "0.1")["metadata"]["paragraph_type"] == "toc"
+    assert by_path(s, "0.1")["text"].strip() == "СОДЕРЖАНИЕ"
+    assert by_path(s, "0.1.0")["text"][:8] == "ВВЕДЕНИЕ"
+    assert by_path(s, "0.1.0")["metadata"]["paragraph_type"] == "toc_item"
+    named = [n["text"].strip().split("\n")[0] for n in s["subparagraphs"]
+             if n["metadata"]["paragraph_type"] == "named_item"]
+    assert named[0] == "ВВЕДЕНИЕ"
+    assert named[1][:16] == "1. ТЕОРЕТИЧЕСКОЕ"
+    assert named[2][:9] == "2. АНАЛИЗ"
+    assert "ЗАКЛЮЧЕНИЕ" in named
+    assert "БИБЛИОГРАФИЧЕСКИЙ СПИСОК" in named
+
+
+# ---------------------------------------------------------- list patching
+# reference test_api_misc_list_patching.py — dotted numbering survives
+# missing items and numId=0 "numbering removed" paragraphs
+
+
+def test_list_patching_missed_items():
+    # :14-38 — skipped numbers stay siblings; sub-lists nest by dot depth
+    for name in ("missed_list.docx", "missed_list_2.docx"):
+        r = parse(f"list_tests/{name}", structure_type="tree")
+        sub = r["content"]["structure"]["subparagraphs"][0]["subparagraphs"][0]
+        texts = [c["text"].strip() for c in sub["subparagraphs"]]
+        assert texts == ["1. list item 1", "2. list item 2", "3. list item 3",
+                         "4. list item 4", "6. list item 6"], name
+    r = parse("list_tests/missed_list.docx", structure_type="tree")
+    sub = r["content"]["structure"]["subparagraphs"][0]["subparagraphs"][0]
+    inner = sub["subparagraphs"][4]["subparagraphs"][0]
+    assert [c["text"].strip() for c in inner["subparagraphs"]] == \
+        ["6.1. list item 6.1", "6.3 list item 6.3", "6.5 list item 6.5"]
+    deep = [c["text"].strip() for g in inner["subparagraphs"][1].get("subparagraphs", [])
+            for c in g.get("subparagraphs", [])]
+    assert deep == ["6.3.2.3 list item 6.3.2.3", "6.3.2.4. list item 6.3.2.4"]
+
+
+def test_list_patching_moloko():
+    # :6-12 — numId=0 paragraphs ("10.2. ...") are NOT list items by tag;
+    # their dotted text depth nests them under "10." → 12 top children
+    r = parse("docx/13_moloko_1_polug.docx", structure_type="tree")
+    lst = r["content"]["structure"]["subparagraphs"][1]
+    assert len(lst["subparagraphs"]) == 12
+
+
+def test_multipage_table_merges_across_routes():
+    # test_api_misc_multipage_table.py:43-47 — the page-spanning table
+    # merges to ONE on both the txtlayer ("true") and tabby routes
+    for reader in ("true", "tabby"):
+        r = parse("tables/example_mp_table_wo_repeate_header.pdf", pdf_with_text_layer=reader)
+        tables = r["content"]["tables"]
+        assert len(tables) == 1, reader
+        assert len(tables[0]["cells"]) == 10, reader
