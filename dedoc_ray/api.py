@@ -51,16 +51,32 @@ def create_app(manager: Optional[DedocRayManager] = None):
     @app.post("/upload")
     def upload() -> Response:
         if "file" not in request.files:
+            # reference dedoc_api returns 422 for a missing file part
+            # (test_api_misc_main.test_send_wo_file)
             return Response(
                 json.dumps({"detail": "no file field in multipart body"}),
-                status=400,
+                status=422,
                 mimetype="application/json",
             )
         f = request.files["file"]
         parameters = {k: v for k, v in request.form.items()}
-        parsed = mgr.parse(
-            data=f.read(), file_name=f.filename or "document", parameters=parameters
-        )
+        file_name = f.filename or "document"
+        parsed = mgr.parse(data=f.read(), file_name=file_name, parameters=parameters)
+        if parsed.get("status") == "bad_file":
+            # UnsupportedFileFormat → 415 with version + file_name + metadata
+            # (test_api_misc_main.test_bin_file)
+            import dedoc_ray
+
+            return Response(
+                json.dumps({
+                    "dedoc_version": dedoc_ray.__version__,
+                    "file_name": file_name,
+                    "metadata": parsed.get("metadata") or {},
+                    "detail": parsed.get("error_msg", "unsupported format"),
+                }, ensure_ascii=False),
+                status=415,
+                mimetype="application/json",
+            )
         fmt = parameters.get("return_format", "json")
         if fmt == "html":
             return Response(parsed["content"], mimetype="text/html")

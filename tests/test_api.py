@@ -70,9 +70,10 @@ def test_upload_parameters_forwarded(client):
     assert all(not k["subparagraphs"] for k in kids)
 
 
-def test_upload_no_file_is_400(client):
+def test_upload_no_file_is_422(client):
+    # reference dedoc_api contract (test_api_misc_main.test_send_wo_file)
     r = client.post("/upload", data={}, content_type="multipart/form-data")
-    assert r.status_code == 400
+    assert r.status_code == 422
 
 
 def test_upload_bad_file_reports_status(client):
@@ -81,6 +82,8 @@ def test_upload_bad_file_reports_status(client):
         data={"file": (io.BytesIO(b"\x00\x01\x02garbage"), "blob.bin")},
         content_type="multipart/form-data",
     )
-    assert r.status_code == 200
-    parsed = json.loads(r.data)
-    assert parsed["status"] in ("ok", "bad_file", "parse_error")
+    # reference: unsupported format -> 415 (test_api_misc_main.test_bin_file)
+    assert r.status_code == 415
+    body = json.loads(r.data)
+    assert body["file_name"] == "blob.bin"
+    assert "dedoc_version" in body

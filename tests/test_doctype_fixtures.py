@@ -194,3 +194,88 @@ def test_multipage_table_merges_across_routes():
         tables = r["content"]["tables"]
         assert len(tables) == 1, reader
         assert len(tables[0]["cells"]) == 10, reader
+
+
+# --------------------------------------------------------- docx (format)
+# reference test_api_format_docx.py over the real example.* siblings
+
+
+def _check_doc_like(result):
+    # :132-140 — exact deep tree paths of the shared "Пример документа" doc
+    content = result["content"]["structure"]
+    assert by_path(content, "0")["text"] == ""
+    assert by_path(content, "0.0")["text"].strip() == (
+        "Пример документа\nГлава 1\nКакие то определения\nСтатья 1\n"
+        "Определим опрделения\nСтатья 2\nДадим пояснения")
+    assert by_path(content, "0.1.0")["text"].strip() == "1.2.1. Поясним за непонятное"
+    assert by_path(content, "0.1.1")["text"].strip() == "1.2.2. Поясним за понятное"
+    assert by_path(content, "0.1.2")["text"].strip() == "1.2.3."
+    assert by_path(content, "0.1.1.0.0")["text"].rstrip().lstrip("\t ") == "а) это даже ежу понятно"
+
+
+@pytest.mark.parametrize("name", ["example.docx", "example.odt"])
+def test_doc_like_tree(name):
+    r = parse(f"docx/{name}", structure_type="tree")
+    _check_doc_like(r)
+
+
+def test_docx_robustness_corpus():
+    # :87-95,117-130 — tricky real files must parse without error
+    for f in ("doc.docx", "not_stripped_xml.docx", "with_comments.docx",
+              "tz-1ek-20_minimum.docx", "broken_properties.docx",
+              "Well. Known -Nik O'Tinn -Ireland 2023- DRAFT.doc"):
+        r = parse(f"docx/{f}")
+        assert r["status"] == "ok", f
+
+
+def test_docx_newline_tree():
+    # :111-115
+    r = parse("docx/inspector.docx", structure_type="tree")
+    assert r["content"]["structure"]["subparagraphs"][0]["text"].startswith("КАКОЕ-ТО ЗАДАНИЕ")
+
+
+# ------------------------------------------------------------- misc main
+
+
+def test_http_bin_file_415():
+    # test_api_misc_main.py:39-45 — unsupported format → 415 with version,
+    # file_name and metadata in the body
+    import io
+    import json as _json
+
+    from dedoc_ray.api import create_app
+
+    client = create_app(_manager).test_client()
+    resp = client.post("/upload", data={"file": (io.BytesIO(b"\x00\x01\x02\x03binary"), "file.bin")},
+                       content_type="multipart/form-data")
+    assert resp.status_code == 415
+    body = _json.loads(resp.data)
+    assert body["file_name"] == "file.bin"
+    assert "dedoc_version" in body and "metadata" in body
+
+
+def test_http_missing_file_422():
+    # :47-48
+    from dedoc_ray.api import create_app
+
+    client = create_app(_manager).test_client()
+    resp = client.post("/upload", data={}, content_type="multipart/form-data")
+    assert resp.status_code == 422
+
+
+def test_version_in_parsed_result():
+    # :55-58
+    import dedoc_ray
+
+    r = parse("csvs/books.csv")
+    assert r["version"].strip() == dedoc_ray.__version__
+
+
+def test_txt_tree_list_items():
+    # :60-67
+    r = parse("txt/example.txt", structure_type="tree")
+    content = r["content"]["structure"]
+    assert content["subparagraphs"][0]["text"].strip() == "Пример документа"
+    first_item = content["subparagraphs"][1]["subparagraphs"][0]
+    assert first_item["text"].strip() == "1. Элемент нумерованного списка"
+    assert first_item["metadata"]["paragraph_type"] == "list_item"
