@@ -816,11 +816,17 @@ def _read_pdf_auto(
         from dedoc_ray.readers.pdf_tables import read_pdf_tabby
 
         try:
-            return read_pdf_tabby(data, pages=pages)
+            tabby_doc = read_pdf_tabby(data, pages=pages)
         except ValueError as e:
             if "no text layer" not in str(e) or mode == "tabby":
                 raise
             return ocr_route("pdf without text layer")
+        if mode == "tabby":
+            return tabby_doc
+        # auto_tabby shares the auto classification + first-page tail
+        # (pdf_auto_reader loops the same logic over either text extractor;
+        # test_api_format_pdf_auto_text_layer.test_auto_document_mixed)
+        return _auto_classify_tail(tabby_doc, data, ocr_route, first_page_reader, fast_detection)
     if mode == "false":  # pdf_with_text_layer="false": straight to OCR route
         return ocr_route("pdf routed to OCR by pdf_with_text_layer=false")
     try:
@@ -844,27 +850,59 @@ def _read_pdf_auto(
                 tdoc = read_pdf_tabby(data, pages=pages)
             except ValueError:
                 tdoc = None
-            if tdoc is not None and tdoc.tables:
+            if tdoc is not None and tdoc.tables and all(
+                _plausible_table(t) for t in tdoc.tables
+            ):
                 return tdoc
         return doc
+    return _auto_classify_tail(doc, data, ocr_route, first_page_reader, fast_detection)
+
+
+def _plausible_table(table) -> bool:
+    """Column-layout false positives masquerade as 2-column grids of long
+    sentence fragments; real table cells are short (measured on the
+    reference fixtures: genuine grids median ≤ ~38 chars/cell, two-column
+    body text ≥ ~46). Only plausible grids flip the txtlayer route to the
+    table-aware split."""
+    lens = sorted(
+        len(cell.get_text()) for row in table.cells for cell in row if cell.get_text().strip()
+    )
+    if not lens:
+        return False
+    return lens[len(lens) // 2] <= 40
+
+
+def _auto_classify_tail(doc, data, ocr_route, first_page_reader, fast_detection):
+    """Shared auto / auto_tabby tail: the trained txtlayer classifier
+    accepts or rejects the layer, then a garbage FIRST page (cover scans
+    glued onto born-digital bodies) re-reads page 0 and merges (reference
+    __handle_correct_text_layer + __merge_documents,
+    pdf_auto_reader.py:78-129). Warning strings are the reference's
+    verbatim (pinned by test_api_format_pdf_auto_text_layer)."""
+    from dedoc_ray.readers.txtlayer import TxtlayerClassifier
+
     text = "".join(line.line for line in doc.lines)
     if fast_detection:  # classify a bounded prefix (api_args.py:29)
         text = text[:2000]
     if text and not TxtlayerClassifier().is_correct(text):
-        return ocr_route("pdf text layer classified incorrect")
-    # correct layer, but a garbage FIRST page (cover scans glued onto
-    # born-digital bodies) re-reads page 0 separately and merges
-    # (reference __handle_correct_text_layer + __merge_documents,
-    # pdf_auto_reader.py:78-129). The default first-page source is the
-    # stubbed OCR route; tests inject a real reader to drive the merge.
+        ocr_doc = ocr_route("pdf text layer classified incorrect")
+        ocr_doc.warnings.insert(0, "Assume document has incorrect textual layer")
+        return ocr_doc
+    doc.warnings.append("Assume document has a correct textual layer")
     first_text = "".join(line.line for line in doc.lines if line.metadata.page_id == 0)
-    if first_text and not TxtlayerClassifier().is_correct(first_text):
+    rest_text = "".join(line.line for line in doc.lines if line.metadata.page_id != 0)
+    # an EMPTY first page over a textual body is a glued-on cover scan too
+    # (mixed_pdf: page 0 is a raster, pages 1+ born-digital)
+    if rest_text.strip() and (
+        not first_text.strip() or not TxtlayerClassifier().is_correct(first_text)
+    ):
         rest = UnstructuredDoc(
             lines=[ln for ln in doc.lines if ln.metadata.page_id != 0],
             tables=doc.tables,
             warnings=doc.warnings,
             metadata=doc.metadata,
         )
+        rest.warnings.append("Assume the first page hasn't a textual layer")
         if first_page_reader is not None:
             first = first_page_reader(data)
         else:

@@ -279,3 +279,38 @@ def test_txt_tree_list_items():
     first_item = content["subparagraphs"][1]["subparagraphs"][0]
     assert first_item["text"].strip() == "1. Элемент нумерованного списка"
     assert first_item["metadata"]["paragraph_type"] == "list_item"
+
+
+# ------------------------------------------------------ pdf auto routing
+# reference test_api_format_pdf_auto_text_layer.py — the auto route's
+# verbatim warning strings over real born-digital / scanned / mixed pdfs
+
+
+def _assume_warnings(rel, **params):
+    r = parse(rel, **params)
+    return r["warnings"], r
+
+
+def test_pdf_auto_correct_layer_warning():
+    # :11-30,44-47 — born-digital pdfs are accepted with the verbatim warning
+    for f in ("pdf_auto/0004057v1.pdf", "pdf_auto/liao2020_merged_organized.pdf",
+              "pdf_auto/liao2020_merged-1-5.pdf"):
+        warnings, _ = _assume_warnings(f, pdf_with_text_layer="auto", is_one_column_document="auto")
+        assert "Assume document has a correct textual layer" in warnings, f
+    warnings, _ = _assume_warnings("pdf_with_text_layer/english_doc.pdf", pdf_with_text_layer="auto")
+    assert "Assume document has a correct textual layer" in warnings
+
+
+def test_pdf_auto_wrong_layer_warning():
+    # :49-53 — the trained txtlayer classifier rejects the garbage layer
+    warnings, _ = _assume_warnings("pdf_auto/english_doc_bad_text.pdf", pdf_with_text_layer="auto")
+    assert "Assume document has incorrect textual layer" in warnings
+
+
+def test_pdf_auto_mixed_first_page():
+    # :55-60 — a raster cover page over a textual body, on auto AND auto_tabby
+    for mode in ("auto", "auto_tabby"):
+        warnings, r = _assume_warnings("pdf_auto/mixed_pdf.pdf", pdf_with_text_layer=mode)
+        assert "Assume document has a correct textual layer" in warnings, mode
+        assert "Assume the first page hasn't a textual layer" in warnings, mode
+        assert "продолжаем список" in r["extracted_text"], mode
