@@ -100,7 +100,10 @@ class FintocTitleClassifier:
             if is_title:
                 m = depth_re.match(ln.line.strip())
                 depth = 1 + (m.group(2).count(".") if m and m.group(2) else 0) if m else 1
-                ln.metadata.hierarchy_level = HierarchyLevel(1, depth, True, HierarchyLevel.header)
+                # non-multiline: consecutive title lines are SEPARATE headers
+                # (reference fintoc pins "Key Information Document (KID)" and
+                # "PURPOSE" as distinct nodes, test_api_doctype_fintoc.py)
+                ln.metadata.hierarchy_level = HierarchyLevel(1, depth, False, HierarchyLevel.header)
             else:
                 ln.metadata.hierarchy_level = HierarchyLevel.create_raw_text()
         return lines

@@ -314,3 +314,36 @@ def test_pdf_auto_mixed_first_page():
         assert "Assume document has a correct textual layer" in warnings, mode
         assert "Assume the first page hasn't a textual layer" in warnings, mode
         assert "продолжаем список" in r["extracted_text"], mode
+
+
+# ---------------------------------------------------------------- fintoc
+# reference test_api_doctype_fintoc.py over the real prospectus pdfs
+
+
+def test_fintoc_en_prospectus():
+    r = parse("fintoc/prospectus_en.pdf", document_type="fintoc", pdf_with_text_layer="true")
+    s = r["content"]["structure"]
+    headers = [n["text"].strip() for n in s["subparagraphs"]
+               if n["metadata"]["paragraph_type"] == "header"]
+    # :14-19 — the KID title and PURPOSE are SEPARATE header nodes
+    assert headers[0] == "Key Information Document (KID)"
+    assert "PURPOSE" in headers
+
+    def walk(n):
+        yield n
+        for c in n.get("subparagraphs", []):
+            yield from walk(c)
+
+    # :22-24 — the purpose body is raw_text
+    body = [x for x in walk(s) if x["text"].strip().startswith("This document provides")]
+    assert body and body[0]["metadata"]["paragraph_type"] == "raw_text"
+
+
+def test_fintoc_fr_prospectus():
+    r = parse("fintoc/prospectus_fr.pdf", document_type="fintoc",
+              pdf_with_text_layer="true", need_pdf_table_analysis="false")
+    s = r["content"]["structure"]
+    headers = [n["text"].strip() for n in s["subparagraphs"]
+               if n["metadata"]["paragraph_type"] == "header"]
+    # :34-36
+    assert headers[0] == "INFORMATIONS CLES POUR L’INVESTISSEUR"
