@@ -347,3 +347,35 @@ def test_fintoc_fr_prospectus():
                if n["metadata"]["paragraph_type"] == "header"]
     # :34-36
     assert headers[0] == "INFORMATIONS CLES POUR L’INVESTISSEUR"
+
+
+# ----------------------------------------------------------------- email
+# reference test_api_format_email.py over the real eml fixtures
+
+
+def test_email_header_structure_and_attachment():
+    # :11-30 — subject as root text, typed from/to nodes, the header json
+    r = parse("eml/spam_mail.eml", with_attachments="true")
+    atts = r["attachments"]
+    assert len(atts) == 1
+    assert "message_header_" in atts[0]["metadata"]["file_name"]
+    s = r["content"]["structure"]
+    assert s["text"].strip() == "[Spam]Artificial flowers  for decors"
+    assert s["subparagraphs"][1]["metadata"]["paragraph_type"] == "from"
+    assert s["subparagraphs"][1]["text"].strip() == '"sunny_goldensun@126.com" <sunny_goldensun@126.com>'
+    assert s["subparagraphs"][2]["metadata"]["paragraph_type"] == "to"
+    assert s["subparagraphs"][2]["text"].strip() == "modis@ispras.ru"
+
+
+def test_email_with_attachments():
+    # :32-50 — header json first, then the real attachments by name
+    r = parse("eml/message.eml", with_attachments="true")
+    s = r["content"]["structure"]
+    assert s["text"].strip() == "TetSubj"
+    assert s["subparagraphs"][1]["text"].strip() == '"aa@aa.aa" <aa@aa.aa>'
+    assert s["subparagraphs"][2]["text"].strip() == '"bb@bb.bb" <bb@bb.bb>'
+    atts = r["attachments"]
+    assert len(atts) == 3
+    assert "message_header_" in atts[0]["metadata"]["file_name"]
+    assert atts[1]["metadata"]["file_name"] == "grafana.jpg"
+    assert atts[2]["metadata"]["file_name"] == "KY100Product SheetProduct Sheet.pdf"
