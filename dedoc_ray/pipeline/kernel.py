@@ -378,6 +378,20 @@ class ExtractKernel:
                                 "colspan": c.colspan,
                                 "rowspan": c.rowspan,
                                 "invisible": c.invisible,
+                                # reference CellWithMeta shape: per-line
+                                # annotations ride the cell (pinned by
+                                # test_api_format_html.test_html_table_with_styles)
+                                "lines": [
+                                    {
+                                        "text": ln.line,
+                                        "annotations": [
+                                            {"name": a.name, "value": a.value,
+                                             "start": a.start, "end": a.end}
+                                            for a in ln.annotations
+                                        ],
+                                    }
+                                    for ln in c.lines
+                                ],
                             }
                             for c in row
                         ]

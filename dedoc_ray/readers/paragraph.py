@@ -108,6 +108,7 @@ def merge_paragraph_lines(
         if is_start or not out:
             out.append(ln)
         else:
-            x, y, font, size, text = out[-1]
+            x, y, font, size, text = out[-1][:5]
+            # merged lines drop per-run spans (offsets no longer valid)
             out[-1] = (x, y, font, size, text + " " + ln[4])
     return out

@@ -488,11 +488,26 @@ def read_pdf_textlayer(
             median_gap = sorted(gaps)[len(gaps) // 2] if gaps else 0
             col_x0 = min((g[0] for g in grouped), default=0.0)
             prev_y = None
-            for x, y, font, size, text in grouped:
+            for item in grouped:
+                x, y, font, size, text = item[:5]
+                runs = item[5] if len(item) > 5 else ()
                 saw_text = True
                 gap = round(prev_y - y) if prev_y is not None else median_gap
                 prev_y = y
-                annotations = [Annotation(0, len(text), AN.size, str(size))]
+                if len(runs) > 1:
+                    # mixed-font line: per-run style/size spans (reference
+                    # pdfminer LTChar runs, test_api_format_pdf_with_text)
+                    annotations = []
+                    for start, end, run_font, run_size in runs:
+                        annotations.append(Annotation(start, end, AN.size, str(run_size)))
+                        if run_font:
+                            annotations.append(Annotation(start, end, AN.style, run_font.split("+")[-1]))
+                else:
+                    annotations = [Annotation(0, len(text), AN.size, str(size))]
+                    if font:
+                        # font display name (subset prefix stripped) — the
+                        # reference's StyleAnnotation from pdfminer LTChar.fontname
+                        annotations.append(Annotation(0, len(text), AN.style, font.split("+")[-1]))
                 if median_gap:
                     annotations.append(Annotation(0, len(text), AN.spacing, str(gap)))
                 # indentation relative to the column edge, in twentieths of a

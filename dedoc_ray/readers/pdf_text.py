@@ -526,11 +526,13 @@ _CHAR_MARGIN = 3.0   # reference LAParams char_margin
 _LINE_TOL_FRAC = 0.5  # baseline tolerance as a fraction of font size
 
 
-def assemble_lines(chars: List[TextChar]) -> List[Tuple[float, float, str, float, str]]:
-    """Chars → line tuples (x0, y, font_display_name, size, text), matching
-    the downstream shape of pdf.py's op-level grouping. Splits fragments at
-    char_margin gaps (separate table cells stay separate lines) and inserts
-    spaces at word_margin gaps."""
+def assemble_lines(chars: List[TextChar]) -> List[tuple]:
+    """Chars → line tuples (x0, y, font_display_name, size, text, runs)
+    where ``runs`` is a tuple of (start, end, font, size) spans over the
+    text — a superset of pdf.py's op-level 5-tuple shape (indices 0-4 are
+    compatible; consumers slice ``[:5]``). Splits fragments at char_margin
+    gaps (separate table cells stay separate lines) and inserts spaces at
+    word_margin gaps."""
     if not chars:
         return []
     # 1. baseline bands
@@ -558,13 +560,31 @@ def assemble_lines(chars: List[TextChar]) -> List[Tuple[float, float, str, float
         for frag in frags:
             parts: List[str] = []
             prev: Optional[TextChar] = None
+            # per-run font/size spans over the assembled text (reference:
+            # pdfminer LTChar runs → per-span style/size annotations,
+            # test_api_format_pdf_with_text.py:40-81)
+            runs: List[Tuple[int, int, str, float]] = []
+            pos = 0
+            run_start = 0
+            run_font: Optional[str] = None
+            run_size = 0.0
             for ch in frag:
                 if prev is not None:
                     margin = _WORD_MARGIN * max(ch.x1 - ch.x0, ch.size, 1.0)
                     if ch.x0 - prev.x1 > margin and parts and not parts[-1].endswith(" ") and ch.text != " ":
                         parts.append(" ")
+                        pos += 1
+                ch_font = ch.font.display_name or ch.font.resource_name
+                if run_font is None:
+                    run_font, run_size, run_start = ch_font, ch.size, pos
+                elif ch_font != run_font or abs(ch.size - run_size) > 0.01:
+                    runs.append((run_start, pos, run_font, round(run_size, 2)))
+                    run_font, run_size, run_start = ch_font, ch.size, pos
                 parts.append(ch.text)
+                pos += len(ch.text)
                 prev = ch
+            if run_font is not None:
+                runs.append((run_start, pos, run_font, round(run_size, 2)))
             text = "".join(parts)
             if not text.strip():
                 continue
@@ -577,5 +597,5 @@ def assemble_lines(chars: List[TextChar]) -> List[Tuple[float, float, str, float
             fname = first.font.display_name or first.font.resource_name
             if bold_frac > 0.5 and "bold" not in fname.lower():
                 fname = fname + "-Bold" if fname else "Bold"
-            lines.append((first.x0, first.y, fname, size, text))
+            lines.append((first.x0, first.y, fname, size, text, tuple(runs)))
     return lines

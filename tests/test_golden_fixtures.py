@@ -927,3 +927,135 @@ def test_txt_large_gz_line_numbers():
     for i, line in enumerate(content.split("\n")):
         if line.strip():
             assert line == f"Line number {i:09d}"
+
+
+# ----------------------------------------------- html format (continued)
+# reference test_api_format_html.py:114-221 over the real html fixtures
+
+
+def _node(tree, path):
+    for i in path.split(".")[1:]:
+        tree = tree["subparagraphs"][int(i)]
+    return tree
+
+
+def test_html_part_nesting():
+    # :114-123 — header nesting of the partial-html fragment
+    c = parse("htmls/part.html")["content"]["structure"]
+    assert _node(c, "0.0")["text"].strip() == "Лесные слоны"
+    assert _node(c, "0.0.0")["text"].strip() == "В данном разделе мы поговорим о малоизвестных лесных слонах..."
+    assert _node(c, "0.0.1")["text"].strip() == "Среда обитания"
+    assert _node(c, "0.0.1.0")["text"].strip() == "Лесные слоны живут не на деревьях, а под ними."
+
+
+def test_html_plain_text():
+    # :125-131
+    c = parse("htmls/plain.html")["content"]["structure"]
+    assert c["subparagraphs"][0]["text"] == "February 24, 2021 and some text"
+
+
+def test_html_styles_as_attribute():
+    # :133-148 — alignment + bold annotations with exact offsets
+    c = parse("htmls/html_with_styles.html")["content"]["structure"]
+    node = c["subparagraphs"][0]
+    assert node["text"] == "Some right text\nSome center text\nSome left text\n\nBIG TEXT"
+    anns = [{k: a[k] for k in ("name", "value", "start", "end")} for a in node["annotations"]]
+    for expected in (
+        {"name": "alignment", "value": "right", "start": 0, "end": 15},
+        {"name": "alignment", "value": "left", "start": 33, "end": 47},
+        {"name": "bold", "value": "True", "start": 33, "end": 47},
+        {"name": "bold", "value": "True", "start": 0, "end": 15},
+    ):
+        assert expected in anns
+
+
+def test_html_table_with_styles():
+    # :150-166 — cell-level annotations and span/invisible grid
+    t = parse("htmls/table_with_styles.html")["content"]["tables"][0]
+
+    def anns(r, c):
+        return [{k: a[k] for k in ("name", "value", "start", "end")}
+                for ln in t["cells"][r][c]["lines"] for a in ln["annotations"]]
+
+    assert {"start": 0, "end": 6, "name": "bold", "value": "True"} in anns(1, 0)
+    assert {"start": 0, "end": 10, "name": "italic", "value": "True"} in anns(1, 1)
+    assert {"start": 0, "end": 10, "name": "linked_text", "value": "some_text"} in anns(2, 0)
+    assert {"start": 0, "end": 16, "name": "strike", "value": "True"} in anns(2, 1)
+    assert (t["cells"][3][0]["rowspan"], t["cells"][3][0]["colspan"], t["cells"][3][0]["invisible"]) == (2, 2, False)
+    assert t["cells"][3][1]["invisible"] is True
+    assert t["cells"][4][0]["invisible"] is True
+
+
+def test_html_newlines_grouping():
+    # :172-193 — the Support block keeps its address lines together
+    c = parse("htmls/some.html")["content"]["structure"]
+    node = _node(c, "0.0")
+    assert node["text"].strip() == "Support"
+    assert node["metadata"]["paragraph_type"] == "header"
+    text = _node(c, "0.0.0")["text"]
+    for probe in ("Technical support:", "Facility / Shipping / Mailing address:",
+                  "Grand Rapids, MI 49512-9704 USA", "Repair and overhaul administration: ",
+                  "Data services:",
+                  "For service repair (Part 145) returned material authorizations (RMA):"):
+        assert probe in text
+
+
+def test_html_leading_newlines_53():
+    # :195-200
+    c = parse("htmls/53.html")["content"]["structure"]
+    assert c["subparagraphs"][0]["text"].startswith("\n\n")
+
+
+def test_html_no_newline_italic():
+    # :202-213
+    c = parse("htmls/no_new_line.html")["content"]["structure"]
+    node = c["subparagraphs"][0]
+    assert node["text"].strip() == ('"I can’t bring myself to feel too sorry for Amazon or textbook '
+                                    'publishers, given how much they tend to gouge on the prices of those books."')
+    italics = [node["text"][a["start"]:a["end"]] for a in node["annotations"] if a["name"] == "italic"]
+    assert "or" in italics
+
+
+def test_html_none_display_hidden():
+    # :215-221 — display:none spans carry the hidden style annotation
+    c = parse("htmls/none_display.html")["content"]["structure"]
+    anns = [{k: a[k] for k in ("name", "value", "start", "end")}
+            for a in c["subparagraphs"][0]["annotations"]]
+    assert {"name": "style", "value": "hidden", "start": 24, "end": 39} in anns
+    assert {"name": "bold", "value": "True", "start": 45, "end": 49} in anns
+
+
+def test_html_font_style_210_parses():
+    # :168-170
+    assert parse("htmls/210.html")["status"] == "ok"
+
+
+def test_pdf_text_style_annotations():
+    # test_api_format_pdf_with_text.py:83-101 — font-name style annotations
+    # on the txtlayer route (values are the reference's verbatim)
+    r = parse("pdf_with_text_layer/2-column-state.pdf",
+              pdf_with_text_layer="true", need_pdf_table_analysis="false")
+    node = r["content"]["structure"]["subparagraphs"][0]
+    assert node["text"][0:27] == "Compromising Tor Anonymity\n"
+    styles = [(a["value"], a["start"], a["end"]) for a in node["annotations"] if a["name"] == "style"]
+    assert ("Helvetica-Bold", 0, 61) in styles
+    bolds = [(a["start"], a["end"]) for a in node["annotations"] if a["name"] == "bold"]
+    assert (0, 61) in bolds
+
+
+def test_pdf_diff_styles_fonts():
+    # :40-47 — per-run font names on the diff_styles fixture
+    r = parse("pdf_with_text_layer/diff_styles.pdf",
+              pdf_with_text_layer="true", need_pdf_table_analysis="false")
+
+    def walk(n):
+        yield n
+        for c in n.get("subparagraphs", []):
+            yield from walk(c)
+
+    nodes = list(walk(r["content"]["structure"]))
+    tahoma = [n for n in nodes for a in n.get("annotations", [])
+              if a["name"] == "style" and "Tahoma" in a["value"]]
+    assert tahoma, "Tahoma-run style annotation missing"
+    sizes = {a["value"] for n in nodes for a in n.get("annotations", []) if a["name"] == "size"}
+    assert any(v.startswith("20") for v in sizes)  # the 20pt heading
