@@ -274,6 +274,14 @@ class ExtractKernel:
             return out
         try:
             doc = self.read_document(fmt, data)
+            if self.config.need_header_footer_analysis and fmt == "pdf":
+                # header/footer removal BEFORE table linking — a table ref
+                # anchored on a removed header line would vanish (reference
+                # pdf_base_reader order)
+                from dedoc_ray.readers.header_footer import remove_headers_footers
+
+                doc.lines, hf_warnings = remove_headers_footers(doc.lines)
+                doc.warnings.extend(hf_warnings)
             if fmt in ("pdf", "docx") and doc.tables:
                 from dedoc_ray.core.object_linker import link_line_objects
                 from dedoc_ray.core.table import merge_multipage_tables
@@ -282,12 +290,15 @@ class ExtractKernel:
                     # reference merges page-spanning tables before linking
                     # (pdf_base_reader.py:140)
                     doc.tables = merge_multipage_tables(doc.tables)
-                link_line_objects(doc.lines, doc.tables)
-            if self.config.need_header_footer_analysis and fmt == "pdf":
-                from dedoc_ray.readers.header_footer import remove_headers_footers
+                if not doc.lines:
+                    # table-only document: synthesize an empty carrier line
+                    # so the refs surface in the tree (reference structure
+                    # always exposes subparagraphs[0] with the annotation,
+                    # test_pdf_with_only_table)
+                    from dedoc_ray.core.line import LineMetadata, LineWithMeta
 
-                doc.lines, hf_warnings = remove_headers_footers(doc.lines)
-                doc.warnings.extend(hf_warnings)
+                    doc.lines = [LineWithMeta("", metadata=LineMetadata(page_id=0, line_id=0), uid="table_carrier")]
+                link_line_objects(doc.lines, doc.tables)
             if self.config.document_type in ("law", "law_txt") and fmt == "txt":
                 from dedoc_ray.structure.domain import law_preprocess_txt_lines
 

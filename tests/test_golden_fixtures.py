@@ -1059,3 +1059,30 @@ def test_pdf_diff_styles_fonts():
     assert tahoma, "Tahoma-run style annotation missing"
     sizes = {a["value"] for n in nodes for a in n.get("annotations", []) if a["name"] == "size"}
     assert any(v.startswith("20") for v in sizes)  # the 20pt heading
+
+
+def test_pdf_table_only_carrier_ref():
+    # test_api_format_pdf_with_text.py:145-149 — a table-only pdf still
+    # exposes the table annotation on subparagraphs[0]
+    r = parse("pdf_with_text_layer/VVP_global_table.pdf", pdf_with_text_layer="true")
+    uid = r["content"]["tables"][0]["uid"]
+    sub0 = r["content"]["structure"]["subparagraphs"][0]
+    assert uid in [a["value"] for a in sub0["annotations"] if a["name"] == "table"]
+
+
+def test_pdf_multipage_table_refs_survive_header_removal():
+    # :151-160 — with header/footer analysis on, every table's uid is
+    # referenced from a SURVIVING line
+    r = parse("tables/multipage_table.pdf", pdf_with_text_layer="true",
+              need_header_footer_analysis="true")
+    uids = {t["uid"] for t in r["content"]["tables"]}
+    assert uids
+
+    def walk(n):
+        yield n
+        for c in n.get("subparagraphs", []):
+            yield from walk(c)
+
+    refs = {a["value"] for n in walk(r["content"]["structure"])
+            for a in n.get("annotations", []) if a["name"] == "table"}
+    assert refs == uids
