@@ -1086,3 +1086,45 @@ def test_pdf_multipage_table_refs_survive_header_removal():
     refs = {a["value"] for n in walk(r["content"]["structure"])
             for a in n.get("annotations", []) if a["name"] == "table"}
     assert refs == uids
+
+
+# ------------------------------------------------------------------ json
+# reference test_api_format_json.py:13-51
+
+
+def test_json_string_scalar():
+    r = parse("json/string.json")
+    assert r["content"]["structure"]["subparagraphs"][0]["text"].strip() == "у попа была собака"
+
+
+def test_json_list_nodes():
+    s = parse("json/list.json")["content"]["structure"]
+    lst = s["subparagraphs"][0]
+    assert lst["metadata"]["paragraph_type"] == "list"
+    items = lst["subparagraphs"]
+    assert len(items) == 2
+    assert items[0]["metadata"]["paragraph_type"] == "list_item"
+    assert items[0]["text"].strip() == "у попа была собака"
+    assert items[1]["text"].strip() == "он её любил"
+
+
+def test_json_dict_nodes():
+    s = parse("json/dict.json")["content"]["structure"]
+    nodes = s["subparagraphs"]
+    assert nodes[0]["metadata"]["paragraph_type"] == "key"
+    assert nodes[0]["subparagraphs"][0]["text"].strip() == "у попа была собака"
+    assert nodes[1]["metadata"]["paragraph_type"] == "key"
+    assert nodes[1]["subparagraphs"][0]["text"].strip() == "он её любил"
+
+
+def test_json_dict_with_list():
+    s = parse("json/dict_with_list.json")["content"]["structure"]
+
+    def walk(n):
+        yield n
+        for c in n.get("subparagraphs", []):
+            yield from walk(c)
+
+    texts = [n["text"].strip() for n in walk(s)]
+    for probe in ("июнь", "июль", "август"):
+        assert probe in texts
