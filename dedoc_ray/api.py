@@ -61,7 +61,14 @@ def create_app(manager: Optional[DedocRayManager] = None):
         f = request.files["file"]
         parameters = {k: v for k, v in request.form.items()}
         file_name = f.filename or "document"
-        parsed = mgr.parse(data=f.read(), file_name=file_name, parameters=parameters)
+        try:
+            parsed = mgr.parse(data=f.read(), file_name=file_name, parameters=parameters)
+        except ValueError as e:
+            # invalid QueryParameters → 400 (reference: structure_type
+            # "bagel" etc., test_api_misc_structure.test_incorrect_structure)
+            return Response(
+                json.dumps({"detail": str(e)}), status=400, mimetype="application/json"
+            )
         if parsed.get("status") == "bad_file":
             # UnsupportedFileFormat → 415 with version + file_name + metadata
             # (test_api_misc_main.test_bin_file)

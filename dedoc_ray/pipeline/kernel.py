@@ -391,18 +391,26 @@ class ExtractKernel:
                                 "invisible": c.invisible,
                                 # reference CellWithMeta shape: per-line
                                 # annotations ride the cell (pinned by
-                                # test_api_format_html.test_html_table_with_styles)
-                                "lines": [
-                                    {
-                                        "text": ln.line,
-                                        "annotations": [
-                                            {"name": a.name, "value": a.value,
-                                             "start": a.start, "end": a.end}
-                                            for a in ln.annotations
-                                        ],
-                                    }
-                                    for ln in c.lines
-                                ],
+                                # test_api_format_html.test_html_table_with_styles).
+                                # Populated only when annotations exist —
+                                # plain cells already carry their text, and
+                                # the empty-list fast path keeps the corpus
+                                # blocks' schema cheap to hash/serialize.
+                                "lines": (
+                                    [
+                                        {
+                                            "text": ln.line,
+                                            "annotations": [
+                                                {"name": a.name, "value": a.value,
+                                                 "start": a.start, "end": a.end}
+                                                for a in ln.annotations
+                                            ],
+                                        }
+                                        for ln in c.lines
+                                    ]
+                                    if any(ln.annotations for ln in c.lines)
+                                    else []
+                                ),
                             }
                             for c in row
                         ]

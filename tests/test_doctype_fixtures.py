@@ -379,3 +379,35 @@ def test_email_with_attachments():
     assert "message_header_" in atts[0]["metadata"]["file_name"]
     assert atts[1]["metadata"]["file_name"] == "grafana.jpg"
     assert atts[2]["metadata"]["file_name"] == "KY100Product SheetProduct Sheet.pdf"
+
+
+# --------------------------------------------------------- misc structure
+# reference test_api_misc_structure.py over example.docx
+
+
+def test_structure_linear_vs_tree():
+    # :10-32 — 13 flat leaves in linear mode, 2 top nodes in tree mode
+    r = parse("docx/example.docx", structure_type="linear")
+    nodes = r["content"]["structure"]["subparagraphs"]
+    assert len(nodes) == 13
+    assert all(n["subparagraphs"] == [] for n in nodes)
+    r = parse("docx/example.docx", structure_type="tree")
+    nodes = r["content"]["structure"]["subparagraphs"]
+    assert len(nodes) == 2
+    assert nodes[0]["text"].split("\n")[0] == "Пример документа"
+    assert nodes[1]["subparagraphs"][0]["text"].strip() == "1.2.1. Поясним за непонятное"
+
+
+def test_structure_invalid_type_is_400():
+    # :48-50 — unknown structure_type → HTTP 400
+    import io
+
+    from dedoc_ray.api import create_app
+
+    client = create_app(_manager).test_client()
+    with open(os.path.join(DATA, "docx/example.docx"), "rb") as fh:
+        body = fh.read()
+    resp = client.post("/upload", data={"file": (io.BytesIO(body), "example.docx"),
+                                        "structure_type": "bagel"},
+                       content_type="multipart/form-data")
+    assert resp.status_code == 400
