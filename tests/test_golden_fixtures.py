@@ -640,7 +640,10 @@ def _tree_nodes(result):
 
 
 def _cell_text(cell):
-    return "".join(ln["text"] for ln in cell["lines"]) if "lines" in cell else cell.get("text", "")
+    # cells carry "lines" (populated only for annotated cells) + flat "text"
+    if cell.get("lines"):
+        return "".join(ln["text"] for ln in cell["lines"])
+    return cell.get("text", "")
 
 
 def _check_pptx_content(result):
