@@ -323,6 +323,48 @@ def _split_columns(ops: List[Tuple[float, float, str, float, str]], gap: float =
     return cols
 
 
+def build_line_annotations(x, y, font, size, text, runs, gap, median_gap, col_x0):
+    """Text-layer line → annotation list (shared by the txtlayer and tabby
+    routes — reference emits the same bold/spacing/bbox set on both,
+    test_api_format_pdf_tabby_reader.test_pdf_annotations)."""
+    if runs and len(runs) > 1:
+        # mixed-font line: per-run style/size spans (reference pdfminer
+        # LTChar runs, test_api_format_pdf_with_text)
+        annotations = []
+        for start, end, run_font, run_size in runs:
+            annotations.append(Annotation(start, end, AN.size, str(run_size)))
+            if run_font:
+                annotations.append(Annotation(start, end, AN.style, run_font.split("+")[-1]))
+    else:
+        annotations = [Annotation(0, len(text), AN.size, str(size))]
+        if font:
+            # font display name (subset prefix stripped) — the reference's
+            # StyleAnnotation from pdfminer LTChar.fontname
+            annotations.append(Annotation(0, len(text), AN.style, font.split("+")[-1]))
+    if median_gap:
+        annotations.append(Annotation(0, len(text), AN.spacing, str(gap)))
+    # indentation relative to the column edge, in twentieths of a point
+    # like docx (the layer-side ScanParagraphClassifier signal: indent
+    # delta marks paragraph starts)
+    if x - col_x0 >= 1.0:
+        annotations.append(Annotation(0, len(text), AN.indentation, str(round(20 * (x - col_x0)))))
+    if "bold" in font.lower():
+        annotations.append(Annotation(0, len(text), AN.bold, "True"))
+    # word-level bbox estimate: monospace-ish advance of 0.6 em (real glyph
+    # metrics need font files; the plumbing — offsets + per-word spans — is
+    # what downstream linking consumes)
+    cursor = 0
+    for word in text.split(" "):
+        if word:
+            wx = x + 0.6 * size * cursor
+            annotations.append(
+                Annotation(cursor, cursor + len(word), "bounding box",
+                           f"({wx:.1f},{y:.1f},{0.6 * size * len(word):.1f},{size:.1f})")
+            )
+        cursor += len(word) + 1
+    return annotations
+
+
 def _group_lines(ops: List[Tuple[float, float, str, float, str]], line_margin: float = 2.0):
     """Merge ops whose baselines are within ``line_margin`` into one visual
     line, fragments ordered by x (LAParams line_margin/char grouping
@@ -494,41 +536,9 @@ def read_pdf_textlayer(
                 saw_text = True
                 gap = round(prev_y - y) if prev_y is not None else median_gap
                 prev_y = y
-                if len(runs) > 1:
-                    # mixed-font line: per-run style/size spans (reference
-                    # pdfminer LTChar runs, test_api_format_pdf_with_text)
-                    annotations = []
-                    for start, end, run_font, run_size in runs:
-                        annotations.append(Annotation(start, end, AN.size, str(run_size)))
-                        if run_font:
-                            annotations.append(Annotation(start, end, AN.style, run_font.split("+")[-1]))
-                else:
-                    annotations = [Annotation(0, len(text), AN.size, str(size))]
-                    if font:
-                        # font display name (subset prefix stripped) — the
-                        # reference's StyleAnnotation from pdfminer LTChar.fontname
-                        annotations.append(Annotation(0, len(text), AN.style, font.split("+")[-1]))
-                if median_gap:
-                    annotations.append(Annotation(0, len(text), AN.spacing, str(gap)))
-                # indentation relative to the column edge, in twentieths of a
-                # point like docx (the layer-side ScanParagraphClassifier
-                # signal: indent delta marks paragraph starts)
-                if x - col_x0 >= 1.0:
-                    annotations.append(Annotation(0, len(text), AN.indentation, str(round(20 * (x - col_x0)))))
-                if "bold" in font.lower():
-                    annotations.append(Annotation(0, len(text), AN.bold, "True"))
-                # word-level bbox estimate: monospace-ish advance of 0.6 em
-                # (real glyph metrics need font files; the plumbing — offsets
-                # + per-word spans — is what downstream linking consumes)
-                cursor = 0
-                for word in text.split(" "):
-                    if word:
-                        wx = x + 0.6 * size * cursor
-                        annotations.append(
-                            Annotation(cursor, cursor + len(word), "bounding box",
-                                       f"({wx:.1f},{y:.1f},{0.6 * size * len(word):.1f},{size:.1f})")
-                        )
-                    cursor += len(word) + 1
+                annotations = build_line_annotations(
+                    x, y, font, size, text, runs, gap, median_gap, col_x0
+                )
                 metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
                 lines.append(
                     LineWithMeta(line=text + "\n", metadata=metadata, annotations=annotations, uid=f"pdf_{file_hash}_{line_id}")

@@ -27,7 +27,7 @@ from dedoc_ray.core.hierarchy import HierarchyLevel
 from dedoc_ray.core.line import LineMetadata, LineWithMeta
 from dedoc_ray.core.table import CellWithMeta, Table
 from dedoc_ray.readers.base import UnstructuredDoc
-from dedoc_ray.readers.pdf import _BT_RE, _STREAM_RE, _group_lines, _iter_text_ops
+from dedoc_ray.readers.pdf import _BT_RE, _STREAM_RE, _group_lines, _iter_text_ops, build_line_annotations
 
 Op = Tuple[float, float, str, float, str]
 
@@ -164,9 +164,20 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                 cells.append(out_row)
             tables.append(Table(cells, page_id=page_id, uid=f"tabby_{file_hash}_{len(tables)}",
                                 order=line_id))
-        for x, y, font, size, text in _group_lines(rest):
+        page_lines = _group_lines(rest)
+        gaps = [round(a[1] - b[1]) for a, b in zip(page_lines, page_lines[1:])]
+        median_gap = sorted(gaps)[len(gaps) // 2] if gaps else 0
+        col_x0 = min((g[0] for g in page_lines), default=0.0)
+        prev_y = None
+        for x, y, font, size, text in page_lines:
             saw_text = True
-            annotations = [Annotation(0, len(text), AN.size, str(size))]
+            gap = round(prev_y - y) if prev_y is not None else median_gap
+            prev_y = y
+            # same annotation set as the txtlayer route (reference tabby
+            # lines carry bold/spacing/bbox too, test_pdf_annotations)
+            annotations = build_line_annotations(
+                x, y, font, size, text, (), gap, median_gap, col_x0
+            )
             metadata = LineMetadata(page_id=page_id, line_id=line_id, tag_hierarchy_level=HierarchyLevel.create_unknown())
             lines.append(LineWithMeta(text + "\n", metadata=metadata, annotations=annotations,
                                       uid=f"pdf_{file_hash}_{line_id}"))

@@ -1131,3 +1131,11 @@ def test_json_dict_with_list():
     texts = [n["text"].strip() for n in walk(s)]
     for probe in ("июнь", "июль", "август"):
         assert probe in texts
+
+
+def test_pdf_tabby_line_annotations():
+    # test_api_format_pdf_tabby_reader.test_pdf_annotations — the tabby
+    # route carries the same bold/spacing/bbox annotation set as txtlayer
+    r = parse("pdf_with_text_layer/Document635.pdf", pdf_with_text_layer="tabby")
+    names = {a["name"] for a in r["content"]["structure"]["subparagraphs"][0]["annotations"]}
+    assert {"bold", "spacing", "bounding box"} <= names
