@@ -91,11 +91,22 @@ def render_tree(row: Dict) -> Dict:
     index: Dict[str, Dict] = {}
     root: Dict = {}
     for node in row.get("nodes") or []:
+        all_anns = anns_by_node.get(node["node_id"], [])
+        # "_page" pseudo-annotations → metadata.additional_page_ids
+        # (reference line metadata for page-spanning nodes,
+        # test_api_misc_structure.test_page_id_tree_structure)
+        page_anns = [a for a in all_anns if a["name"] == "_page"]
+        metadata = {"paragraph_type": node["line_type"]}
+        if page_anns:
+            metadata["additional_page_ids"] = [
+                {"page_id": int(a["value"]), "start": a["start"], "end": a["end"]}
+                for a in page_anns
+            ]
         entry = {
             "node_id": node["node_id"],
             "text": _node_text(row, node),
-            "metadata": {"paragraph_type": node["line_type"]},
-            "annotations": anns_by_node.get(node["node_id"], []),
+            "metadata": metadata,
+            "annotations": [a for a in all_anns if a["name"] != "_page"],
             "subparagraphs": [],
         }
         index[node["node_id"]] = entry

@@ -29,7 +29,7 @@ def extract_structure(lines: List[LineWithMeta], patterns: Optional[PatternCompo
 
 
 class TreeNode:
-    __slots__ = ("node_id", "text", "annotations", "metadata", "children", "parent")
+    __slots__ = ("node_id", "text", "annotations", "metadata", "children", "parent", "extra_pages")
 
     def __init__(self, node_id: str, text: str, annotations: List[Annotation], metadata: LineMetadata, parent: Optional["TreeNode"]) -> None:
         self.node_id = node_id
@@ -38,6 +38,11 @@ class TreeNode:
         self.metadata = metadata
         self.children: List[TreeNode] = []
         self.parent = parent
+        # page transitions inside merged multiline text — the reference's
+        # additional_page_ids metadata (api/schema/line_metadata;
+        # test_api_misc_structure.test_page_id_tree_structure): node-local
+        # [{page_id, start, end}] for every page after the node's first
+        self.extra_pages: List[dict] = []
 
     def add_child(self, line: LineWithMeta) -> "TreeNode":
         node = TreeNode(
@@ -53,6 +58,16 @@ class TreeNode:
     def add_text(self, line: LineWithMeta) -> None:
         shift = len(self.text)
         self.annotations.extend(a.shifted(shift) for a in line.annotations)
+        line_page = line.metadata.page_id
+        node_page = self.metadata.page_id
+        if line_page != node_page:
+            if self.extra_pages and self.extra_pages[-1]["page_id"] == line_page \
+                    and self.extra_pages[-1]["end"] == shift:
+                self.extra_pages[-1]["end"] = shift + len(line.line)
+            else:
+                self.extra_pages.append(
+                    {"page_id": line_page, "start": shift, "end": shift + len(line.line)}
+                )
         self.text += line.line
 
 
@@ -147,6 +162,12 @@ def flatten_tree(root: TreeNode) -> Dict[str, object]:
         )
         for a in node.annotations:
             annotations.append({"node_id": node.node_id, "start": a.start, "end": a.end, "name": a.name, "value": a.value})
+        for ep in node.extra_pages:
+            # page transitions ride the annotations channel (same flat
+            # schema); render_tree lifts them into
+            # metadata.additional_page_ids like the reference API
+            annotations.append({"node_id": node.node_id, "start": ep["start"], "end": ep["end"],
+                                "name": "_page", "value": str(ep["page_id"])})
         stack.extend(reversed(node.children))
 
     return {"extracted_text": "".join(parts), "nodes": nodes, "annotations": annotations}

@@ -1139,3 +1139,19 @@ def test_pdf_tabby_line_annotations():
     r = parse("pdf_with_text_layer/Document635.pdf", pdf_with_text_layer="tabby")
     names = {a["name"] for a in r["content"]["structure"]["subparagraphs"][0]["annotations"]}
     assert {"bold", "spacing", "bounding box"} <= names
+
+
+def test_pdf_additional_page_ids_exact():
+    # test_api_misc_structure.test_page_id_tree_structure — a paragraph
+    # merged across 7 pages records each page's text span at the
+    # reference's EXACT byte positions
+    r = parse("pdf_with_text_layer/test_page_id.pdf", structure_type="tree")
+    node = r["content"]["structure"]["subparagraphs"][0]
+    positions = [2135, 4270, 6405, 8540, 10675, 12810, 13323]
+    extra = node["metadata"]["additional_page_ids"]
+    for idx, entry in enumerate(extra, start=1):
+        assert entry["page_id"] == idx
+        assert entry["start"] == positions[idx - 1]
+        assert entry["end"] == positions[idx]
+        seg = node["text"][entry["start"]:entry["end"]]
+        assert not seg.startswith("\n") and seg.endswith("\n")
