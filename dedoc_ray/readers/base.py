@@ -46,7 +46,10 @@ class UnstructuredDoc:
         # (name, size) pairs — the row-carried analogue of the reference's
         # AttachedFile temp files (attached_file.py)
         self.attachments = attachments if attachments is not None else []
-        # document-level metadata columns (title/author/created/modified/subject)
+        # document-level metadata columns (title/author/created/modified/
+        # subject) always present; readers may add EXTRA keys (e.g. the
+        # image metadata extractor's exif_image_width/height +
+        # rotated_page_angles — reference base/image metadata extractors)
         self.metadata = {k: "" for k in METADATA_KEYS}
         if metadata:
-            self.metadata.update({k: v for k, v in metadata.items() if k in self.metadata})
+            self.metadata.update(metadata)

@@ -392,6 +392,7 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
                 f"scan raster {dims[0]}x{dims[1]} exceeds the native-codec "
                 f"decode cap ({cap} px): geometry only"
             ],
+            metadata={"exif_image_width": int(dims[0]), "exif_image_height": int(dims[1])},
         )
     try:
         img = image_decode_gray(data)
@@ -415,7 +416,18 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
         warnings.append(f"scan orientation corrected {90 * k} degrees")
     if not recognized:
         warnings.append("blank scan: no text recognized")
-    return UnstructuredDoc(lines=lines_from_recognized(recognized, file_hash), warnings=warnings)
+    # image dimensions + applied rotation in metadata — the reference's
+    # image metadata extractor fields (test_api_format_pdf.test_image_metadata:
+    # exif_image_width/height, rotated_page_angles)
+    h, w = img.shape[:2]
+    metadata = {
+        "exif_image_width": int(dims[0]) if dims else int(w),
+        "exif_image_height": int(dims[1]) if dims else int(h),
+        "rotated_page_angles": [90 * int(k)],
+    }
+    return UnstructuredDoc(
+        lines=lines_from_recognized(recognized, file_hash), warnings=warnings, metadata=metadata
+    )
 
 
 # ------------------------------------------------ atlas-learned templates

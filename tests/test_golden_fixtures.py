@@ -1155,3 +1155,11 @@ def test_pdf_additional_page_ids_exact():
         assert entry["end"] == positions[idx]
         seg = node["text"][entry["start"]:entry["end"]]
         assert not seg.startswith("\n") and seg.endswith("\n")
+
+
+def test_image_metadata_dimensions():
+    # test_api_format_pdf.test_image_metadata — exif dims + rotation angles
+    r = parse("scanned/orient_3.png")
+    assert r["metadata"]["exif_image_width"] == 1654
+    assert r["metadata"]["exif_image_height"] == 2338
+    assert "rotated_page_angles" in r["metadata"]
