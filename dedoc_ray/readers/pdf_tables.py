@@ -55,7 +55,18 @@ def _band_of(x: float, bands: List[float], tol: float) -> int:
 def detect_tables(page_ops: List[Op]) -> Tuple[List[List[List[Op]]], List[Op]]:
     """Split a page's ops into (table grids, remaining text ops).
 
-    A grid is rows (y desc) of cell-op lists (x asc)."""
+    A grid is rows (y desc) of cell-op lists (x asc). Two refinements over
+    the plain band-run rule (both pinned by the reference's VVP fixtures,
+    test_api_format_pdf_tabby_reader.test_pdf_with_tables):
+
+    - a single-band row BETWEEN grid rows is a wrapped-cell continuation
+      ("Ненефтегазов / ые доходы") — its ops fold into the previous grid
+      row's cell instead of breaking the region;
+    - adjacent same-page regions with equal arity and NO text between them
+      are one visual table split by the band-run heuristic — coalesce.
+      Captions between real adjacent tables land in ``rest`` and block
+      the merge, so separate tables stay separate.
+    """
     # baselines top→bottom
     rows: List[List[Op]] = []
     for op in sorted(page_ops, key=lambda t: (-t[1], t[0])):
@@ -73,30 +84,74 @@ def detect_tables(page_ops: List[Op]) -> Tuple[List[List[List[Op]]], List[Op]]:
         row_bands.append(used)
 
     grids: List[List[List[Op]]] = []
+    spans: List[Tuple[float, float]] = []  # (y_top, y_bottom) per grid
     rest: List[Op] = []
     i = 0
     while i < len(rows):
         if len(row_bands[i]) >= 2:
-            # extend the region while consecutive rows share >=2 bands
+            region_bands_set = set(row_bands[i])
+            members: List[Tuple[int, bool]] = [(i, False)]  # (row idx, is_continuation)
+            row_gaps: List[float] = []  # pitch between accepted grid rows
             j = i + 1
-            while j < len(rows) and len(row_bands[j] & row_bands[i]) >= 2:
-                j += 1
-            if j - i >= 2:
-                region_bands = sorted(set().union(*row_bands[i:j]))
-                grid = []
-                for row in rows[i:j]:
-                    cells: List[List[Op]] = [[] for _ in region_bands]
-                    for op in sorted(row, key=lambda t: t[0]):
+            while j < len(rows):
+                gap = rows[j - 1][0][1] - rows[j][0][1]
+                if len(row_bands[j] & region_bands_set) >= 2:
+                    region_bands_set |= row_bands[j]
+                    members.append((j, False))
+                    if not members[-2][1]:  # previous member was a full row
+                        row_gaps.append(gap)
+                    j += 1
+                    continue
+                # wrapped-cell continuation: single-band row TIGHTER than the
+                # row pitch (a caption between adjacent tables sits at a
+                # larger gap and must break the region instead)
+                if (
+                    row_bands[j]
+                    and row_bands[j] <= region_bands_set
+                    and j + 1 < len(rows)
+                    and len(row_bands[j + 1] & region_bands_set) >= 2
+                    and row_gaps
+                    and gap <= 0.8 * (sum(row_gaps) / len(row_gaps))
+                ):
+                    members.append((j, True))
+                    j += 1
+                    continue
+                break
+            if sum(1 for _, cont in members if not cont) >= 2:
+                region_bands = sorted(region_bands_set)
+                grid: List[List[List[Op]]] = []
+                for idx, cont in members:
+                    if cont and grid:
+                        target = grid[-1]
+                    else:
+                        target = [[] for _ in region_bands]
+                        grid.append(target)
+                    for op in sorted(rows[idx], key=lambda t: t[0]):
                         b = _band_of(op[0], bands, _X_TOL)
                         k = region_bands.index(b) if b in region_bands else 0
-                        cells[k].append(op)
-                    grid.append(cells)
+                        target[k].append(op)
                 grids.append(grid)
+                spans.append((rows[i][0][1], rows[members[-1][0]][0][1]))
                 i = j
                 continue
         rest.extend(rows[i])
         i += 1
-    return grids, rest
+
+    # coalesce adjacent equal-arity regions with no text between
+    merged_grids: List[List[List[Op]]] = []
+    merged_spans: List[Tuple[float, float]] = []
+    for grid, (top, bottom) in zip(grids, spans):
+        if (
+            merged_grids
+            and len(grid[0]) == len(merged_grids[-1][0])
+            and not any(top < op[1] < merged_spans[-1][1] for op in rest)
+        ):
+            merged_grids[-1].extend(grid)
+            merged_spans[-1] = (merged_spans[-1][0], bottom)
+        else:
+            merged_grids.append(grid)
+            merged_spans.append((top, bottom))
+    return merged_grids, rest
 
 
 def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
@@ -159,7 +214,16 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
             for row in grid:
                 out_row = []
                 for cell_ops in row:
-                    text = " ".join(op[4] for op in cell_ops)
+                    # fragments on one baseline join with spaces; wrapped
+                    # lines join with \n (reference cell text
+                    # "Ненефтегазов\nые доходы")
+                    by_line: List[List[Op]] = []
+                    for op in cell_ops:
+                        if by_line and abs(by_line[-1][0][1] - op[1]) <= _LINE_TOL:
+                            by_line[-1].append(op)
+                        else:
+                            by_line.append([op])
+                    text = "\n".join(" ".join(op[4] for op in seg) for seg in by_line)
                     out_row.append(CellWithMeta([LineWithMeta(text)] if text else []))
                 cells.append(out_row)
             tables.append(Table(cells, page_id=page_id, uid=f"tabby_{file_hash}_{len(tables)}",

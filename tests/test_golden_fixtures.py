@@ -322,13 +322,20 @@ def test_pdf_tabby_real_tables_vvp():
 
     with open(os.path.join(DATA, "pdf_with_text_layer/VVP_6_tables.pdf"), "rb") as f:
         doc = read_pdf_tabby(f.read())
-    assert len(doc.tables) == 6  # the file is named for its six tables
+    # 4 like the reference (test_api_format_pdf_tabby_reader.py:155-161):
+    # three captioned grids on page 0 stay separate (captions block the
+    # coalescer), the page-1 repetitions with nothing between merge to one
+    assert len(doc.tables) == 4
     rows = [
         [c.get_text() for c in row]
         for t in doc.tables
         for row in t.cells
     ]
     assert ["Франция", "9", "3037"] in rows
+    # the merged page-1 grid leads with the reference's header rows
+    big = doc.tables[3].cells
+    assert [c.get_text() for c in big[0]] == ["", "2016", "2017", "2018", "2019"]
+    assert [c.get_text() for c in big[-1]][0] == "Сальдо"
 
 
 def test_pdf_tabby_real_tables_global():
@@ -1163,3 +1170,37 @@ def test_image_metadata_dimensions():
     assert r["metadata"]["exif_image_width"] == 1654
     assert r["metadata"]["exif_image_height"] == 2338
     assert "rotated_page_angles" in r["metadata"]
+
+
+def test_pdf_tabby_global_table_exact_grid():
+    # test_api_format_pdf_tabby_reader.test_tables2 — all 11 rows verbatim
+    r = parse("pdf_with_text_layer/VVP_global_table.pdf", pdf_with_text_layer="tabby")
+    rows = [[c["text"].strip() for c in row] for row in r["content"]["tables"][0]["cells"]]
+    assert rows == [
+        ["Государство", "Место", "ВВП (по ППС) за 2018 г."],
+        ["Китай", "1", "25362"], ["США", "2", "20494"], ["Индия", "3", "10498"],
+        ["Япония", "4", "5415"], ["Германия", "5", "4456"], ["Франция", "9", "3037"],
+        ["Россия", "6", "4051"], ["Индонезия", "7", "3495"], ["Бразилия", "8", "3366"],
+        ["Франция", "9", "3037"],
+    ]
+
+
+def test_pdf_tabby_vvp6_four_tables():
+    # test_api_format_pdf_tabby_reader.test_pdf_with_tables:155-181 —
+    # 4 tables; grids 0-2 match the reference's pinned rows
+    r = parse("pdf_with_text_layer/VVP_6_tables.pdf",
+              pdf_with_text_layer="tabby", document_orientation="no_change")
+    tables = r["content"]["tables"]
+    assert len(tables) == 4
+
+    def row(t, i):
+        return [c["text"].strip() for c in tables[t]["cells"][i]]
+
+    assert row(0, 0) == ["Государство", "Место", "ВВП (по ППС) за 2018 г."]
+    assert row(0, 1) == ["Китай", "1", "25362"]
+    assert row(0, 2) == ["США", "2", "20494"]
+    assert row(1, 1) == ["Индия", "3", "10498"]
+    assert row(1, 4) == ["Франция", "9", "3037"]
+    assert row(2, 1) == ["Россия", "6", "4051"]
+    assert row(2, 3) == ["Бразилия", "8", "3366"]
+    assert row(3, 0) == ["", "2016", "2017", "2018", "2019"]
