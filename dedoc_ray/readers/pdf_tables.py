@@ -96,6 +96,11 @@ def detect_tables(page_ops: List[Op]) -> Tuple[List[List[List[Op]]], List[Op]]:
             while j < len(rows):
                 gap = rows[j - 1][0][1] - rows[j][0][1]
                 if len(row_bands[j] & region_bands_set) >= 2:
+                    # a vertical gap far above the row pitch separates two
+                    # stacked tables even when their bands overlap
+                    # (reference example.pdf: 6-col grid then 3-col grid)
+                    if row_gaps and gap > 2.2 * (sum(row_gaps) / len(row_gaps)):
+                        break
                     region_bands_set |= row_bands[j]
                     members.append((j, False))
                     if not members[-2][1]:  # previous member was a full row

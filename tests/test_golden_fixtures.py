@@ -1204,3 +1204,20 @@ def test_pdf_tabby_vvp6_four_tables():
     assert row(2, 1) == ["Россия", "6", "4051"]
     assert row(2, 3) == ["Бразилия", "8", "3366"]
     assert row(3, 0) == ["", "2016", "2017", "2018", "2019"]
+
+
+def test_pdf_example_two_tables_with_refs():
+    # test_api_format_pdf_with_text.test_ref_tables — example.pdf has TWO
+    # tables on both routes, each referenced from the tree by uid
+    def walk(n):
+        yield n
+        for c in n.get("subparagraphs", []):
+            yield from walk(c)
+
+    for mode in ("true", "tabby"):
+        r = parse("pdf_with_text_layer/example.pdf", pdf_with_text_layer=mode)
+        uids = [t["uid"] for t in r["content"]["tables"]]
+        assert len(uids) == 2, mode
+        refs = {a["value"] for n in walk(r["content"]["structure"])
+                for a in n.get("annotations", []) if a["name"] == "table"}
+        assert refs == set(uids), mode
