@@ -244,13 +244,33 @@ def default_patterns() -> List[Pattern]:
     ]
 
 
+class StartWordPattern(Pattern):
+    """Match lines beginning with a fixed word/phrase (case-insensitive) —
+    the reference's StartWordPattern (patterns/start_word_pattern.py)."""
+
+    name = "start_word"
+
+    def __init__(self, start_word: str, line_type: str, level_1=None, level_2=None, can_be_multiline=True) -> None:
+        self._start_word = str(start_word).strip().lower()
+        self._line_type = line_type
+        self._level_1 = level_1
+        self._level_2 = level_2
+        self._can_be_multiline = can_be_multiline
+
+    def match(self, line: LineWithMeta) -> bool:
+        return line.line.strip().lower().startswith(self._start_word)
+
+    def get_hierarchy_level(self, line: LineWithMeta) -> HierarchyLevel:
+        return HierarchyLevel(self._level_1, self._level_2, self._can_be_multiline, self._line_type)
+
+
 # ------------------------------------------------------- user patterns API
 
 _PATTERN_REGISTRY = {
     cls.name: cls
     for cls in (RegexpPattern, DottedListPattern, BracketListPattern,
                 BulletListPattern, LetterListPattern, RomanListPattern,
-                TagPattern, TagHeaderPattern, TagListPattern)
+                TagPattern, TagHeaderPattern, TagListPattern, StartWordPattern)
 }
 
 
@@ -264,8 +284,33 @@ def pattern_from_dict(spec: dict) -> Pattern:
     cls = _PATTERN_REGISTRY.get(name)
     if cls is None:
         raise ValueError(f"unknown pattern name {name!r}; known: {sorted(_PATTERN_REGISTRY)}")
-    return cls(**spec)
+    if isinstance(spec.get("can_be_multiline"), str):
+        # reference wire form allows "true"/"false" strings (abstract_pattern.py)
+        spec["can_be_multiline"] = spec["can_be_multiline"].strip().lower() in ("true", "1")
+    try:
+        return cls(**spec)
+    except TypeError as e:  # missing/unknown kwargs → 400 at the API
+        raise ValueError(f"bad pattern spec for {name!r}: {e}") from e
 
 
 def patterns_from_dicts(specs) -> "PatternComposition":
+    """Accepts a list of dicts, or the reference's WIRE FORM — the
+    ``str([...])`` Python repr the API receives (parsed with
+    ast.literal_eval like default_structure_extractor.py:60-66); json
+    strings work too. Malformed input raises ValueError (the API maps it
+    to 400, test_api_doctype_default.test_wrong_patterns)."""
+    if isinstance(specs, (str, bytes)):
+        import ast
+
+        text = specs.decode() if isinstance(specs, bytes) else specs
+        if not text.strip():
+            return PatternComposition(default_patterns())
+        try:
+            specs = ast.literal_eval(text)
+        except (ValueError, SyntaxError) as e:
+            raise ValueError(f"can't parse patterns parameter: {e}") from e
+    if not isinstance(specs, (list, tuple)) or not all(isinstance(s, dict) for s in specs):
+        raise ValueError("patterns must be a list of pattern dicts")
+    if not specs:
+        return PatternComposition(default_patterns())
     return PatternComposition([pattern_from_dict(s) for s in specs])

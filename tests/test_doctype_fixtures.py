@@ -411,3 +411,50 @@ def test_structure_invalid_type_is_400():
                                         "structure_type": "bagel"},
                        content_type="multipart/form-data")
     assert resp.status_code == 400
+
+
+# ---------------------------------------------------------- patterns API
+# reference test_api_doctype_default.py — user patterns in the API's
+# str([...]) wire form, incl. start_word and string booleans
+
+
+def test_user_patterns_wire_form():
+    patterns = str([
+        {"name": "regexp", "regexp": "^глава\\s\\d+\\.", "line_type": "глава", "level_1": 1},
+        {"name": "start_word", "start_word": "статья", "level_1": 2, "line_type": "статья"},
+        {"name": "dotted_list", "level_1": 3, "line_type": "list_item", "can_be_multiline": False},
+        {"name": "bracket_list", "level_1": 4, "level_2": 1, "line_type": "bracket_list_item",
+         "can_be_multiline": "false"},
+    ])
+    r = parse("docx/without_numbering.docx", patterns=patterns)
+    s = r["content"]["structure"]
+    node = by_path(s, "0.1")
+    assert node["text"].strip() == "Глава 1. Общие положения"
+    assert node["metadata"]["paragraph_type"] == "глава"
+    node = by_path(s, "0.1.1")
+    assert "Статья 1.1." in node["text"]
+    assert node["metadata"]["paragraph_type"] == "статья"
+    assert by_path(s, "0.1.1.0")["metadata"]["paragraph_type"] == "list"
+    node = by_path(s, "0.1.1.0.0")
+    assert "1. Законодательство" in node["text"]
+    assert node["metadata"]["paragraph_type"] == "list_item"
+    node = by_path(s, "0.1.2.0.0.0")
+    assert node["text"].strip() == "1) предупреждение;"
+    assert node["metadata"]["paragraph_type"] == "bracket_list_item"
+    node = by_path(s, "0.2")
+    assert node["metadata"]["paragraph_type"] == "глава"
+
+
+def test_user_patterns_empty_and_wrong():
+    # :35-46 — empty patterns fall back to the default composition; every
+    # malformed form raises (→ HTTP 400 at the API)
+    for ok in ("", "[]"):
+        assert parse("docx/example.docx", patterns=ok)["status"] == "ok"
+    for bad in ('[{"regexp": "x", "line_type": "t", "level_1": 1}]',
+                '[{"name": "start_word", "line_type": "t", "level_1": 1}]',
+                '[{"name": "unknown", "line_type": "t", "level_1": 1}]',
+                "[1]", "{1: 2}", "{1: blabla}"):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse("docx/example.docx", patterns=bad)
