@@ -178,6 +178,7 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
     saw_text = False
 
     per_page: List[List[Op]] = []
+    per_page_rules: Optional[list] = None
     try:
         from dedoc_ray.readers.pdf import _structured_page_items
 
@@ -190,6 +191,14 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
         # rotated pages arrive as raw ops, upright ones as fragments —
         # both are the Op 5-tuple shape the grid detector consumes
         per_page = [items for _assembled, items in structured]
+        try:
+            from dedoc_ray.readers.pdf_objects import PdfDocument
+            from dedoc_ray.readers.pdf_rules import page_rules
+
+            doc_obj = PdfDocument(data)
+            per_page_rules = [page_rules(doc_obj, page) for page in doc_obj.pages()]
+        except Exception:
+            per_page_rules = None
     else:
         for stream_m in _STREAM_RE.finditer(data):
             payload = stream_m.group(1)
@@ -205,6 +214,15 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                 page_ops.extend(op for op in _iter_text_ops(block) if op[4])
             per_page.append(page_ops)
 
+    def _cell_text_ops(cell_ops: List[Op]) -> str:
+        by_line: List[List[Op]] = []
+        for op in sorted(cell_ops, key=lambda t: (-t[1], t[0])):
+            if by_line and abs(by_line[-1][0][1] - op[1]) <= _LINE_TOL:
+                by_line[-1].append(op)
+            else:
+                by_line.append([op])
+        return "\n".join(" ".join(op[4] for op in seg) for seg in by_line)
+
     for page_ops in per_page:
         if not page_ops:
             page_id += 1
@@ -213,6 +231,66 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
             page_id += 1
             saw_text = True
             continue
+        # RULED grids first (drawn cell borders give exact rows + merged
+        # cells — readers/pdf_rules.py); leftover text falls through to the
+        # band-run heuristic below
+        if per_page_rules is not None and page_id < len(per_page_rules):
+            hs, vs = per_page_rules[page_id]
+        else:
+            hs, vs = [], []
+        if hs and vs:
+            from dedoc_ray.readers.pdf_rules import ruled_grids
+
+            rgrids, used = ruled_grids(hs, vs, page_ops)
+            leftover = [op for i, op in enumerate(page_ops) if i not in used]
+            # same-page coalescing (as in detect_tables): adjacent ruled
+            # grids with equal arity and NO text between are one table the
+            # writer drew in repeated frames
+            merged_rg: List[tuple] = []
+            for top, bottom, grid in rgrids:
+                if (
+                    merged_rg
+                    and grid
+                    and merged_rg[-1][2]
+                    and len(grid[0]) == len(merged_rg[-1][2][0])
+                    and not any(top < op[1] < merged_rg[-1][1] for op in leftover)
+                ):
+                    prev_top, _, prev_grid = merged_rg[-1]
+                    prev_grid.extend(grid)
+                    merged_rg[-1] = (prev_top, bottom, prev_grid)
+                else:
+                    merged_rg.append((top, bottom, list(grid)))
+            for _top, _bottom, grid in merged_rg:
+                texts = [[_cell_text_ops(cell["ops"]) for cell in row] for row in grid]
+                # shadow cells repeat the spanning owner's text (reference
+                # grid contract — _get_text_of_row shows the merged text in
+                # every covered position)
+                for ri, row in enumerate(grid):
+                    for ci, cell in enumerate(row):
+                        if cell["invisible"]:
+                            continue
+                        for r2 in range(ri, min(ri + cell["rowspan"], len(grid))):
+                            for c2 in range(ci, min(ci + cell["colspan"], len(row))):
+                                if (r2, c2) != (ri, ci):
+                                    texts[r2][c2] = texts[ri][ci]
+                cells = []
+                for row, trow in zip(grid, texts):
+                    out_row = []
+                    for cell, text in zip(row, trow):
+                        out_row.append(CellWithMeta(
+                            [LineWithMeta(text)] if text else [],
+                            colspan=cell["colspan"], rowspan=cell["rowspan"],
+                            invisible=cell["invisible"],
+                        ))
+                    cells.append(out_row)
+                if cells:
+                    saw_text = True
+                    tables.append(Table(cells, page_id=page_id,
+                                        uid=f"tabby_{file_hash}_{len(tables)}", order=line_id))
+            page_ops = leftover
+            if not page_ops:
+                page_id += 1
+                continue
         grids, rest = detect_tables(page_ops)
         for grid in grids:
             cells = []

@@ -193,7 +193,15 @@ def test_multipage_table_merges_across_routes():
         r = parse("tables/example_mp_table_wo_repeate_header.pdf", pdf_with_text_layer=reader)
         tables = r["content"]["tables"]
         assert len(tables) == 1, reader
-        assert len(tables[0]["cells"]) == 10, reader
+        cells = tables[0]["cells"]
+        # ruled-grid route: 3 header tiers + 10 data rows, with the big
+        # header spanning all 5 columns and shadow cells repeating its text
+        # (the reference's merged-cell grid contract)
+        assert len(cells) == 13, reader
+        assert [c["text"].strip() for c in cells[0]] == ["Заголовок Большой"] * 5, reader
+        assert cells[0][0]["colspan"] == 5 and not cells[0][0]["invisible"], reader
+        assert cells[0][1]["invisible"], reader
+        assert [c["text"].strip() for c in cells[3]] == ["Данные 1"] * 5, reader
 
 
 # --------------------------------------------------------- docx (format)

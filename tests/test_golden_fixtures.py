@@ -335,7 +335,9 @@ def test_pdf_tabby_real_tables_vvp():
     # the merged page-1 grid leads with the reference's header rows
     big = doc.tables[3].cells
     assert [c.get_text() for c in big[0]] == ["", "2016", "2017", "2018", "2019"]
-    assert [c.get_text() for c in big[-1]][0] == "Сальдо"
+    # wrapped cell text joins with \n — the reference's verbatim value
+    # (test_pdf_with_tables rows[22])
+    assert [c.get_text() for c in big[-1]][0] == "Сальдо\nбюджета"
 
 
 def test_pdf_tabby_real_tables_global():
@@ -1221,3 +1223,17 @@ def test_pdf_example_two_tables_with_refs():
         refs = {a["value"] for n in walk(r["content"]["structure"])
                 for a in n.get("annotations", []) if a["name"] == "table"}
         assert refs == set(uids), mode
+
+
+def test_pdf_merged_cells_spans():
+    # test_api_format_pdf_tabby_reader.test_tables_with_merged_cells —
+    # col/rowspans from the drawn cell borders, exact reference pins
+    r = parse("pdf_with_text_layer/big_table_with_merged_cells.pdf", pdf_with_text_layer="tabby")
+    table = r["content"]["tables"][0]["cells"]
+    for (i, j), k in [[(1, 0), 10], [(5, 5), 5]]:
+        assert table[i][j]["invisible"] is False
+        assert table[i][j]["rowspan"] == 1
+        assert table[i][j]["colspan"] == k
+    assert table[3][0]["invisible"] is False
+    assert table[3][0]["rowspan"] == 3
+    assert table[3][0]["colspan"] == 4
