@@ -55,7 +55,16 @@ def merge_multipage_tables(tables: List["Table"]) -> List["Table"]:
     out: List[Table] = []
     for t in tables:
         if out and t.page_id == out[-1].page_id + 1 and t.n_cols() == out[-1].n_cols() and t.n_cols() > 0:
-            out[-1].cells.extend(t.cells)
+            # a continuation that repeats the table header drops the
+            # duplicate rows (reference multipage_table_extractor.py:156-161)
+            base = out[-1]
+            k = 0
+            while (
+                k < min(len(base.cells), len(t.cells))
+                and [c.get_text() for c in t.cells[k]] == [c.get_text() for c in base.cells[k]]
+            ):
+                k += 1
+            out[-1].cells.extend(t.cells[k:])
             out[-1].page_id = t.page_id  # table now "ends" on this page, so a
             # further continuation on the next page chains correctly
         else:

@@ -466,3 +466,20 @@ def test_user_patterns_empty_and_wrong():
 
         with _pytest.raises(ValueError):
             parse("docx/example.docx", patterns=bad)
+
+
+def test_multipage_table_repeated_header_dropped():
+    # test_api_misc_multipage_table.test_..._synthetic_data_3 pins (the
+    # reference's own expected values): continuation pages repeating the
+    # header merge WITHOUT duplicate header rows
+    for reader in ("true", "tabby"):
+        r = parse("tables/example_mp_table_with_repeate_header_2.pdf", pdf_with_text_layer=reader)
+        tables = r["content"]["tables"]
+        assert len(tables) == 1, reader
+        cells = tables[0]["cells"]
+        assert len(cells) == 10, reader
+        assert [c["text"].strip() for c in cells[0]] == \
+            ["Заголовок\nБольшой"] + ["Еще один большой заголовок"] * 4, reader
+        # the header tiers appear ONCE — data rows follow uninterrupted
+        assert [c["text"].strip() for c in cells[3]] == ["Данные 1"] * 5, reader
+        assert [c["text"].strip() for c in cells[9]] == ["Данные 7"] * 5, reader
