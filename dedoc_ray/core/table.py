@@ -55,12 +55,20 @@ def merge_multipage_tables(tables: List["Table"]) -> List["Table"]:
     out: List[Table] = []
     for t in tables:
         if out and t.page_id == out[-1].page_id + 1 and t.n_cols() == out[-1].n_cols() and t.n_cols() > 0:
-            # a continuation that repeats the table header drops the
-            # duplicate rows (reference multipage_table_extractor.py:156-161)
+            # a continuation that repeats the table HEADER drops the
+            # duplicate rows (reference multipage_table_extractor.py:156-161).
+            # Header rows are identified by their span structure (merged /
+            # shadow cells) — plain identical DATA rows must never be
+            # stripped, repeated values are legitimate.
             base = out[-1]
+
+            def _is_header_row(row) -> bool:
+                return any(c.colspan > 1 or c.rowspan > 1 or c.invisible for c in row)
+
             k = 0
             while (
                 k < min(len(base.cells), len(t.cells))
+                and _is_header_row(base.cells[k])
                 and [c.get_text() for c in t.cells[k]] == [c.get_text() for c in base.cells[k]]
             ):
                 k += 1

@@ -483,3 +483,14 @@ def test_multipage_table_repeated_header_dropped():
         # the header tiers appear ONCE — data rows follow uninterrupted
         assert [c["text"].strip() for c in cells[3]] == ["Данные 1"] * 5, reader
         assert [c["text"].strip() for c in cells[9]] == ["Данные 7"] * 5, reader
+
+
+def test_nesting_list_item_texts():
+    # test_api_misc_nesting_list.py:6-14 — the numbered tz items keep their
+    # verbatim tab-separated texts at the reference's positions
+    r = parse("docx/pr14tz_v5_2007_03_01.docx", structure_type="tree")
+    lst = r["content"]["structure"]["subparagraphs"][2]
+    assert lst["subparagraphs"][4]["text"].rstrip("\n") == "1.5.\tОснования разработки"
+    assert lst["subparagraphs"][5]["text"].rstrip("\n") == "1.6.\tНормативные документы"
+    assert lst["subparagraphs"][6]["text"].rstrip("\n") == \
+        "1.7.\tСведения об источниках и порядке финансирования работ"
