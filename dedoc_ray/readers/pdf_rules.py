@@ -139,6 +139,15 @@ def _components(h, v):
             vy0, vy1, vx = rj
             if hx0 - _TOL <= vx <= hx1 + _TOL and vy0 - _TOL <= hy <= vy1 + _TOL:
                 union(i, j)
+    # writers that draw each CELL as its own box never cross rules — abutting
+    # PARALLEL borders (same coordinate, overlapping extent) connect the
+    # lattice instead
+    for i in range(len(rules)):
+        kind_i, (a0, a1, ac) = rules[i]
+        for j in range(i + 1, len(rules)):
+            kind_j, (b0, b1, bc) = rules[j]
+            if kind_i == kind_j and abs(ac - bc) <= _TOL and a0 - _TOL <= b1 and b0 - _TOL <= a1:
+                union(i, j)
     groups: Dict[int, Tuple[list, list]] = {}
     for i, (kind, r) in enumerate(rules):
         g = groups.setdefault(find(i), ([], []))

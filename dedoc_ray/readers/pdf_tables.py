@@ -262,6 +262,10 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                     merged_rg.append((top, bottom, list(grid)))
             for _top, _bottom, grid in merged_rg:
                 texts = [[_cell_text_ops(cell["ops"]) for cell in row] for row in grid]
+                if not any(t for row in texts for t in row):
+                    # a frame that claimed NO text is a coordinate-space
+                    # mismatch or decoration — never emit an empty table
+                    continue
                 # shadow cells repeat the spanning owner's text (reference
                 # grid contract — _get_text_of_row shows the merged text in
                 # every covered position)
