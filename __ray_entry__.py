@@ -773,9 +773,10 @@ def q_extract_7z(sf_dir: str):
 
 
 def q_extract_rar(sf_dir: str):
-    """Native RAR container parsing (readers/rar.py — RAR4/RAR5 header
-    walk; STORED members extracted, the LZ decompressor stays the honest
-    license gate): same member manifest shape as extract_archive."""
+    """Native RAR reader (readers/rar.py + rar_decode.py — RAR4/RAR5
+    header walk AND native LZ decompression for RAR5 methods 1-5 / RAR3
+    v2.9, CRC32-verified; byte-equal to libarchive on the reference
+    fixtures): same member manifest shape as extract_archive."""
     ds = _office_extract(sf_dir, "rar")
 
     def shape(batch: pa.Table) -> pa.Table:

@@ -1,10 +1,11 @@
-"""Archive kernel (.zip / .tar / .tar.gz / .7z) — members become attachments.
+"""Archive kernel (.zip / .tar / .tar.gz / .7z / .rar) — members become attachments.
 
 Reference: dedoc/readers/archive_reader/archive_reader.py:9-113 — archives
 produce no lines/tables, only attachments (one per member). The reference
-shells out to external binaries for rar/7z; here .7z is parsed NATIVELY
-(readers/sevenzip.py, stdlib lzma) and only rar stays stubbed (its
-decompressor has no public-license implementation).
+shells out to external binaries for rar/7z; here BOTH are parsed NATIVELY:
+.7z via readers/sevenzip.py (stdlib lzma) and .rar via readers/rar.py +
+rar_decode.py (native RAR3/RAR5 LZ decompression, CRC32-verified; only
+RAR3 PPMd blocks remain out of subset).
 """
 
 from __future__ import annotations
@@ -35,11 +36,12 @@ def _iter_members(data: bytes):
         except zipfile.BadZipFile as e:
             raise BadArchive(f"bad zip: {e}") from e
     elif data[:6] == b"Rar!\x1a\x07":
-        # the RAR CONTAINER is parsed natively (readers/rar.py, RAR4+RAR5):
-        # members are listed and STORED payloads extracted; the
-        # decompression algorithm itself has no freely-licensed
-        # implementation, so compressed members surface with empty
-        # payloads (the caller's manifest still carries name+size)
+        # NATIVE RAR reader (readers/rar.py + rar_decode.py): container
+        # walk for both generations plus native LZ decompression (RAR5
+        # methods 1-5, RAR3 v2.9 LZ with standard-filter recognition),
+        # CRC32-verified. Only RAR3 PPMd blocks and non-standard RarVM
+        # programs remain out of subset — those members stay listed with
+        # empty payloads (reason in member.note)
         from dedoc_ray.readers.rar import BadRar, rar_list
 
         try:

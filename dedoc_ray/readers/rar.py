@@ -33,14 +33,30 @@ class BadRar(ValueError):
 
 
 class RarMember:
-    __slots__ = ("name", "size", "is_dir", "payload", "method")
+    __slots__ = ("name", "size", "is_dir", "payload", "method", "packed", "crc", "solid", "version", "note")
 
-    def __init__(self, name: str, size: int, is_dir: bool, payload: Optional[bytes], method: int) -> None:
+    def __init__(
+        self,
+        name: str,
+        size: int,
+        is_dir: bool,
+        payload: Optional[bytes],
+        method: int,
+        packed: bytes = b"",
+        crc: Optional[int] = None,
+        solid: bool = False,
+        version: int = 0,
+    ) -> None:
         self.name = name
         self.size = size
         self.is_dir = is_dir
-        self.payload = payload  # None = compressed (no free decoder)
+        self.payload = payload  # None = not (yet) decodable
         self.method = method
+        self.packed = packed
+        self.crc = crc  # CRC32 of unpacked data when the header carries one
+        self.solid = solid
+        self.version = version  # 3 or 5
+        self.note = ""  # reason when payload stays None
 
 
 def _iter_rar4(data: bytes) -> Iterator[RarMember]:
@@ -54,7 +70,7 @@ def _iter_rar4(data: bytes) -> Iterator[RarMember]:
         if htype == 0x74:  # file header
             if pos + 32 > n:
                 break
-            (packsize, unpsize, _host, _fcrc, _ftime, _ver, method, namelen, _attr) = struct.unpack_from(
+            (packsize, unpsize, _host, fcrc, _ftime, _ver, method, namelen, _attr) = struct.unpack_from(
                 "<IIBIIBBHI", data, pos + 7
             )
             add = packsize
@@ -71,10 +87,14 @@ def _iter_rar4(data: bytes) -> Iterator[RarMember]:
                 raw_name = raw_name.split(b"\x00", 1)[0]
             name = raw_name.decode("utf-8", "replace").replace("\\", "/")
             is_dir = (flags & 0xE0) == 0xE0
+            packed = data[pos + size : pos + size + packsize]
             payload: Optional[bytes] = None
             if method == 0x30 and not is_dir:  # stored
-                payload = data[pos + size : pos + size + packsize]
-            yield RarMember(name, unpsize, is_dir, payload, method)
+                payload = packed
+            yield RarMember(
+                name, unpsize, is_dir, payload, method,
+                packed=packed, crc=fcrc, solid=bool(flags & 0x10), version=3,
+            )
         elif flags & 0x8000:  # other block with ADD_SIZE
             if pos + 11 <= n:
                 (add,) = struct.unpack_from("<I", data, pos + 7)
@@ -121,7 +141,9 @@ def _iter_rar5(data: bytes) -> Iterator[RarMember]:
             _attr, p = _vint(data, p)
             if fflags & 0x02:  # mtime
                 p += 4
+            fcrc: Optional[int] = None
             if fflags & 0x04:  # crc32
+                fcrc = struct.unpack_from("<I", data, p)[0]
                 p += 4
             comp, p = _vint(data, p)
             _host, p = _vint(data, p)
@@ -129,22 +151,71 @@ def _iter_rar5(data: bytes) -> Iterator[RarMember]:
             name = data[p : p + namelen].decode("utf-8", "replace")
             is_dir = bool(fflags & 0x01)
             method = (comp >> 7) & 0x07
+            packed = data[hend : hend + data_size]
             payload: Optional[bytes] = None
             if method == 0 and not is_dir:  # stored
-                payload = data[hend : hend + data_size]
-            yield RarMember(name, unpsize, is_dir, payload, method)
+                payload = packed
+            yield RarMember(
+                name, unpsize, is_dir, payload, method,
+                packed=packed, crc=fcrc, solid=bool(comp & 0x40), version=5,
+            )
         elif htype == 5:  # end of archive
             break
         pos = hend + data_size
 
 
 def rar_list(data: bytes) -> List[RarMember]:
-    """All members of a RAR4/RAR5 archive (files AND directories flagged)."""
+    """All members of a RAR4/RAR5 archive (files AND directories flagged),
+    with compressed payloads decoded by the native LZ decompressor
+    (readers/rar_decode.py).  A CRC32 mismatch or an out-of-subset stream
+    (RAR3 PPMd, non-standard RarVM filter) leaves ``payload=None`` with
+    the reason in ``member.note`` — the caller's manifest still lists it."""
     if data.startswith(RAR5_SIG):
-        return list(_iter_rar5(data))
-    if data.startswith(RAR4_SIG):
-        return list(_iter_rar4(data))
-    raise BadRar("not a RAR archive")
+        members = list(_iter_rar5(data))
+    elif data.startswith(RAR4_SIG):
+        members = list(_iter_rar4(data))
+    else:
+        raise BadRar("not a RAR archive")
+    _decode_compressed(members)
+    return members
+
+
+def _decode_compressed(members: List[RarMember]) -> None:
+    import zlib as _z
+
+    from dedoc_ray.readers.rar_decode import (
+        Rar3Decoder,
+        Rar5Decoder,
+        RarDecodeError,
+        RarPPMError,
+    )
+
+    decoder = None  # carried across solid chains
+    for m in members:
+        if m.is_dir or m.payload is not None or m.method == 0 or m.method == 0x30:
+            decoder = None if not m.solid else decoder
+            continue
+        try:
+            if m.version == 5:
+                if decoder is None or not isinstance(decoder, Rar5Decoder) or not m.solid:
+                    decoder = Rar5Decoder()
+                out = decoder.decode_member(m.packed, m.size)
+            else:
+                if decoder is None or not isinstance(decoder, Rar3Decoder) or not m.solid:
+                    decoder = Rar3Decoder()
+                fresh = not (m.solid and decoder.tables_read)
+                out = decoder.decode_member(m.packed, m.size, fresh_tables=fresh)
+            if m.crc is not None and _z.crc32(out) & 0xFFFFFFFF != m.crc:
+                m.note = "crc mismatch after decode"
+                decoder = None
+                continue
+            m.payload = out
+        except RarPPMError:
+            m.note = "RAR3 PPMd block (outside the implemented subset)"
+            decoder = None
+        except (RarDecodeError, IndexError, struct.error) as e:
+            m.note = f"decode failed: {e}"
+            decoder = None
 
 
 # ------------------------------------------------------------- writer
