@@ -233,6 +233,38 @@ def _rar4_block(htype: int, flags: int, body: bytes, payload: bytes = b"") -> by
     return struct.pack("<H", crc) + head + payload
 
 
+def rar_encode_ppm(members: List[Tuple[str, bytes]], order: int = 6, mem_mb: int = 16) -> bytes:
+    """[(name, payload)] → RAR3 archive whose data streams are PPMd
+    var.H blocks (method 0x35, UNP_VER 29).  Exists to validate the PPM
+    decode path against libarchive in BOTH directions: bsdtar must
+    extract these archives byte-exactly, and rar_list must as well."""
+    import zlib as _z
+
+    from dedoc_ray.ops.ppmd import ppmd_rar_compress
+
+    out = [RAR4_SIG]
+    out.append(_rar4_block(0x73, 0x0000, b"\x00" * 6))  # main header
+    for name, payload in members:
+        packed = ppmd_rar_compress(payload, order=order, mem_mb=mem_mb)
+        nameb = name.replace("/", "\\").encode("utf-8")
+        body = struct.pack(
+            "<IIBIIBBHI",
+            len(packed),
+            len(payload),
+            2,                     # host os: windows
+            _z.crc32(payload) & 0xFFFFFFFF,
+            0x28210000,            # dos timestamp (fixed, deterministic)
+            29,                    # version to extract: 2.9
+            0x35,                  # method: best
+            len(nameb),
+            0x20,
+        ) + nameb
+        # flags: 0x8000 long block + dictionary size 2 MB ((5 & 7) << 5)
+        out.append(_rar4_block(0x74, 0x8000 | (5 << 5), body, packed))
+    out.append(_rar4_block(0x7B, 0x4000, b""))
+    return b"".join(out)
+
+
 def rar_encode_stored(members: List[Tuple[str, bytes]]) -> bytes:
     """[(name, payload)] → RAR4 archive with method 0x30 (stored) members."""
     import zlib as _z

@@ -486,7 +486,9 @@ class _R3Filter:
 
 
 class Rar3Decoder:
-    """RAR 2.9/3.x LZ decoder (PPM blocks raise :class:`RarPPMError`)."""
+    """RAR 2.9/3.x decoder: LZ blocks and PPMd-var.H blocks (the model in
+    ops/ppmd.py under the carryless range coder, exactly the pairing the
+    format uses)."""
 
     def __init__(self) -> None:
         self.window = bytearray()
@@ -501,13 +503,42 @@ class Rar3Decoder:
         self.filters: List[_R3Filter] = []  # parsed, pending application
         self.prg_stack: List[_R3Filter] = []
         self.last_filter = 0
+        self.block_type = "lz"
+        self.ppm = None  # Ppmd7 model, persists across blocks unless reset
+        self.ppm_rc = None
+        self.ppm_esc_char = 2
+
+    def _ppm_init(self, br: _BitIn) -> None:
+        """Model::DecodeInit — byte-aligned reads; the first byte doubles
+        as the 0x8000 block flag (bit 7) + reset/escchar flags + order."""
+        from dedoc_ray.ops.ppmd import Ppmd7, PpmdRarRangeDec
+
+        max_order = br.get(8)
+        reset = bool(max_order & 0x20)
+        if reset:
+            max_mb = br.get(8)
+        elif self.ppm is None:
+            raise RarPPMError("PPM continuation without a live model")
+        if max_order & 0x40:
+            self.ppm_esc_char = br.get(8)
+        if reset:
+            order = (max_order & 0x1F) + 1
+            if order > 16:
+                order = 16 + (order - 16) * 3
+            if order == 1:
+                raise RarPPMError("PPM order 1 = stop suballocator")
+            self.ppm = Ppmd7(order, (max_mb + 1) << 20)
+        self.ppm_rc = PpmdRarRangeDec(lambda: br.get(8))
+        self.block_type = "ppm"
 
     def _read_tables(self, br: _BitIn) -> bool:
-        """True if LZ tables were read; raises on PPM."""
+        """True if tables/PPM were (re)initialised."""
         br.align_byte()
         bitfield = br.peek16()
         if bitfield & 0x8000:
-            raise RarPPMError("RAR3 PPMd block")
+            self._ppm_init(br)
+            return True
+        self.block_type = "lz"
         if not bitfield & 0x4000:
             self.old_table = [0] * len(self.old_table)
         br.skip(2)
@@ -636,15 +667,87 @@ class Rar3Decoder:
         flt.channels = init_r.get(0, 0)
         self.filters.append(flt)
 
+    def _decode_ppm_chunk(self, br: _BitIn, target: int) -> str:
+        """Decode PPM-coded data; returns 'tables' (block ended, tables
+        re-read — the mode may now be LZ), 'eof' (end-of-file marker) or
+        'filled' (member complete)."""
+        model, rc = self.ppm, self.ppm_rc
+        assert model is not None and rc is not None
+        esc = self.ppm_esc_char
+        win = self.window
+        while len(win) < target:
+            ch = model.decode_symbol(rc)
+            if ch < 0:
+                raise RarDecodeError("PPM stream error")
+            if ch == esc:
+                nxt = model.decode_symbol(rc)
+                if nxt == 0:  # end of PPM block: new tables follow
+                    self._read_tables(br)
+                    return "tables"
+                if nxt < 0:
+                    raise RarDecodeError("PPM stream error")
+                if nxt == 2:  # end of file in PPM mode
+                    return "eof"
+                if nxt == 3:  # VM filter, bytes PPM-coded
+                    self._read_vm_code_ppm(model, rc)
+                    continue
+                if nxt == 4:  # LZ match inside PPM
+                    dist = 0
+                    for i in range(3):
+                        c = model.decode_symbol(rc)
+                        if c < 0:
+                            raise RarDecodeError("PPM stream error")
+                        dist = (dist << 8) + c
+                    length = model.decode_symbol(rc)
+                    if length < 0:
+                        raise RarDecodeError("PPM stream error")
+                    self._copy_string(length + 32, dist + 2)
+                    continue
+                if nxt == 5:  # one-byte-distance RLE
+                    length = model.decode_symbol(rc)
+                    if length < 0:
+                        raise RarDecodeError("PPM stream error")
+                    self._copy_string(length + 4, 1)
+                    continue
+                # nxt == 1: the literal happens to equal the escape char
+                win.append(esc)
+                continue
+            win.append(ch)
+        return "filled"
+
+    def _read_vm_code_ppm(self, model, rc) -> None:
+        def ppm_byte() -> int:
+            c = model.decode_symbol(rc)
+            if c < 0:
+                raise RarDecodeError("PPM stream error in VM code")
+            return c
+
+        first = ppm_byte()
+        length = (first & 7) + 1
+        if length == 7:
+            length = ppm_byte() + 7
+        elif length == 8:
+            length = ppm_byte() * 256 + ppm_byte()
+        if length == 0:
+            raise RarDecodeError("empty VM code")
+        vm_code = bytes(ppm_byte() for _ in range(length))
+        self._add_vm_code(first, vm_code)
+
     def decode_member(self, packed: bytes, unp_size: int, *, fresh_tables: bool = True) -> bytes:
         base = len(self.window)
         target = base + unp_size
         br = _BitIn(packed)
-        if fresh_tables or self.tables is None:
+        if fresh_tables or (self.tables is None and self.ppm is None):
             self._read_tables(br)
+        ppm_eof = False
+        while len(self.window) < target and self.block_type == "ppm":
+            if self._decode_ppm_chunk(br, target) != "tables":
+                ppm_eof = True
+                break
         t = self.tables
-        assert t is not None
-        while len(self.window) < target:
+        while len(self.window) < target and not ppm_eof:
+            if t is None:
+                raise RarDecodeError("LZ block without huffman tables")
             if br.exhausted():
                 raise RarDecodeError(
                     f"short member: {len(self.window) - base} of {unp_size} bytes"
@@ -691,6 +794,13 @@ class Rar3Decoder:
                 continue
             if num == 256:
                 if not self._read_end_of_block(br):
+                    break
+                stop = False
+                while len(self.window) < target and self.block_type == "ppm":
+                    if self._decode_ppm_chunk(br, target) != "tables":
+                        stop = True
+                        break
+                if stop or (self.block_type == "ppm" and len(self.window) >= target):
                     break
                 t = self.tables
                 continue

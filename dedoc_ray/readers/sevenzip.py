@@ -13,7 +13,10 @@ exactly what ``lzma.FORMAT_RAW`` decodes. So the reader is REAL:
   SubStreamsInfo (multi-substream folders: per-stream sizes + CRCs) /
   FilesInfo (UTF-16LE names, kEmptyStream/kEmptyFile bitfields),
 - single-coder folders with Copy (00), LZMA1 (030101: lc/lp/pb + dict
-  size from the 5-byte props) and LZMA2 (21: dict-size code byte).
+  size from the 5-byte props), LZMA2 (21: dict-size code byte), BZip2
+  (040202, stdlib bz2), Deflate (040108, zlib raw) and PPMd var.H
+  (030401 — the native model in ops/ppmd.py, validated byte-exact
+  against libarchive-written archives in tests/test_ppmd.py).
 
 Multi-coder chains (BCJ filters), encryption (AES id 06f10701) and
 external headers raise ``ValueError`` — honest scope, listed per coder id.
@@ -21,7 +24,7 @@ external headers raise ``ValueError`` — honest scope, listed per coder id.
 The writer generates test corpora: solid single-folder archives (all
 members concatenated, one LZMA2/Copy stream, SubStreamsInfo splitting) or
 one-folder-per-member layouts; optional encoded (LZMA2-compressed) header.
-RAR stays stubbed: its decompressor has no public-license implementation.
+RAR is handled natively too (readers/rar.py + rar_decode.py).
 """
 
 from __future__ import annotations
@@ -53,6 +56,9 @@ K_ENCODED_HEADER = 0x17
 _COPY = b"\x00"
 _LZMA1 = b"\x03\x01\x01"
 _LZMA2 = b"\x21"
+_BZIP2 = b"\x04\x02\x02"
+_DEFLATE = b"\x04\x01\x08"
+_PPMD = b"\x03\x04\x01"
 
 
 class Bad7z(ValueError):
@@ -137,7 +143,26 @@ def _decode_folder(coder_id: bytes, props: bytes, packed: bytes, unpack_size: in
             filters=[{"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb, "dict_size": max(dict_size, 4096)}],
         )
         return dec.decompress(packed, max_length=unpack_size)
-    raise Bad7z(f"unsupported 7z coder id {coder_id.hex()} (Copy/LZMA1/LZMA2 only)")
+    if coder_id == _BZIP2:
+        import bz2
+
+        return bz2.decompress(packed)[:unpack_size]
+    if coder_id == _DEFLATE:
+        import zlib
+
+        return zlib.decompressobj(-15).decompress(packed)[:unpack_size]
+    if coder_id == _PPMD:
+        # PPMd variant H (7z id 030401): props = order byte + mem-size u32
+        if len(props) != 5:
+            raise Bad7z("PPMd props must be five bytes")
+        order = props[0]
+        (mem_size,) = struct.unpack("<I", props[1:5])
+        from dedoc_ray.ops.ppmd import ppmd7_decompress
+
+        return ppmd7_decompress(packed, unpack_size, order, mem_size)
+    raise Bad7z(
+        f"unsupported 7z coder id {coder_id.hex()} (Copy/LZMA1/LZMA2/BZip2/Deflate/PPMd only)"
+    )
 
 
 def _parse_streams_info(data: bytes, pos: int):
