@@ -1256,6 +1256,15 @@ def image_dimensions(data: bytes) -> "Tuple[int, int] | None":
         if data[:8] == _PNG_SIG:
             w, h = struct.unpack(">II", data[16:24])
             return w, h
+        if data[:4] == b"\xff\x4f\xff\x51":  # JPEG 2000 codestream: SIZ
+            w, h = struct.unpack(">II", data[8:16])
+            return w, h
+        if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+            i = data.find(b"\xff\x4f\xff\x51")
+            if i >= 0 and i + 16 <= len(data):
+                w, h = struct.unpack(">II", data[i + 8 : i + 16])
+                return w, h
+            return None
         if data[:2] == b"BM":
             w, h = struct.unpack("<ii", data[18:26])
             return abs(w), abs(h)
@@ -1329,6 +1338,13 @@ def image_decode_gray(data: bytes) -> np.ndarray:
         return hdr_decode(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return webp_decode(data)
+    if data[:4] == b"\xff\x4f\xff\x51" or (data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  "):
+        from dedoc_ray.ops.jpeg2000 import j2k_decode
+
+        img = j2k_decode(data)
+        if img.ndim == 3:  # exact channel mean, same reduction as png_decode
+            img = (img.astype(np.uint32).sum(axis=-1) // img.shape[-1]).astype(np.uint8)
+        return img
     if len(data) > 68 and data[0] == 0x0A and data[2] == 1:
         return pcx_decode(data)
     raise ValueError("unknown image container")

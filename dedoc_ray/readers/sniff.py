@@ -146,6 +146,8 @@ def _sniff_magic(data: bytes) -> "str | None":
         return "pgm"  # Sun raster / SGI
     if data[:11] == b"#?RADIANCE\n" or data[:7] == b"#?RGBE\n":
         return "pgm"  # Radiance HDR
+    if data[:4] == b"\xff\x4f\xff\x51" or (data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  "):
+        return "pgm"  # JPEG 2000 codestream / jp2 box (ops/jpeg2000.py)
     if (
         len(data) > 128
         and data[0] == 0x0A

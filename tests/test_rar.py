@@ -28,8 +28,9 @@ def test_real_rar4_listing():
     files = {m.name.rsplit("/", 1)[-1]: m for m in members if not m.is_dir}
     assert set(files) == {"english_doc.pdf", "doc_001.txt", "example.ods", "example.odt"}
     assert files["doc_001.txt"].size == 82914  # unpacked size from the header
-    # compressed members have no free decoder: payload is None, honestly
-    assert all(m.payload is None for m in files.values())
+    # compressed members decode natively now (readers/rar_decode.py),
+    # crc-verified inside rar_list
+    assert all(m.payload is not None and len(m.payload) == m.size for m in files.values())
     assert any(m.is_dir for m in members)  # the directory entry is flagged
 
 
