@@ -170,11 +170,16 @@ def archive_bytes(doc_id: int, text: str) -> bytes:
 
 
 def rar_bytes(doc_id: int, text: str) -> bytes:
-    """RAR4 archive (STORED members — the license-free subset) with the
-    same two members as archive_bytes, so the zip oracle shape carries."""
-    from dedoc_ray.readers.rar import rar_encode_stored
+    """RAR archive with the same two members as archive_bytes, so the zip
+    oracle shape carries.  Every third doc's stream is a RAR3 PPMd block
+    (readers/rar_decode.py exercises the full var.H decode path in the
+    distributed pipeline); the rest are STORED."""
+    from dedoc_ray.readers.rar import rar_encode_ppm, rar_encode_stored
 
-    return rar_encode_stored([("body.txt", text.encode("utf-8")), ("meta.txt", b"12345678")])
+    members = [("body.txt", text.encode("utf-8")), ("meta.txt", b"12345678")]
+    if doc_id % 3 == 0:
+        return rar_encode_ppm(members, order=4)
+    return rar_encode_stored(members)
 
 
 def sevenzip_bytes(doc_id: int, text: str) -> bytes:
