@@ -44,6 +44,16 @@ def link_line_objects(lines: List[LineWithMeta], tables: List[Table]) -> None:
 
     for table in tables:
         anchor = table.order if table.order is not None else float("inf")
+        if (
+            isinstance(anchor, int)
+            and 0 <= anchor < len(lines)
+            and lines[anchor].metadata.page_id != table.page_id
+        ):
+            # cross-page anchor (top-of-page ruled table → previous page's
+            # closing line): the resolved line IS the link target
+            ln = lines[anchor]
+            ln.annotations.append(Annotation(0, len(ln.line), AN.table, table.uid))
+            continue
         same_page = [(i, ln) for i, ln in enumerate(lines) if ln.metadata.page_id == table.page_id]
         if same_page:
             # candidate window: n_lines before + n_lines after the anchor
@@ -60,4 +70,13 @@ def link_line_objects(lines: List[LineWithMeta], tables: List[Table]) -> None:
             else:
                 cands = [(0, lines[0])]
         best_i, best = min(cands, key=lambda t: _link_score(t[1], t[0], anchor))
-        best.annotations.append(Annotation(0, len(best.line), AN.table, table.uid))
+        start, end = 0, len(best.line)
+        anchor_text = getattr(table, "anchor_text", None)
+        if anchor_text:
+            # merged multi-column lines: the annotation covers only the
+            # fragment the table anchors to (reference bbox-derived span,
+            # test_api_module_table_recognizer.test_tables_annotations)
+            pos = best.line.find(anchor_text)
+            if pos >= 0:
+                start, end = pos, pos + len(anchor_text)
+        best.annotations.append(Annotation(start, end, AN.table, table.uid))

@@ -26,7 +26,7 @@ class CellWithMeta:
 
 
 class Table:
-    __slots__ = ("cells", "page_id", "uid", "order")
+    __slots__ = ("cells", "page_id", "uid", "order", "ruled", "anchor_text")
 
     def __init__(
         self,
@@ -34,6 +34,7 @@ class Table:
         page_id: int = 0,
         uid: str = "",
         order: Optional[int] = None,
+        ruled: bool = False,
     ) -> None:
         self.cells = cells
         self.page_id = page_id
@@ -41,6 +42,12 @@ class Table:
         # document-order anchor (index into the line stream where the table
         # appeared) — consumed by core.object_linker; None = end of page
         self.order = order
+        # derived from drawn cell borders (readers/pdf_rules.py) — exempt
+        # from the band-heuristic plausibility gate
+        self.ruled = ruled
+        # the text fragment the table anchors to (narrows the table
+        # annotation's span within a merged multi-column line)
+        self.anchor_text: Optional[str] = None
 
     def n_cols(self) -> int:
         return len(self.cells[0]) if self.cells else 0

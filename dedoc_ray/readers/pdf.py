@@ -843,8 +843,13 @@ def _read_pdf_auto(
         try:
             tabby_doc = read_pdf_tabby(data, pages=pages)
         except ValueError as e:
-            if "no text layer" not in str(e) or mode == "tabby":
+            if "no text layer" not in str(e):
                 raise
+            if mode == "tabby":
+                # reference's forced tabby on a scanned pdf yields an empty
+                # document (0 tables, sane tree), never an error
+                # (test_api_module_table_recognizer.test_false_table2 shape)
+                return UnstructuredDoc(lines=[], warnings=["pdf has no text layer"])
             return ocr_route("pdf without text layer")
         if mode == "tabby":
             return tabby_doc
@@ -859,8 +864,8 @@ def _read_pdf_auto(
     except ValueError as e:
         if "no text layer" not in str(e):
             raise
-        if mode == "true":  # forced text layer but none exists
-            raise
+        if mode == "true":  # forced text layer but none exists: empty doc
+            return UnstructuredDoc(lines=[], warnings=["pdf has no text layer"])
         return ocr_route("pdf without text layer")
     if mode == "true":  # trust the layer unconditionally
         if table_analysis:
@@ -875,10 +880,15 @@ def _read_pdf_auto(
                 tdoc = read_pdf_tabby(data, pages=pages)
             except ValueError:
                 tdoc = None
-            if tdoc is not None and tdoc.tables and all(
-                _plausible_table(t) for t in tdoc.tables
-            ):
-                return tdoc
+            if tdoc is not None and tdoc.tables:
+                # keep ruled grids and short-celled band grids; drop the
+                # column-layout false positives individually (reference
+                # keeps two_column_document.pdf's 3 REAL ruled tables while
+                # its 2-column body text stays plain,
+                # test_api_module_table_recognizer.test_tables_annotations)
+                tdoc.tables = [t for t in tdoc.tables if _plausible_table(t)]
+                if tdoc.tables:
+                    return tdoc
         return doc
     return _auto_classify_tail(doc, data, ocr_route, first_page_reader, fast_detection)
 
@@ -888,7 +898,11 @@ def _plausible_table(table) -> bool:
     sentence fragments; real table cells are short (measured on the
     reference fixtures: genuine grids median ≤ ~38 chars/cell, two-column
     body text ≥ ~46). Only plausible grids flip the txtlayer route to the
-    table-aware split."""
+    table-aware split.  Ruled grids are exempt: drawn cell borders are
+    proof of a table regardless of cell length (example_with_table9.pdf
+    has paragraph-long ruled cells)."""
+    if getattr(table, "ruled", False):
+        return True
     lens = sorted(
         len(cell.get_text()) for row in table.cells for cell in row if cell.get_text().strip()
     )

@@ -22,10 +22,7 @@ cross-document state, nothing leaves the extraction actor.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, List, Optional, Tuple
-
-_TOKEN_RE = re.compile(rb"-?\d*\.?\d+|[A-Za-z'\"*]+")
 
 _TOL = 2.0  # coordinate tolerance for boundary clustering / intersection
 
@@ -65,14 +62,31 @@ def page_rules(doc, page: dict) -> Tuple[List[Tuple[float, float, float]], List[
         elif abs(x0 - x1) <= 0.5 and abs(y1 - y0) > _TOL:
             v.append((min(y0, y1), max(y0, y1), (x0 + x1) / 2))
 
-    for tok in _TOKEN_RE.finditer(content):
-        t = tok.group(0)
-        if t[:1] in b"-.0123456789":
-            operands.append(float(t))
-            if len(operands) > 6:
-                operands = operands[-6:]
+    # string-aware walk: a regex over raw bytes would see operator
+    # lookalikes INSIDE (…) string literals (text bytes are arbitrary in
+    # symbolically-encoded fonts) and corrupt the q/Q stack — found the
+    # hard way on example_with_table9.pdf, whose rules then surfaced in
+    # the wrong coordinate space
+    from dedoc_ray.readers.pdf_objects import Lexer, PdfError
+
+    lex = Lexer(content)
+    while True:
+        lex.skip_ws()
+        if lex.at_end():
+            break
+        try:
+            obj = lex.parse_object()
+        except PdfError:
+            break
+        if not (isinstance(obj, tuple) and obj and obj[0] == "kw"):
+            if isinstance(obj, (int, float)):
+                operands.append(float(obj))
+                if len(operands) > 6:
+                    operands = operands[-6:]
+            else:
+                operands = []
             continue
-        op = t
+        op = obj[1]
         if op == b"q":
             stack.append(ctm)
         elif op == b"Q":
@@ -256,6 +270,6 @@ def ruled_grids(h_rules, v_rules, page_ops, line_tol: float = 4.0):
                 cell = grid[owner[0]][owner[1]]
             cell["ops"].append(op)
             used.add(idx)
-        grids.append((ys[0], ys[-1], grid))
+        grids.append((ys[0], ys[-1], xs[0], xs[-1], grid))
     grids.sort(key=lambda t: -t[0])  # top table first
-    return [(top, bottom, grid) for top, bottom, grid in grids], used
+    return grids, used

@@ -159,6 +159,49 @@ def detect_tables(page_ops: List[Op]) -> Tuple[List[List[List[Op]]], List[Op]]:
     return merged_grids, rest
 
 
+def _resolve_ruled_anchors(todo, rest, page_lines, page_first_line_id, prev_page_ctx) -> None:
+    """Ruled-table anchoring: the nearest text FRAGMENT above the frame top
+    with x-overlap (the same-column line just above the table — the
+    reference annotates the table onto that fragment's span,
+    test_api_module_table_recognizer.test_tables_annotations). A table at
+    the very top of its page anchors to the SAME-COLUMN fragment closest
+    to the PREVIOUS page's bottom ('line' for two_column_document's
+    page-2 table)."""
+
+    def find(ops, lines_, first_id, pred):
+        best = None
+        for op in ops:
+            ox, oy, otext = op[0], op[1], op[4]
+            if pred(oy) and otext.strip():
+                if best is None or oy < best[0]:
+                    best = (oy, otext)
+        if best is None:
+            return None
+        for idx, (_lx, ly, _f, _s, ltxt) in enumerate(lines_):
+            if abs(ly - best[0]) <= _LINE_TOL and best[1] in ltxt:
+                return first_id + idx, best[1]
+        return None
+
+    for t, top, gx0, gx1 in todo:
+        in_band = lambda ox: gx0 - 6.0 <= ox <= gx1  # noqa: E731
+
+        hit = find(
+            [op for op in rest if in_band(op[0])],
+            page_lines, page_first_line_id, lambda oy: oy > top + 1.0,
+        )
+        if hit is None and prev_page_ctx is not None:
+            p_rest, p_lines, p_first = prev_page_ctx
+            hit = find(
+                [op for op in p_rest if in_band(op[0])],
+                p_lines, p_first, lambda oy: True,
+            )
+        if hit is None:
+            if page_first_line_id > 0:
+                t.order = page_first_line_id - 1
+            continue
+        t.order, t.anchor_text = hit
+
+
 def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
     """Text lines + recognized tables from a born-digital PDF.
 
@@ -223,6 +266,9 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                 by_line.append([op])
         return "\n".join(" ".join(op[4] for op in seg) for seg in by_line)
 
+    # previous page's (rest ops, merged lines, first line_id) — cross-page
+    # anchor fallback for top-of-page ruled tables
+    prev_page_ctx: Optional[tuple] = None
     for page_ops in per_page:
         if not page_ops:
             page_id += 1
@@ -234,6 +280,7 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
         # RULED grids first (drawn cell borders give exact rows + merged
         # cells — readers/pdf_rules.py); leftover text falls through to the
         # band-run heuristic below
+        ruled_anchor_todo: List[tuple] = []
         if per_page_rules is not None and page_id < len(per_page_rules):
             hs, vs = per_page_rules[page_id]
         else:
@@ -247,20 +294,20 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
             # grids with equal arity and NO text between are one table the
             # writer drew in repeated frames
             merged_rg: List[tuple] = []
-            for top, bottom, grid in rgrids:
+            for top, bottom, gx0, gx1, grid in rgrids:
                 if (
                     merged_rg
                     and grid
-                    and merged_rg[-1][2]
-                    and len(grid[0]) == len(merged_rg[-1][2][0])
+                    and merged_rg[-1][4]
+                    and len(grid[0]) == len(merged_rg[-1][4][0])
                     and not any(top < op[1] < merged_rg[-1][1] for op in leftover)
                 ):
-                    prev_top, _, prev_grid = merged_rg[-1]
+                    prev_top, _, px0, px1, prev_grid = merged_rg[-1]
                     prev_grid.extend(grid)
-                    merged_rg[-1] = (prev_top, bottom, prev_grid)
+                    merged_rg[-1] = (prev_top, bottom, min(px0, gx0), max(px1, gx1), prev_grid)
                 else:
-                    merged_rg.append((top, bottom, list(grid)))
-            for _top, _bottom, grid in merged_rg:
+                    merged_rg.append((top, bottom, gx0, gx1, list(grid)))
+            for _top, _bottom, _gx0, _gx1, grid in merged_rg:
                 texts = [[_cell_text_ops(cell["ops"]) for cell in row] for row in grid]
                 if not any(t for row in texts for t in row):
                     # a frame that claimed NO text is a coordinate-space
@@ -289,13 +336,31 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                     cells.append(out_row)
                 if cells:
                     saw_text = True
-                    tables.append(Table(cells, page_id=page_id,
-                                        uid=f"tabby_{file_hash}_{len(tables)}", order=line_id))
+                    t = Table(cells, page_id=page_id,
+                              uid=f"tabby_{file_hash}_{len(tables)}",
+                              order=line_id, ruled=True)
+                    tables.append(t)
+                    # anchor after the page's lines exist: the nearest line
+                    # ABOVE the frame top with x-overlap (reference links
+                    # the table annotation to the preceding column line)
+                    ruled_anchor_todo.append((t, _top, _gx0, _gx1))
             page_ops = leftover
             if not page_ops:
+                _resolve_ruled_anchors(
+                    ruled_anchor_todo, [], [], line_id, prev_page_ctx
+                )
+                prev_page_ctx = ([], [], line_id)
                 page_id += 1
                 continue
-        grids, rest = detect_tables(page_ops)
+        if ruled_anchor_todo:
+            # this page's writer DRAWS borders around its tables, so the
+            # band-run heuristic on the leftover text would only produce
+            # layout artifacts (2-column body text) — reference keeps
+            # exactly the 3 ruled tables of two_column_document.pdf and
+            # none of its text columns
+            grids, rest = [], page_ops
+        else:
+            grids, rest = detect_tables(page_ops)
         for grid in grids:
             cells = []
             for row in grid:
@@ -316,6 +381,8 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
             tables.append(Table(cells, page_id=page_id, uid=f"tabby_{file_hash}_{len(tables)}",
                                 order=line_id))
         page_lines = _group_lines(rest)
+        _resolve_ruled_anchors(ruled_anchor_todo, rest, page_lines, line_id, prev_page_ctx)
+        prev_page_ctx = (rest, page_lines, line_id)
         gaps = [round(a[1] - b[1]) for a, b in zip(page_lines, page_lines[1:])]
         median_gap = sorted(gaps)[len(gaps) // 2] if gaps else 0
         col_x0 = min((g[0] for g in page_lines), default=0.0)

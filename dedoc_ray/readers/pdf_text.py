@@ -194,6 +194,21 @@ class Font:
 
         # simple font: 1-byte codes
         f._build_simple_encoding(doc, d)
+        if not f.tounicode and f.subtype == "TrueType" and "Encoding" not in d:
+            # symbolic subset with no unicode info at all (the printer-driver
+            # "CIDFont+F" family): recover code→unicode by glyph-shape
+            # matching against the DejaVu atlas (readers/ttf_glyphs.py)
+            fd0 = doc.resolve(d.get("FontDescriptor"))
+            if isinstance(fd0, dict):
+                flags0 = doc.resolve(fd0.get("Flags"))
+                ff = doc.resolve(fd0.get("FontFile2"))
+                if ff is not None and isinstance(flags0, (int, float)) and int(flags0) & 4:
+                    try:
+                        from dedoc_ray.readers.ttf_glyphs import recover_cached
+
+                        f.tounicode = recover_cached(doc.stream_bytes(ff))
+                    except Exception:
+                        pass
         first = doc.resolve(d.get("FirstChar"))
         widths = doc.resolve(d.get("Widths"))
         if isinstance(first, (int, float)) and isinstance(widths, list):
