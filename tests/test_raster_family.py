@@ -48,11 +48,13 @@ def test_lossy_containers_close(png_raster, ext):
     assert mad <= _LOSSY[ext], (ext, mad)
 
 
-def test_j2k_honestly_gated():
+def test_j2k_decodes_natively():
+    # the former honest gate fell: ops/jpeg2000.py decodes the reversible
+    # path (pixel-exact oracle vs the png sibling in tests/test_jpeg2000.py)
     with open(_BASE + "j2k", "rb") as f:
         data = f.read()
-    with pytest.raises(ValueError):
-        image_decode_gray(data)
+    img = image_decode_gray(data)
+    assert img.shape == (1170, 827)
 
 
 def test_scan_route_reads_every_container():
