@@ -233,6 +233,15 @@ def q_extract_scan_pdf(sf_dir: str):
     return _office_extract(sf_dir, "pdf_scan").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_pdf_jbig2(sf_dir: str):
+    """Textless-PDF OCR route with JBIG2-compressed page rasters (/Filter
+    /JBIG2Decode — the dominant real-scanner bilevel codec; reference
+    decodes via pdfbox + jbig2-imageio, here natively in ops/jbig2.py:
+    MQ coder + generic region + embedded segment layer). Byte-exact text
+    oracle, identical expected text to extract_scan_pdf."""
+    return _office_extract(sf_dir, "pdf_scan_jbig2").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_scan_2col(sf_dir: str):
     """Two-column scanned pages (the columns half of the reference's
     ColumnsOrientationClassifier): gutter detection splits the page, left
@@ -1699,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scan_png": q_extract_scan_png,
         "extract_scan_tiff": q_extract_scan_tiff,
         "extract_scan_pdf": q_extract_scan_pdf,
+        "extract_scan_pdf_jbig2": q_extract_scan_pdf_jbig2,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
         "extract_pdf_cid": q_extract_pdf_cid,
@@ -2014,6 +2024,8 @@ def oracle_sql() -> dict[str, str]:
                              f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_pdf_jbig2": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                                  f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                            f"{body} AS extracted_text FROM documents",
         "extract_pdf_paragraphs": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

@@ -646,6 +646,45 @@ def _structured_page_images(data: bytes):
                         return ccitt_g3_decode(doc.stream_raw(xo), columns=cols, rows=rrows)
 
                     return dec
+                if "JBIG2Decode" in filters:
+                    parms = doc.resolve(d.get("DecodeParms", d.get("DP"))) or {}
+                    if isinstance(parms, list):
+                        parms = doc.resolve(parms[0]) if parms else {}
+                    gstream = doc.resolve(parms.get("JBIG2Globals")) if isinstance(parms, dict) else None
+                    gbytes = doc.stream_bytes(gstream) if gstream is not None else b""
+
+                    def dec():
+                        from dedoc_ray.ops.jbig2 import jbig2_decode_embedded
+
+                        bm = jbig2_decode_embedded(doc.stream_raw(xo), gbytes)
+                        # JBIG2 1 = black → grayscale for the OCR route
+                        return ((1 - bm) * 255).astype(np.uint8)
+
+                    return dec
+                if "JPXDecode" in filters:
+                    def dec():
+                        from dedoc_ray.ops.jpeg2000 import j2k_decode
+
+                        img = j2k_decode(doc.stream_raw(xo))
+                        if img.ndim == 3:
+                            img = (img.astype(np.uint32).sum(axis=-1) // img.shape[-1]).astype(np.uint8)
+                        return img
+
+                    return dec
+                if bpc == 1 and (not filters or "FlateDecode" in filters or "Fl" in filters):
+                    # 1-bit raster (DeviceGray / ImageMask): sample 0 = black
+                    def dec():
+                        payload = doc.stream_bytes(xo)
+                        stride = (w + 7) // 8
+                        if len(payload) < stride * h:
+                            raise ValueError("short bilevel raster")
+                        rows = np.frombuffer(payload[: stride * h], np.uint8).reshape(h, stride)
+                        bits = np.unpackbits(rows, axis=1)[:, :w]
+                        if bool(doc.resolve(d.get("ImageMask", False))):
+                            bits = 1 - bits  # mask: 1 = paint (black)
+                        return (bits * 255).astype(np.uint8)
+
+                    return dec
                 if bpc == 8 and "DeviceGray" in cs and (not filters or "FlateDecode" in filters or "Fl" in filters):
                     def dec():
                         payload = doc.stream_bytes(xo)
@@ -654,7 +693,7 @@ def _structured_page_images(data: bytes):
                         return np.frombuffer(payload[: w * h], np.uint8).reshape(h, w)
 
                     return dec
-                return None  # JBIG2/JPX/1-bit-flate: geometry only
+                return None  # JPX color profiles etc.: geometry only
 
             out.append((idx, w, h, "+".join(filters) or "raw", make_decoder()))
     return out

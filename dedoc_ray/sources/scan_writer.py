@@ -129,6 +129,36 @@ def scan_pdf(doc_id: int, text: str) -> bytes:
     return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
 
 
+def scan_pdf_jbig2(doc_id: int, text: str) -> bytes:
+    """Same textless scanned PDF with the page raster JBIG2-compressed
+    (/Filter /JBIG2Decode — the dominant bilevel codec in real scanner
+    PDFs; the reference decodes it through pdfbox + jbig2-imageio).
+    The bilevel bitmap goes through ops/jbig2.py's arithmetic
+    generic-region encoder, exercising the embedded segment layer end to
+    end in the OCR route."""
+    from dedoc_ray.ops.jbig2 import jbig2_encode_embedded
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    img = render_page(lines, rotate_k=doc_id % 4)
+    h, w = img.shape
+    payload = jbig2_encode_embedded((img < 128).astype(np.uint8), tpgdon=True)
+    content = b"q %d 0 0 %d 36 36 cm /Im0 Do Q" % (w, h)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << /Im0 5 0 R >> >> "
+        b"/MediaBox [0 0 612 792] /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length %d >> stream\n" % len(content) + content + b"\nendstream endobj",
+        b"5 0 obj << /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode /Length %d >> stream\n"
+        % (w, h, len(payload))
+        + payload
+        + b"\nendstream endobj",
+    ]
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\ntrailer << /Root 1 0 R >>\n%%EOF"
+
+
 def scan_png(doc_id: int, text: str) -> bytes:
     """Same scanned page encoded as grayscale PNG (supported_image_types)."""
     from dedoc_ray.ops.media_codecs import png_encode
