@@ -442,8 +442,7 @@ def _inv_53_1d(low: np.ndarray, high: np.ndarray, axis: int) -> np.ndarray:
         out[0] = low[0] if nl else high[0] // 2
         return np.moveaxis(out, 0, axis)
     # step 1: even samples  X[2i] = L[i] - floor((H[i-1] + H[i] + 2) / 4)
-    hm1 = np.concatenate([high[:1], high[: nl - 1]]) if nl > 0 else high[:0]
-    # H[i-1] with symmetric extension: for i=0 → H[0]
+    # (H[i-1] with symmetric extension: for i=0 → H[0])
     hi = np.empty_like(low)
     for i in range(nl):
         a = high[i - 1] if i - 1 >= 0 else (high[0] if nh else 0)
