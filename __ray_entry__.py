@@ -242,6 +242,15 @@ def q_extract_scan_pdf_jbig2(sf_dir: str):
     return _office_extract(sf_dir, "pdf_scan_jbig2").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_pdf_jbig2_text(sf_dir: str):
+    """Textless-PDF OCR route with SYMBOL-coded JBIG2 rasters (symbol
+    dictionary + text region segments — the layout real scanner encoders
+    emit for textual pages; decoded through ops/jbig2.py's IADH/IADW/
+    IAEX dictionary and IADT/IAFS/IADS/IAID strip machinery). Byte-exact
+    text oracle, identical expected text to extract_scan_pdf."""
+    return _office_extract(sf_dir, "pdf_scan_jbig2s").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_scan_2col(sf_dir: str):
     """Two-column scanned pages (the columns half of the reference's
     ColumnsOrientationClassifier): gutter detection splits the page, left
@@ -1709,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scan_tiff": q_extract_scan_tiff,
         "extract_scan_pdf": q_extract_scan_pdf,
         "extract_scan_pdf_jbig2": q_extract_scan_pdf_jbig2,
+        "extract_scan_pdf_jbig2_text": q_extract_scan_pdf_jbig2_text,
         "extract_pdf_paragraphs": q_extract_pdf_paragraphs,
         "extract_warc": q_extract_warc,
         "extract_pdf_cid": q_extract_pdf_cid,
@@ -2026,6 +2036,8 @@ def oracle_sql() -> dict[str, str]:
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf_jbig2": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                                   f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_pdf_jbig2_text": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
+                                       f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_pdf_cid": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                            f"{body} AS extracted_text FROM documents",
         "extract_pdf_paragraphs": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

@@ -143,6 +143,26 @@ def scan_pdf_jbig2(doc_id: int, text: str) -> bytes:
     img = render_page(lines, rotate_k=doc_id % 4)
     h, w = img.shape
     payload = jbig2_encode_embedded((img < 128).astype(np.uint8), tpgdon=True)
+    return _jbig2_pdf(payload, w, h)
+
+
+def scan_pdf_jbig2_sym(doc_id: int, text: str) -> bytes:
+    """Same textless scanned PDF with the raster SYMBOL-coded (JBIG2
+    symbol dictionary + text region — the layout real scanner encoders
+    like jbig2enc emit for textual pages): connected components dedupe
+    into a dictionary, placements decode through the IADT/IAFS/IADS/IAID
+    strip machinery of ops/jbig2.py."""
+    from dedoc_ray.ops.jbig2 import jbig2_encode_symbols
+    from dedoc_ray.sources.synth import chunks_of
+
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    img = render_page(lines, rotate_k=doc_id % 4)
+    h, w = img.shape
+    payload = jbig2_encode_symbols((img < 128).astype(np.uint8))
+    return _jbig2_pdf(payload, w, h)
+
+
+def _jbig2_pdf(payload: bytes, w: int, h: int) -> bytes:
     content = b"q %d 0 0 %d 36 36 cm /Im0 Do Q" % (w, h)
     objs = [
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",

@@ -556,6 +556,7 @@ from dedoc_ray.sources.scan_writer import (  # noqa: E402
     scan_multifont_pgm,
     scan_pdf,
     scan_pdf_jbig2,
+    scan_pdf_jbig2_sym,
     scan_pgm,
     scan_png,
     scan_tiff,
@@ -569,12 +570,13 @@ _GENERATORS["scan_png"] = scan_png
 _GENERATORS["scan_tiff"] = scan_tiff
 _GENERATORS["pdf_scan"] = scan_pdf
 _GENERATORS["pdf_scan_jbig2"] = scan_pdf_jbig2
+_GENERATORS["pdf_scan_jbig2s"] = scan_pdf_jbig2_sym
 
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "law_foiv": "txt", "fintoc": "txt",
                  "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
                  "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
                  "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf",
-                 "pdf_scan_jbig2": "pdf", "scan_multifont": "pgm",
+                 "pdf_scan_jbig2": "pdf", "pdf_scan_jbig2s": "pdf", "scan_multifont": "pgm",
                  "scan_png": "png", "scan_tiff": "tif"}
 
 

@@ -17,10 +17,15 @@ from dedoc_ray.ops.jbig2 import (
     BadJbig2,
     MQDec,
     MQEnc,
+    decode_symbol_dict,
+    decode_text_region,
+    encode_symbol_dict,
+    encode_text_region,
     generic_decode,
     generic_encode,
     jbig2_decode_embedded,
     jbig2_encode_embedded,
+    jbig2_encode_symbols,
 )
 
 
@@ -66,13 +71,120 @@ def test_embedded_segment_layer_roundtrip():
     assert out.shape == bm.shape and (out == bm).all()
 
 
-def test_embedded_rejects_symbol_regions():
+def test_embedded_rejects_truncated_symbol_dict():
     import struct
 
-    # a symbol-dictionary segment header (type 0) must raise, not garble
+    # a truncated symbol-dictionary segment (type 0) must raise, not garble
     seg = struct.pack(">IB", 0, 0) + b"\x00" + bytes([1]) + struct.pack(">I", 2) + b"\x00\x00"
     with pytest.raises(BadJbig2):
         jbig2_decode_embedded(seg)
+
+
+@pytest.mark.parametrize("template", [1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_generic_templates_1_to_3_roundtrip(template, tpgdon):
+    rng = np.random.default_rng(template * 7 + tpgdon)
+    bm = (rng.random((40, 70)) < 0.15).astype(np.uint8)
+    enc = generic_encode(bm, tpgdon=tpgdon, template=template)
+    dec = generic_decode(enc, 70, 40, tpgdon=tpgdon, template=template)
+    assert (dec == bm).all()
+
+
+def test_generic_non_nominal_at_pixels_roundtrip():
+    rng = np.random.default_rng(9)
+    bm = (rng.random((30, 50)) < 0.2).astype(np.uint8)
+    ats = [(1, -1), (-2, -1), (1, -2), (-1, -2)]
+    enc = generic_encode(bm, template=0, ats=ats)
+    dec = generic_decode(enc, 50, 30, template=0, ats=ats)
+    assert (dec == bm).all()
+    with pytest.raises(BadJbig2):  # non-causal AT pixel fails closed
+        generic_decode(enc, 50, 30, template=0, ats=[(1, 0), (-2, -1), (1, -2), (-1, -2)])
+
+
+def test_symbol_dictionary_roundtrip_height_classes():
+    rng = np.random.default_rng(21)
+    syms = []
+    for hgt, wid in [(5, 3), (5, 7), (7, 4), (7, 4), (9, 9), (9, 2)]:
+        m = (rng.random((hgt, wid)) < 0.5).astype(np.uint8)
+        m[0, 0] = 1
+        syms.append(m)
+    syms.sort(key=lambda m: (m.shape[0], m.shape[1], m.tobytes()))
+    out = decode_symbol_dict(encode_symbol_dict(syms), [])
+    assert len(out) == len(syms)
+    for a, b in zip(syms, out):
+        assert (a == b).all()
+
+
+@pytest.mark.parametrize("transposed", [0, 1])
+@pytest.mark.parametrize("corner", [0, 1, 2, 3])
+def test_text_region_all_corners(corner, transposed):
+    # every REFCORNER × TRANSPOSED combination draws identical pixels
+    # from page-coordinate instances — pinning the T/S interpretation
+    rng = np.random.default_rng(corner * 2 + transposed)
+    syms = []
+    for hgt, wid in [(4, 6), (6, 3), (8, 8)]:
+        m = (rng.random((hgt, wid)) < 0.5).astype(np.uint8)
+        m[0, 0] = 1
+        m[-1, -1] = 1
+        syms.append(m)
+    widths = [s.shape[1] for s in syms]
+    heights = [s.shape[0] for s in syms]
+    inst = [(3, 2, 0), (3, 12, 1), (14, 5, 2), (14, 20, 0), (25, 1, 1)]
+    expect = np.zeros((40, 40), np.uint8)
+    for t, s, sid in inst:
+        sym = syms[sid]
+        expect[t : t + sym.shape[0], s : s + sym.shape[1]] |= sym
+    blob = encode_text_region(
+        (40, 40), inst, widths, heights, refcorner=corner, transposed=transposed
+    )
+    region, _, _ = decode_text_region(blob, syms)
+    assert (region == expect).all()
+
+
+def test_symbol_coded_page_roundtrips_and_dedupes():
+    rng = np.random.default_rng(3)
+    page = np.zeros((60, 200), np.uint8)
+    glyph = (rng.random((7, 5)) < 0.6).astype(np.uint8)
+    glyph[0, 0] = 1
+    for i in range(12):
+        page[10:17, 8 * i + 4 : 8 * i + 9] |= glyph  # 12 copies → 1 symbol
+    page[40:47, 20:25] = glyph
+    stream = jbig2_encode_symbols(page)
+    dec = jbig2_decode_embedded(stream)
+    assert dec.shape == page.shape and (dec == page).all()
+    # 13 instances of one deduped symbol must beat the generic coding of
+    # a page that repeats it 13 times — the whole point of symbol mode
+    assert len(stream) < len(jbig2_encode_embedded(page, tpgdon=True)) + 64
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_symbol_coded_random_pages_roundtrip(seed):
+    rnd = random.Random(seed)
+    rng = np.random.default_rng(seed)
+    page = np.zeros((rnd.randint(20, 50), rnd.randint(30, 90)), np.uint8)
+    for _ in range(rnd.randint(0, 14)):
+        gh, gw = rnd.randint(1, 9), rnd.randint(1, 9)
+        gy = rnd.randint(0, page.shape[0] - gh)
+        gx = rnd.randint(0, page.shape[1] - gw)
+        page[gy : gy + gh, gx : gx + gw] |= (rng.random((gh, gw)) < 0.7).astype(np.uint8)
+    dec = jbig2_decode_embedded(jbig2_encode_symbols(page))
+    out = np.zeros_like(page)
+    out[: dec.shape[0], : dec.shape[1]] = dec[: page.shape[0], : page.shape[1]]
+    assert (out == page).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=19, max_size=256))
+def test_symbol_and_text_segments_fail_closed(data):
+    try:
+        decode_symbol_dict(data, [])
+    except (BadJbig2, ValueError, IndexError, KeyError, OverflowError):
+        pass
+    try:
+        decode_text_region(data, [np.ones((2, 2), np.uint8)])
+    except (BadJbig2, ValueError, IndexError, KeyError, OverflowError):
+        pass
 
 
 @settings(max_examples=40, deadline=None)
@@ -88,7 +200,7 @@ def test_embedded_fails_closed(data):
 
 def test_scanned_pdf_with_jbig2_reads_end_to_end():
     from dedoc_ray.manager import DedocRayManager
-    from dedoc_ray.sources.scan_writer import scan_pdf, scan_pdf_jbig2
+    from dedoc_ray.sources.scan_writer import scan_pdf, scan_pdf_jbig2, scan_pdf_jbig2_sym
 
     m = DedocRayManager()
     text = "the quick brown fox jumps over the lazy dog " * 3
@@ -98,3 +210,7 @@ def test_scanned_pdf_with_jbig2_reads_end_to_end():
     assert "Document 7" in jbig2["extracted_text"]
     # identical raster, identical OCR result across the two codecs
     assert jbig2["extracted_text"] == flate["extracted_text"]
+    # symbol-coded variant (dictionary + text region) — same raster again
+    sym = m.parse(data=scan_pdf_jbig2_sym(7, text), file_name="scan_jbig2s.pdf")
+    assert sym["status"] == "ok"
+    assert sym["extracted_text"] == flate["extracted_text"]
