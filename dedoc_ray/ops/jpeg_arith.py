@@ -338,17 +338,22 @@ class _AcModel:
         self.stats = _new_stats(256)
 
     def decode_block(self, dec: ArithDecoder, zq: np.ndarray) -> None:
+        self.decode_band(dec, zq, 1, 63, 0)
+
+    def decode_band(self, dec: ArithDecoder, zq: np.ndarray, ss: int, se: int, al: int) -> None:
+        """Spectral band Ss..Se at point transform Al (sequential = 1..63
+        at 0; progressive AC-first scans per T.81 G.2.2)."""
         s = self.stats
-        k = 1
-        while k <= 63:
+        k = ss
+        while k <= se:
             st = 3 * (k - 1)
             if dec.decode(s[st]):
                 return  # EOB
             while dec.decode(s[st + 1]) == 0:
                 st += 3
                 k += 1
-                if k > 63:
-                    raise ValueError("arith AC run past block end")
+                if k > se:
+                    raise ValueError("arith AC run past band end")
             sign = dec.decode([_FIXED, 0])
             st += 2
             m = dec.decode(s[st])
@@ -368,17 +373,52 @@ class _AcModel:
                 if dec.decode(s[st]):
                     v |= m
             v += 1
-            zq[k] = -v if sign else v
+            zq[k] = (-v if sign else v) << al
+            k += 1
+
+    def refine_band(self, dec: ArithDecoder, zq: np.ndarray, ss: int, se: int, al: int) -> None:
+        """AC successive-approximation refinement (T.81 G.2.3 / the
+        decode_mcu_AC_refine flow): correction bits for known-nonzero
+        coefficients, newly-significant flags for the rest, EOB decision
+        only above the block's current last nonzero index."""
+        s = self.stats
+        p1 = 1 << al
+        m1 = -p1
+        kex = se
+        while kex > 0 and zq[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            st = 3 * (k - 1)
+            if k > kex and dec.decode(s[st]):
+                return  # EOB
+            while True:
+                if zq[k]:  # previously nonzero: one correction bit
+                    if dec.decode(s[st + 2]):
+                        zq[k] += m1 if zq[k] < 0 else p1
+                    break
+                if dec.decode(s[st + 1]):  # newly nonzero
+                    zq[k] = m1 if dec.decode([_FIXED, 0]) else p1
+                    break
+                st += 3
+                k += 1
+                if k > se:
+                    raise ValueError("arith AC refinement past band end")
             k += 1
 
     def encode_block(self, enc: ArithEncoder, zq: np.ndarray) -> None:
+        self.encode_band(enc, zq, 1, 63)
+
+    def encode_band(self, enc: ArithEncoder, zq: np.ndarray, ss: int, se: int) -> None:
+        """Encode spectral band Ss..Se (Al=0) — the inverse of decode_band;
+        sequential encoding is the full 1..63 band."""
         s = self.stats
-        ke = 0
-        for i in range(63, 0, -1):
+        ke = ss - 1
+        for i in range(se, ss - 1, -1):
             if zq[i]:
                 ke = i
                 break
-        k = 1
+        k = ss
         while k <= ke:
             st = 3 * (k - 1)
             enc.encode(0, s[st])  # not EOB
@@ -415,8 +455,8 @@ class _AcModel:
                 enc.encode(1 if sz & bit else 0, s[st])
                 bit >>= 1
             k += 1
-        if ke < 63:
-            enc.encode(1, s[3 * ke])  # EOB at position ke+1
+        if ke < se:
+            enc.encode(1, s[3 * ke])  # EOB at position ke+1 (ke=ss-1 if band empty)
 
 
 # ----------------------------------------------------------------- codec
@@ -546,6 +586,229 @@ def arith_decode_planes(data: bytes) -> List[np.ndarray]:
     return out
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """First real marker at/after pos (skips stuffed FF00 and fill FFs
+    inside entropy data; RSTn are real markers here — callers that expect
+    them consume them)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
+
+
+def arith_decode_progressive(data: bytes) -> List[np.ndarray]:
+    """SOF10 (progressive DCT, arithmetic coding) → per-component planes,
+    mirroring jpeg_codec._decode_progressive's scan walk: coefficients
+    accumulate per block across scans (DC first/refine per G.2.1, AC
+    first bands per G.2.2, AC refinement per G.2.3 — statistics areas
+    reset at every scan start and restart), dequantize + IDCT once at
+    EOI. libjpeg's jpeg_simple_progression + arith_code streams decode
+    pixel-identically to libjpeg itself (tests/test_jpeg_arith.py)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: Dict[int, np.ndarray] = {}
+    dc_cond: Dict[int, Tuple[int, int]] = {}
+    ac_cond: Dict[int, int] = {}
+    w = h = None
+    restart = 0
+    comps: List[Tuple[int, int, int, int]] = []
+    stores: List[np.ndarray] = []
+    geoms: List[Tuple[int, int, int, int, int]] = []  # (pad_bw, true_bw, true_bh, hi, vi)
+    mcux = mcuy = 0
+    hmax = vmax = 1
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 2 + ln > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(body[b + 1 : b + 65], np.uint8).astype(np.float64)
+                b += 65
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            b = 0
+            while b + 2 <= len(body):
+                tc, tb = body[b] >> 4, body[b] & 0xF
+                cs = body[b + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0xF, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                b += 2
+        elif marker == 0xCA:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit progressive arithmetic JPEG supported")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component progressive arithmetic JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi, vi, tq in comps:
+                pad_bw, pad_bh = mcux * hi, mcuy * vi
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                geoms.append((pad_bw, (cw + 7) // 8, (ch + 7) // 8, hi, vi))
+                stores.append(np.zeros((pad_bh * pad_bw, 64), np.int64))
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive arithmetic JPEG")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF10")
+            ns = body[0]
+            by_id = {comps[i][0]: i for i in range(len(comps))}
+            scan_list = []
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                if cid not in by_id:
+                    raise ValueError("SOS names an unknown component")
+                scan_list.append((by_id[cid], tids >> 4, tids & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _arith_prog_scan(
+                data, pos + 2 + ln, stores, geoms, scan_list, dc_cond, ac_cond,
+                (mcux, mcuy), ss, se, ahal >> 4, ahal & 0xF, restart,
+            )
+            continue
+        pos += 2 + ln
+    if not comps or w is None:
+        raise ValueError("progressive arithmetic JPEG missing SOF10 or scans")
+    planes: List[np.ndarray] = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        q = qtabs.get(tq)
+        if q is None:
+            raise ValueError("JPEG missing quant table")
+        pad_bw = geoms[ci][0]
+        pad_bh = mcuy * vi
+        out = np.zeros((pad_bh * 8, pad_bw * 8), np.float64)
+        coefs = stores[ci]
+        for bi in range(pad_bh * pad_bw):
+            full = np.zeros(64, np.float64)
+            full[_ZZ] = coefs[bi] * q
+            by, bx = divmod(bi, pad_bw)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _C.T @ full.reshape(8, 8) @ _C
+        p = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(p[:h, :w])
+    return planes
+
+
+def _arith_prog_scan(
+    data: bytes, start: int, stores, geoms, scan_list, dc_cond, ac_cond,
+    mcu_dims, ss, se, ah, al, restart,
+) -> int:
+    """Decode one progressive arithmetic scan; returns the position of
+    the next non-RST marker. Statistics areas are fresh per scan and
+    reset at restart intervals (G.1.1.2)."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan must be DC (Ss=Se=0) or an AC band (Ss>=1)")
+    dec = ArithDecoder(data, start)
+
+    def do_restart() -> None:
+        p = dec.pos
+        while p + 1 < len(data) and not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+            p += 1
+        dec.restart(p + 2)
+
+    if ss == 0:  # DC scan — may be MCU-interleaved
+        mcux, mcuy = mcu_dims
+        models = {}
+        if ah == 0:
+            for ci, dc_id, _ in scan_list:
+                if dc_id not in models:
+                    L, U = dc_cond.get(dc_id, (0, 1))
+                    models[dc_id] = _DcModel(L, U)
+        preds = [0] * len(scan_list)
+        dctx = [0] * len(scan_list)
+
+        def reset_dc() -> None:
+            nonlocal preds, dctx
+            for m in models.values():
+                m.reset()
+            preds = [0] * len(scan_list)
+            dctx = [0] * len(scan_list)
+
+        if len(scan_list) > 1:  # interleaved: MCU grid, hi×vi blocks each
+            nmcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and nmcu and nmcu % restart == 0:
+                        do_restart()
+                        reset_dc()
+                    nmcu += 1
+                    for si, (ci, dc_id, _) in enumerate(scan_list):
+                        pad_bw, _, _, hi, vi = geoms[ci]
+                        store = stores[ci]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                flat = (my * vi + byi) * pad_bw + (mx * hi + bxi)
+                                if ah == 0:
+                                    diff, dctx[si] = models[dc_id].decode(dec, dctx[si])
+                                    preds[si] += diff
+                                    store[flat, 0] = preds[si] << al
+                                elif dec.decode([_FIXED, 0]):
+                                    store[flat, 0] |= 1 << al
+        else:  # single-component: the component's TRUE block grid
+            ci, dc_id, _ = scan_list[0]
+            pad_bw, true_bw, true_bh, _, _ = geoms[ci]
+            store = stores[ci]
+            nblk = 0
+            for byi in range(true_bh):
+                for bxi in range(true_bw):
+                    if restart and nblk and nblk % restart == 0:
+                        do_restart()
+                        reset_dc()
+                    nblk += 1
+                    flat = byi * pad_bw + bxi
+                    if ah == 0:
+                        diff, dctx[0] = models[dc_id].decode(dec, dctx[0])
+                        preds[0] += diff
+                        store[flat, 0] = preds[0] << al
+                    elif dec.decode([_FIXED, 0]):
+                        store[flat, 0] |= 1 << al
+        return _next_marker(data, dec.pos)
+
+    if len(scan_list) != 1:
+        raise ValueError("AC progressive scans must be single-component")
+    ci, _, ac_id = scan_list[0]
+    pad_bw, true_bw, true_bh, _, _ = geoms[ci]
+    store = stores[ci]
+    model = _AcModel(ac_cond.get(ac_id, 5))
+    nblk = 0
+    for byi in range(true_bh):
+        for bxi in range(true_bw):
+            if restart and nblk and nblk % restart == 0:
+                do_restart()
+                model.reset()
+            nblk += 1
+            zq = store[byi * pad_bw + bxi]
+            if ah == 0:
+                model.decode_band(dec, zq, ss, se, al)
+            else:
+                model.refine_band(dec, zq, ss, se, al)
+    return _next_marker(data, dec.pos)
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -581,9 +844,57 @@ def arith_encode_gray(gray: np.ndarray, quant: np.ndarray | None = None) -> byte
     return b"\xff\xd8" + dqt + sof + dac + sos + payload + b"\xff\xd9"
 
 
+def arith_encode_gray_progressive(gray: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """(h, w) uint8 grayscale → PROGRESSIVE arithmetic JPEG (SOF10): a DC
+    scan then two spectral-selection AC scans (1-5, 6-63), each with fresh
+    statistics areas per T.81 G.2. Lossless under flat quantization like
+    the sequential encoder, so the two paths reconstruct identically."""
+    h, w = gray.shape
+    q = np.ones(64, np.uint16) if quant is None else np.asarray(quant, np.uint16).reshape(64)
+    qtab = np.empty(64, np.float64)
+    qtab[_ZZ] = q
+    qtab = qtab.reshape(8, 8)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(gray, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge").astype(np.float64) - 128.0
+    blocks = [
+        _quantize_block(padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qtab)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+
+    def dc_scan() -> bytes:
+        enc = ArithEncoder()
+        dc = _DcModel()
+        pred = ctx = 0
+        for zq in blocks:
+            ctx = dc.encode(enc, int(zq[0]) - pred, ctx)
+            pred = int(zq[0])
+        return enc.flush()
+
+    def ac_scan(ss: int, se: int) -> bytes:
+        enc = ArithEncoder()
+        ac = _AcModel()
+        for zq in blocks:
+            ac.encode_band(enc, zq, ss, se)
+        return enc.flush()
+
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in q))
+    sof = _seg(0xFFCA, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dac = _seg(0xFFCC, bytes([0x00, (1 << 4) | 0, 0x10, 5]))  # L=0 U=1; Kx=5
+    out = b"\xff\xd8" + dqt + sof + dac
+    out += _seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x00\x00") + dc_scan()
+    out += _seg(0xFFDA, b"\x01\x01\x00" + b"\x01\x05\x00") + ac_scan(1, 5)
+    out += _seg(0xFFDA, b"\x01\x01\x00" + b"\x06\x3f\x00") + ac_scan(6, 63)
+    return out + b"\xff\xd9"
+
+
 def jpeg_payload_arith(doc_id: int) -> bytes:
-    """Constant-gray ARITHMETIC JPEG (SOF9), same dims/pixel field as
+    """Constant-gray ARITHMETIC JPEG, same dims/pixel field as
     jpeg_codec.jpeg_payload — the baseline SQL oracle applies because the
-    flat-quant constant block reconstructs bit-exactly."""
+    flat-quant constant block reconstructs bit-exactly. Every third doc is
+    PROGRESSIVE (SOF10) so the pipeline exercises both entropy layouts."""
     w, h = 12 + (doc_id % 6) * 4, 10 + (doc_id % 4) * 6
-    return arith_encode_gray(np.full((h, w), doc_id % 256, np.uint8))
+    img = np.full((h, w), doc_id % 256, np.uint8)
+    if doc_id % 3 == 2:
+        return arith_encode_gray_progressive(img)
+    return arith_encode_gray(img)

@@ -390,7 +390,11 @@ def jpeg_decode_planes(data: bytes) -> List[np.ndarray]:
             from dedoc_ray.ops.jpeg_arith import arith_decode_planes
 
             return arith_decode_planes(data)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCA:  # arithmetic progressive (T.81 G.2)
+            from dedoc_ray.ops.jpeg_arith import arith_decode_progressive
+
+            return arith_decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])

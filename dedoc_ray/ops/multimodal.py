@@ -386,9 +386,10 @@ def image_features_jpeg_color(sf_dir: str):
 
 
 def image_features_jpeg_arith(sf_dir: str):
-    """The image feature stage over ARITHMETIC-coded JPEG payloads (SOF9,
-    T.81 Annexes D/F/G — QM coder, DC diff-conditioning contexts, AC Kx
-    split; ops/jpeg_arith.py). Decoder interop is pinned against libjpeg
+    """The image feature stage over ARITHMETIC-coded JPEG payloads (SOF9
+    sequential + SOF10 progressive every third doc; T.81 Annexes D/F/G —
+    QM coder, DC diff-conditioning contexts, AC Kx split, spectral-band
+    scans; ops/jpeg_arith.py). Decoder interop is pinned against libjpeg
     in both directions in tests/test_jpeg_arith.py; constant-gray corpus
     images decode bit-exactly → the baseline exact SQL oracle applies."""
     return media_corpus_real(sf_dir, image_codec="jpeg_arith").drop_columns(["audio", "video"]).map_batches(

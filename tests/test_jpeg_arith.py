@@ -1,4 +1,4 @@
-"""Arithmetic-coded JPEG (SOF9): QM coder + interop validation.
+"""Arithmetic-coded JPEG (SOF9 sequential + SOF10 progressive): QM coder + interop validation.
 
 Self-consistent encoder/decoder pairs can hide convention errors, so the
 decisive tests here are cross-IMPLEMENTATION: when gcc + libjpeg headers
@@ -22,6 +22,7 @@ from dedoc_ray.ops.jpeg_arith import (
     ArithEncoder,
     arith_decode_planes,
     arith_encode_gray,
+    arith_encode_gray_progressive,
     jpeg_payload_arith,
 )
 from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes, jpeg_encode
@@ -65,10 +66,24 @@ def test_arith_constant_block_lossless():
 
 
 def test_payload_dims_and_mean():
-    for doc_id in (0, 7, 123, 9999):
-        plane = arith_decode_planes(jpeg_payload_arith(doc_id))[0]
+    # doc_id % 3 == 2 payloads are SOF10 progressive — same pixel field
+    for doc_id in (0, 7, 123, 9999, 2, 5, 8):
+        blob = jpeg_payload_arith(doc_id)
+        assert (b"\xff\xca" in blob[:100]) == (doc_id % 3 == 2)
+        plane = jpeg_decode_planes(blob)[0]
         assert plane.shape == (10 + (doc_id % 4) * 6, 12 + (doc_id % 6) * 4)
         assert int(plane.mean().round()) == doc_id % 256
+
+
+def test_our_progressive_encoder_matches_sequential_path():
+    # our own SOF10 encoder (DC scan + two AC band scans) decodes
+    # bit-identically to the sequential SOF9 path on the same pixels
+    rng = np.random.RandomState(21)
+    for h, w in [(8, 8), (24, 40), (17, 23), (30, 44)]:
+        img = (rng.rand(h, w) * 255).astype(np.uint8)
+        prog = jpeg_decode_planes(arith_encode_gray_progressive(img))[0]
+        seq = jpeg_decode_planes(arith_encode_gray(img))[0]
+        assert np.array_equal(prog, seq)
 
 
 def test_dispatch_through_baseline_entrypoint():
@@ -109,6 +124,8 @@ int main(int argc, char **argv) {
         c.in_color_space = comps == 3 ? JCS_RGB : JCS_GRAYSCALE;
         jpeg_set_defaults(&c); jpeg_set_quality(&c, atoi(argv[4]), TRUE);
         c.arith_code = TRUE; c.optimize_coding = FALSE;
+        if (argc > 5 && atoi(argv[5])) jpeg_simple_progression(&c);
+        if (argc > 6) c.restart_interval = atoi(argv[6]);
         jpeg_start_compress(&c, TRUE);
         while (c.next_scanline < c.image_height) {
             JSAMPROW row = img + (size_t)c.next_scanline * w * comps;
@@ -180,16 +197,81 @@ def test_decode_real_libjpeg_arith_stream(jtool, tmp_path):
     assert np.abs(mine.astype(int) - truth.astype(int)).max() <= 1
 
 
+def test_sof10_progressive_matches_sequential(jtool, tmp_path):
+    # libjpeg encodes the SAME pixels sequentially (SOF9) and progressively
+    # (SOF10, jpeg_simple_progression): identical quantized coefficients, so
+    # the two decode paths must agree bit-exactly — grayscale and color,
+    # with and without restart intervals (which reset statistics areas).
+    rng = np.random.RandomState(5)
+    img = ((rng.rand(56, 72) * 80) + (np.indices((56, 72)).sum(0) % 100)).astype(np.uint8)
+    pgm = tmp_path / "g.pgm"
+    pgm.write_bytes(b"P5\n72 56\n255\n" + img.tobytes())
+    rgb = (rng.rand(48, 60, 3) * 255).astype(np.uint8)
+    ppm = tmp_path / "c.ppm"
+    ppm.write_bytes(b"P6\n60 48\n255\n" + rgb.tobytes())
+    for src, tag in [(pgm, "g"), (ppm, "c")]:
+        sj = tmp_path / f"{tag}seq.jpg"
+        subprocess.run([jtool, "enc", str(src), str(sj), "85", "0"], check=True)
+        seq = jpeg_decode_planes(sj.read_bytes())
+        for ri in ("0", "3"):
+            pj = tmp_path / f"{tag}prog{ri}.jpg"
+            subprocess.run([jtool, "enc", str(src), str(pj), "85", "1", ri], check=True)
+            blob = pj.read_bytes()
+            assert b"\xff\xca" in blob  # SOF10: really progressive arithmetic
+            if ri != "0":
+                assert b"\xff\xdd" in blob  # restart interval exercised
+            prog = jpeg_decode_planes(blob)
+            assert len(prog) == len(seq)
+            for a, b in zip(seq, prog):
+                assert np.array_equal(a, b)
+
+
+def test_sof10_vs_libjpeg_truth(jtool, tmp_path):
+    # grayscale progressive-arithmetic stream vs libjpeg's own decode: ±1
+    # (integer-vs-float IDCT). Color is excluded here — libjpeg's fancy
+    # chroma upsampling differs from our replication by design (the SOF9
+    # path shows the identical delta), so plane identity above is the
+    # color-correctness pin.
+    rng = np.random.RandomState(5)
+    img = ((rng.rand(56, 72) * 80) + (np.indices((56, 72)).sum(0) % 100)).astype(np.uint8)
+    pgm = tmp_path / "in.pgm"
+    pgm.write_bytes(b"P5\n72 56\n255\n" + img.tobytes())
+    jpg = tmp_path / "p.jpg"
+    out = tmp_path / "truth.pgm"
+    subprocess.run([jtool, "enc", str(pgm), str(jpg), "85", "1"], check=True)
+    subprocess.run([jtool, "dec", str(jpg), str(out)], check=True)
+    mine = jpeg_decode_planes(jpg.read_bytes())[0]
+    truth = _read_pgm(out)
+    assert np.abs(mine.astype(int) - truth.astype(int)).max() <= 1
+
+
+def test_sof10_odd_dims_and_subsampling(jtool, tmp_path):
+    # non-multiple-of-16 color image: single-component AC scans walk the
+    # component's true block grid, not the padded MCU grid
+    rng = np.random.RandomState(3)
+    rgb = (rng.rand(33, 41, 3) * 255).astype(np.uint8)
+    ppm = tmp_path / "odd.ppm"
+    ppm.write_bytes(b"P6\n41 33\n255\n" + rgb.tobytes())
+    sj, pj = tmp_path / "os.jpg", tmp_path / "op.jpg"
+    subprocess.run([jtool, "enc", str(ppm), str(sj), "70", "0"], check=True)
+    subprocess.run([jtool, "enc", str(ppm), str(pj), "70", "1"], check=True)
+    seq = jpeg_decode_planes(sj.read_bytes())
+    prog = jpeg_decode_planes(pj.read_bytes())
+    assert [p.shape for p in prog] == [(33, 41)] * 3
+    for a, b in zip(seq, prog):
+        assert np.array_equal(a, b)
+
+
 def test_libjpeg_decodes_our_arith_stream(jtool, tmp_path):
     rng = np.random.RandomState(9)
     for h, w in [(40, 64), (17, 23)]:
         img = (rng.rand(h, w) * 255).astype(np.uint8)
-        blob = arith_encode_gray(img)
-        jpg = tmp_path / "m.jpg"
-        jpg.write_bytes(blob)
-        out = tmp_path / "m.pgm"
-        r = subprocess.run([jtool, "dec", str(jpg), str(out)], capture_output=True)
-        assert r.returncode == 0, r.stderr[:200]
-        theirs = _read_pgm(out)
-        mine = arith_decode_planes(blob)[0]
-        assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 1
+        for blob in (arith_encode_gray(img), arith_encode_gray_progressive(img)):
+            jpg = tmp_path / "m.jpg"
+            jpg.write_bytes(blob)
+            out = tmp_path / "m.pgm"
+            r = subprocess.run([jtool, "dec", str(jpg), str(out)], capture_output=True)
+            assert r.returncode == 0, r.stderr[:200]
+            theirs = _read_pgm(out)
+            mine = jpeg_decode_planes(blob)[0]
+            assert np.abs(mine.astype(int) - theirs.astype(int)).max() <= 1
