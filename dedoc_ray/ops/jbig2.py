@@ -36,9 +36,15 @@ for textual pages:
   dictionary → text region placements) so scanned-text pages get real
   symbol-coded JBIG2 streams for the self-interop oracle.
 
+plus HALFTONE coding (6.6/6.7, both directions): pattern dictionaries
+as one collective generic bitmap with AT1 = (-HDPW, 0); halftone
+regions decode their grayscale image as Gray-coded bitplanes MSB→LSB
+through one shared coder + context (Annex C.5) and stamp patterns on
+the rotated fixed-point grid of 6.6.5.2.
+
 Scope notes: MMR-coded regions route to the existing CCITT-G4 decoder
 (ops/ccitt.py — the MMR code IS T.6); Huffman-tabled segments (SDHUFF/
-SBHUFF), refinement/aggregate coding, halftone regions and intermediate
+SBHUFF), refinement/aggregate coding, HENABLESKIP and intermediate
 (stored) regions raise :class:`BadJbig2` — the honest remainder.
 """
 
@@ -816,6 +822,138 @@ def encode_text_region(
 # ------------------------------------------------- embedded segment layer
 
 
+def decode_pattern_dict(payload: bytes) -> List[np.ndarray]:
+    """Pattern dictionary segment data (T.88 6.7) → HDPATS list. The
+    patterns arrive as ONE collective generic bitmap (GRAYMAX+1 patterns
+    of HDPW×HDPH side by side) with AT1 = (-HDPW, 0)."""
+    flags = payload[0]
+    if flags & 1:
+        raise BadJbig2("MMR pattern dictionaries unsupported")
+    template = (flags >> 1) & 3
+    hdpw, hdph = payload[1], payload[2]
+    (graymax,) = struct.unpack_from(">I", payload, 3)
+    if hdpw == 0 or hdph == 0 or graymax > 10_000:
+        raise BadJbig2("bad pattern dictionary geometry")
+    ats = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)][: 4 if template == 0 else 1]
+    collective = generic_decode(payload[7:], (graymax + 1) * hdpw, hdph, template=template, ats=ats)
+    return [collective[:, i * hdpw : (i + 1) * hdpw] for i in range(graymax + 1)]
+
+
+def encode_pattern_dict(patterns: List[np.ndarray]) -> bytes:
+    """Mirror of decode_pattern_dict (template 0, no MMR)."""
+    hdph, hdpw = patterns[0].shape
+    if any(p.shape != (hdph, hdpw) for p in patterns):
+        raise BadJbig2("patterns must share one size")
+    collective = np.concatenate(patterns, axis=1)
+    ats = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    return (
+        bytes([0, hdpw, hdph])
+        + struct.pack(">I", len(patterns) - 1)
+        + generic_encode(collective, template=0, ats=ats)
+    )
+
+
+def _grayscale_ats(template: int) -> List[Tuple[int, int]]:
+    # Annex C.5 / 6.6.5.1: AT1 x = 3 for templates 0-1, 2 for 2-3
+    a1 = (3 if template <= 1 else 2, -1)
+    return [a1, (-3, -1), (2, -2), (-2, -2)][: 4 if template == 0 else 1]
+
+
+def decode_halftone_region(payload: bytes, patterns: List[np.ndarray]):
+    """Halftone region segment data (T.88 6.6, arithmetic path) →
+    (bitmap, x, y). The grayscale image decodes as Gray-coded bitplanes
+    MSB→LSB through ONE shared coder + context (Annex C.5), then each
+    grid cell stamps its pattern at the rotated-grid position 6.6.5.2."""
+    rw, rh, rx, ry_ = struct.unpack_from(">IIII", payload, 0)
+    flags = payload[17]
+    if flags & 1:
+        raise BadJbig2("MMR halftone regions unsupported")
+    template = (flags >> 1) & 3
+    if flags & 8:
+        raise BadJbig2("HENABLESKIP unsupported")
+    combop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", payload, 18)
+    hrx, hry = struct.unpack_from(">HH", payload, 34)
+    if not patterns:
+        raise BadJbig2("halftone region with no pattern dictionary")
+    if rw * rh > 40_000_000 or hgw * hgh > 10_000_000:
+        raise BadJbig2("bad halftone geometry")
+    npats = len(patterns)
+    bits = max(1, (npats - 1).bit_length())
+    mq = MQDec(payload[38:])  # 17 region info + 1 flags + 16 grid + 4 vector
+    gcx: Dict[int, Tuple[int, int]] = {}
+    ats = _grayscale_ats(template)
+    gray = np.zeros((hgh, hgw), np.int64)
+    prev = None
+    for j in range(bits - 1, -1, -1):
+        plane = _generic_decode_mq(mq, gcx, hgw, hgh, template=template, ats=ats).astype(np.int64)
+        if prev is not None:
+            plane ^= prev  # Gray decode: XOR with the plane above
+        gray |= plane << j
+        prev = plane
+    np.minimum(gray, npats - 1, out=gray)
+    region = np.full((rh, rw), defpixel, np.uint8)
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            _blit(region, patterns[int(gray[mg, ng])], y, x, combop)
+    return region, rx, ry_
+
+
+def encode_halftone_region(
+    gray: np.ndarray, patterns: List[np.ndarray], region_size: Tuple[int, int] | None = None
+) -> bytes:
+    """Mirror of decode_halftone_region: axis-aligned square grid
+    (HRX = HDPW<<8, HRY = 0), OR composition, template 0."""
+    hgh, hgw = gray.shape
+    hdph, hdpw = patterns[0].shape
+    if hdph != hdpw:
+        # the 6.6.5.2 grid uses ONE vector (HRX, HRY) for both axes, so a
+        # square axis-aligned pitch needs square patterns
+        raise BadJbig2("encoder supports square patterns only")
+    rh, rw = region_size if region_size else (hgh * hdph, hgw * hdpw)
+    npats = len(patterns)
+    bits = max(1, (npats - 1).bit_length())
+    mq = MQEnc()
+    gcx: Dict[int, Tuple[int, int]] = {}
+    ats = _grayscale_ats(0)
+    g = np.asarray(gray, np.int64)
+    if g.min() < 0 or g.max() >= npats:
+        raise BadJbig2("gray values out of pattern range")
+    prev = None
+    for j in range(bits - 1, -1, -1):
+        plane = (g >> j) & 1
+        coded = plane if prev is None else plane ^ prev  # Gray encode
+        _generic_encode_mq(mq, gcx, coded.astype(np.uint8), template=0, ats=ats)
+        prev = plane
+    region_info = struct.pack(">IIIIB", rw, rh, 0, 0, 0)
+    # flags: not MMR, template 0, no skip, HCOMBOP=OR, HDEFPIXEL=0
+    return (
+        region_info
+        + bytes([0])
+        + struct.pack(">IIii", hgw, hgh, 0, 0)
+        + struct.pack(">HH", hdpw << 8, 0)
+        + mq.flush()
+    )
+
+
+def jbig2_encode_halftone(gray: np.ndarray, patterns: List[np.ndarray]) -> bytes:
+    """Grayscale index image + patterns → embedded-organisation JBIG2
+    stream (page info + pattern dictionary + immediate lossless halftone
+    region + end-of-page)."""
+    hgh, hgw = gray.shape
+    hdph, hdpw = patterns[0].shape
+    h, w = hgh * hdph, hgw * hdpw
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0, 0)
+    out = _segment(0, 48, 1, page_info)
+    out += _segment(1, 16, 1, encode_pattern_dict(patterns))
+    out += _segment(2, 23, 1, encode_halftone_region(gray, patterns), refs=(1,))
+    out += _segment(3, 49, 1, b"")
+    return out
+
+
 def _parse_segment_header(data: bytes, pos: int):
     (num,) = struct.unpack_from(">I", data, pos)
     flags = data[pos + 4]
@@ -858,6 +996,7 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     (uint8 0/1, 1 = black)."""
     page_bitmap: Optional[np.ndarray] = None
     sym_dicts: Dict[int, List[np.ndarray]] = {}  # segment number → exports
+    pat_dicts: Dict[int, List[np.ndarray]] = {}  # segment number → patterns
     for blob in (globals_data, data):
         pos = 0
         n = len(blob)
@@ -909,11 +1048,19 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     syms.extend(sym_dicts.get(r, []))
                 region, rx, ry_ = decode_text_region(payload, syms)
                 page_bitmap = _compose(page_bitmap, region, rx, ry_)
+            elif seg_type == 16:  # pattern dictionary
+                pat_dicts[num] = decode_pattern_dict(payload)
+            elif seg_type in (22, 23):  # immediate (lossless) halftone region
+                pats: List[np.ndarray] = []
+                for r in refs:
+                    pats.extend(pat_dicts.get(r, []))
+                region, rx, ry_ = decode_halftone_region(payload, pats)
+                page_bitmap = _compose(page_bitmap, region, rx, ry_)
             elif seg_type in (49, 50, 51, 52, 62):  # end-of-* / profiles / ext
                 continue
-            elif seg_type in (4, 16, 20, 22, 23, 40, 42, 43, 53):
+            elif seg_type in (4, 20, 40, 42, 43, 53):
                 raise BadJbig2(
-                    f"segment type {seg_type} (intermediate/halftone/refinement/tables) unsupported"
+                    f"segment type {seg_type} (intermediate/refinement/tables) unsupported"
                 )
     if page_bitmap is None:
         raise BadJbig2("no page produced")

@@ -214,3 +214,55 @@ def test_scanned_pdf_with_jbig2_reads_end_to_end():
     sym = m.parse(data=scan_pdf_jbig2_sym(7, text), file_name="scan_jbig2s.pdf")
     assert sym["status"] == "ok"
     assert sym["extracted_text"] == flate["extracted_text"]
+
+
+# --------------------------------------------------------- halftone (6.6/6.7)
+
+
+def test_pattern_dict_roundtrip():
+    from dedoc_ray.ops.jbig2 import decode_pattern_dict, encode_pattern_dict
+
+    rng = np.random.RandomState(11)
+    pats = [(rng.rand(5, 5) > 0.5).astype(np.uint8) for _ in range(9)]
+    out = decode_pattern_dict(encode_pattern_dict(pats))
+    assert len(out) == 9
+    for a, b in zip(pats, out):
+        assert np.array_equal(a, b)
+
+
+def test_halftone_region_roundtrip_density_patterns():
+    from dedoc_ray.ops.jbig2 import _blit, jbig2_decode_embedded, jbig2_encode_halftone
+
+    rng = np.random.RandomState(7)
+    pats = []
+    for k in range(17):  # 17 density levels → 5 Gray-coded bitplanes
+        p = np.zeros(16, np.uint8)
+        p[np.argsort((np.arange(16) * 7) % 16)[:k]] = 1
+        pats.append(p.reshape(4, 4))
+    gray = (rng.rand(12, 18) * 17).astype(np.int64)
+    page = jbig2_decode_embedded(jbig2_encode_halftone(gray, pats))
+    exp = np.zeros((48, 72), np.uint8)
+    for m in range(12):
+        for n in range(18):
+            _blit(exp, pats[gray[m, n]], m * 4, n * 4, 0)
+    assert np.array_equal(page, exp)
+
+
+def test_halftone_region_binary_patterns():
+    # 2 patterns → single bitplane, the bits=1 edge
+    from dedoc_ray.ops.jbig2 import jbig2_decode_embedded, jbig2_encode_halftone
+
+    rng = np.random.RandomState(3)
+    pats = [np.zeros((3, 3), np.uint8), np.ones((3, 3), np.uint8)]
+    g = (rng.rand(20, 30) > 0.6).astype(np.int64)
+    page = jbig2_decode_embedded(jbig2_encode_halftone(g, pats))
+    assert np.array_equal(page, np.kron(g, np.ones((3, 3))).astype(np.uint8))
+
+
+def test_halftone_fails_closed():
+    from dedoc_ray.ops.jbig2 import BadJbig2, decode_halftone_region, decode_pattern_dict
+
+    with pytest.raises((BadJbig2, ValueError, IndexError)):
+        decode_pattern_dict(b"\x01\x04\x04\x00\x00\x00\x03")  # MMR bit set
+    with pytest.raises((BadJbig2, ValueError, IndexError)):
+        decode_halftone_region(b"\x00" * 38, [])  # no patterns
