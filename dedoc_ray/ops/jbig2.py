@@ -42,10 +42,16 @@ regions decode their grayscale image as Gray-coded bitplanes MSB→LSB
 through one shared coder + context (Annex C.5) and stamp patterns on
 the rotated fixed-point grid of 6.6.5.2.
 
+plus REFINEMENT coding (6.3, both directions): generic refinement
+regions with templates 0-1, adaptive pixels and reference offsets —
+the lossy-generic-then-lossless-refinement layout real encoders emit —
+composed onto the page with REPLACE semantics (segment types 42/43).
+
 Scope notes: MMR-coded regions route to the existing CCITT-G4 decoder
 (ops/ccitt.py — the MMR code IS T.6); Huffman-tabled segments (SDHUFF/
-SBHUFF), refinement/aggregate coding, HENABLESKIP and intermediate
-(stored) regions raise :class:`BadJbig2` — the honest remainder.
+SBHUFF), TPGRON, refinement-aggregate SYMBOL coding (IARI), HENABLESKIP
+and intermediate (stored) regions raise :class:`BadJbig2` — the honest
+remainder.
 """
 
 from __future__ import annotations
@@ -822,6 +828,128 @@ def encode_text_region(
 # ------------------------------------------------- embedded segment layer
 
 
+# ------------------------------------------------- refinement (T.88 6.3)
+#
+# Context = coding-bitmap pixels MSB-first in figure order, then
+# reference-bitmap pixels (offset by GRREFERENCEDX/DY). Template 0 appends
+# adaptive pixel A1 to the coding plane and A2 to the reference plane.
+
+_GR_CODING = (((0, -1), (1, -1), (-1, 0)), ((-1, -1), (0, -1), (1, -1), (-1, 0)))
+_GR_REFERENCE = (
+    ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+)
+_GR_NOMINAL_ATS = ((-1, -1), (-1, -1))
+
+
+def _refine_offsets(template: int, ats=None):
+    if template not in (0, 1):
+        raise BadJbig2(f"refinement template {template} unsupported")
+    coding = _GR_CODING[template]
+    reference = _GR_REFERENCE[template]
+    if template == 0:
+        a1, a2 = (ats or _GR_NOMINAL_ATS)[:2]
+        coding = coding + (tuple(a1),)
+        reference = reference + (tuple(a2),)
+    return coding, reference
+
+
+def _refine_decode_mq(
+    mq: MQDec,
+    gcx: Dict[int, Tuple[int, int]],
+    width: int,
+    height: int,
+    reference: np.ndarray,
+    dx: int = 0,
+    dy: int = 0,
+    template: int = 0,
+    ats=None,
+) -> np.ndarray:
+    """Generic refinement decode (no TPGRON) → uint8 (h, w) bitmap."""
+    if width <= 0 or height <= 0 or width * height > 40_000_000:
+        raise BadJbig2(f"bad refinement geometry {width}x{height}")
+    coding, refer = _refine_offsets(template, ats)
+    out = np.zeros((height, width), np.uint8)
+    rh, rw = reference.shape
+    dec = mq.decode
+    for y in range(height):
+        for x in range(width):
+            ctx = 0
+            for ox, oy in coding:
+                cy, cx_ = y + oy, x + ox
+                bit = int(out[cy, cx_]) if 0 <= cy < height and 0 <= cx_ < width else 0
+                ctx = (ctx << 1) | bit
+            for ox, oy in refer:
+                ry_ = y - dy + oy
+                rx_ = x - dx + ox
+                bit = int(reference[ry_, rx_]) if 0 <= ry_ < rh and 0 <= rx_ < rw else 0
+                ctx = (ctx << 1) | bit
+            out[y, x] = dec(ctx, gcx)
+    return out
+
+
+def _refine_encode_mq(
+    mq: MQEnc,
+    gcx: Dict[int, Tuple[int, int]],
+    bitmap: np.ndarray,
+    reference: np.ndarray,
+    dx: int = 0,
+    dy: int = 0,
+    template: int = 0,
+    ats=None,
+) -> None:
+    """Mirror of _refine_decode_mq (no flush)."""
+    height, width = bitmap.shape
+    coding, refer = _refine_offsets(template, ats)
+    rh, rw = reference.shape
+    enc = mq.encode
+    for y in range(height):
+        for x in range(width):
+            ctx = 0
+            for ox, oy in coding:
+                cy, cx_ = y + oy, x + ox
+                bit = int(bitmap[cy, cx_]) if 0 <= cy < height and 0 <= cx_ < width else 0
+                ctx = (ctx << 1) | bit
+            for ox, oy in refer:
+                ry_ = y - dy + oy
+                rx_ = x - dx + ox
+                bit = int(reference[ry_, rx_]) if 0 <= ry_ < rh and 0 <= rx_ < rw else 0
+                ctx = (ctx << 1) | bit
+            enc(ctx, int(bitmap[y, x] & 1), gcx)
+
+
+def decode_refinement_region(payload: bytes, reference: np.ndarray):
+    """Refinement region segment data (6.3.5) → (bitmap, x, y). The
+    reference is the page region under the segment's bounding box."""
+    rw, rh, rx, ry_ = struct.unpack_from(">IIII", payload, 0)
+    flags = payload[17]
+    template = flags & 1
+    if flags & 2:
+        raise BadJbig2("TPGRON refinement unsupported")
+    p = 18
+    ats = None
+    if template == 0:
+        ats = [
+            (struct.unpack_from(">b", payload, p)[0], struct.unpack_from(">b", payload, p + 1)[0]),
+            (struct.unpack_from(">b", payload, p + 2)[0], struct.unpack_from(">b", payload, p + 3)[0]),
+        ]
+        p += 4
+    mq = MQDec(payload[p:])
+    region = _refine_decode_mq(mq, {}, rw, rh, reference, 0, 0, template, ats)
+    return region, rx, ry_
+
+
+def encode_refinement_region(
+    bitmap: np.ndarray, reference: np.ndarray, x: int = 0, y: int = 0
+) -> bytes:
+    """Mirror of decode_refinement_region (template 0, nominal ATs)."""
+    rh, rw = bitmap.shape
+    region_info = struct.pack(">IIIIB", rw, rh, x, y, 4)  # REPLACE composition
+    mq = MQEnc()
+    _refine_encode_mq(mq, {}, bitmap, reference)
+    return region_info + bytes([0]) + struct.pack(">bbbb", -1, -1, -1, -1) + mq.flush()
+
+
 def decode_pattern_dict(payload: bytes) -> List[np.ndarray]:
     """Pattern dictionary segment data (T.88 6.7) → HDPATS list. The
     patterns arrive as ONE collective generic bitmap (GRAYMAX+1 patterns
@@ -1056,11 +1184,23 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     pats.extend(pat_dicts.get(r, []))
                 region, rx, ry_ = decode_halftone_region(payload, pats)
                 page_bitmap = _compose(page_bitmap, region, rx, ry_)
+            elif seg_type in (42, 43):  # immediate (lossless) refinement region
+                rw0, rh0, rx0, ry0 = struct.unpack_from(">IIII", payload, 0)
+                if page_bitmap is None:
+                    raise BadJbig2("refinement region before page info")
+                ref = np.zeros((rh0, rw0), np.uint8)
+                sub = page_bitmap[ry0 : ry0 + rh0, rx0 : rx0 + rw0]
+                ref[: sub.shape[0], : sub.shape[1]] = sub
+                region, rx, ry_ = decode_refinement_region(payload, ref)
+                page_bitmap = _compose(page_bitmap, region, rx, ry_)
+                # refinement REPLACES the rectangle it refines (6.3 + page
+                # comb op REPLACE) — clear-then-set via direct assignment
+                page_bitmap[ry_ : ry_ + region.shape[0], rx : rx + region.shape[1]] = region
             elif seg_type in (49, 50, 51, 52, 62):  # end-of-* / profiles / ext
                 continue
-            elif seg_type in (4, 20, 40, 42, 43, 53):
+            elif seg_type in (4, 20, 40, 53):
                 raise BadJbig2(
-                    f"segment type {seg_type} (intermediate/refinement/tables) unsupported"
+                    f"segment type {seg_type} (intermediate/tables) unsupported"
                 )
     if page_bitmap is None:
         raise BadJbig2("no page produced")

@@ -266,3 +266,54 @@ def test_halftone_fails_closed():
         decode_pattern_dict(b"\x01\x04\x04\x00\x00\x00\x03")  # MMR bit set
     with pytest.raises((BadJbig2, ValueError, IndexError)):
         decode_halftone_region(b"\x00" * 38, [])  # no patterns
+
+
+# ------------------------------------------------------- refinement (6.3)
+
+
+def test_refinement_region_roundtrip():
+    from dedoc_ray.ops.jbig2 import decode_refinement_region, encode_refinement_region
+
+    rng = np.random.RandomState(5)
+    truth = (rng.rand(40, 60) > 0.7).astype(np.uint8)
+    noisy = truth.copy()
+    noisy[rng.rand(40, 60) < 0.05] ^= 1
+    region, x, y = decode_refinement_region(encode_refinement_region(truth, noisy), noisy)
+    assert (x, y) == (0, 0)
+    assert np.array_equal(region, truth)
+
+
+@pytest.mark.parametrize("template,dx,dy", [(0, 0, 0), (1, 0, 0), (0, 2, -1), (1, -3, 2)])
+def test_refinement_templates_and_offsets(template, dx, dy):
+    from dedoc_ray.ops.jbig2 import MQDec, MQEnc, _refine_decode_mq, _refine_encode_mq
+
+    rng = np.random.RandomState(template * 10 + dx + dy + 50)
+    truth = (rng.rand(25, 33) > 0.6).astype(np.uint8)
+    ref = truth.copy()
+    ref[rng.rand(25, 33) < 0.08] ^= 1
+    mq = MQEnc()
+    _refine_encode_mq(mq, {}, truth, ref, dx=dx, dy=dy, template=template)
+    out = _refine_decode_mq(MQDec(mq.flush()), {}, 33, 25, ref, dx=dx, dy=dy, template=template)
+    assert np.array_equal(out, truth)
+
+
+def test_embedded_lossy_generic_plus_refinement_replaces_exactly():
+    # the real lossy-to-lossless layout: generic region of a degraded
+    # raster, then an immediate refinement region restoring the truth
+    import struct as _s
+
+    from dedoc_ray.ops import jbig2 as J
+
+    rng = np.random.RandomState(9)
+    truth = (rng.rand(30, 50) > 0.75).astype(np.uint8)
+    noisy = truth.copy()
+    noisy[rng.rand(30, 50) < 0.06] ^= 1
+    page_info = _s.pack(">IIIIBH", 50, 30, 0, 0, 0, 0)
+    region_info = _s.pack(">IIIIB", 50, 30, 0, 0, 0)
+    ats = _s.pack(">bbbbbbbb", 3, -1, -3, -1, 2, -2, -2, -2)
+    gpayload = region_info + bytes([8]) + ats + J.generic_encode(noisy, tpgdon=True)
+    blob = J._segment(0, 48, 1, page_info)
+    blob += J._segment(1, 39, 1, gpayload)
+    blob += J._segment(2, 42, 1, J.encode_refinement_region(truth, noisy))
+    blob += J._segment(3, 49, 1, b"")
+    assert np.array_equal(J.jbig2_decode_embedded(blob), truth)
