@@ -908,28 +908,39 @@ def _read_pdf_auto(
         return ocr_route("pdf without text layer")
     if mode == "true":  # trust the layer unconditionally
         if table_analysis:
-            # the reference's txtlayer route still recognizes tables
-            # (pdf_txtlayer_reader + table recognizer;
-            # test_api_misc_multipage_table loops reader="true"); reuse the
-            # geometric grid detector — only table-carrying docs switch to
-            # the table-aware line/table split
-            try:
-                from dedoc_ray.readers.pdf_tables import read_pdf_tabby
-
-                tdoc = read_pdf_tabby(data, pages=pages)
-            except ValueError:
-                tdoc = None
-            if tdoc is not None and tdoc.tables:
-                # keep ruled grids and short-celled band grids; drop the
-                # column-layout false positives individually (reference
-                # keeps two_column_document.pdf's 3 REAL ruled tables while
-                # its 2-column body text stays plain,
-                # test_api_module_table_recognizer.test_tables_annotations)
-                tdoc.tables = [t for t in tdoc.tables if _plausible_table(t)]
-                if tdoc.tables:
-                    return tdoc
+            doc = _with_recognized_tables(doc, data, pages)
         return doc
+    if table_analysis:
+        # the reference's plain-auto route runs the table recognizer too
+        # (pdf_auto_reader delegates to pdf_txtlayer_reader, which always
+        # recognizes tables when need_pdf_table_analysis;
+        # test_api_module_table_recognizer.test_rectangular posts with NO
+        # pdf_with_text_layer param and still expects the grid)
+        doc = _with_recognized_tables(doc, data, pages)
     return _auto_classify_tail(doc, data, ocr_route, first_page_reader, fast_detection)
+
+
+def _with_recognized_tables(doc, data: bytes, pages) -> UnstructuredDoc:
+    """The reference's txtlayer route still recognizes tables
+    (pdf_txtlayer_reader + table recognizer; test_api_misc_multipage_table
+    loops reader="true"); reuse the geometric grid detector — only
+    table-carrying docs switch to the table-aware line/table split."""
+    try:
+        from dedoc_ray.readers.pdf_tables import read_pdf_tabby
+
+        tdoc = read_pdf_tabby(data, pages=pages)
+    except ValueError:
+        return doc
+    if tdoc.tables:
+        # keep ruled grids and short-celled band grids; drop the
+        # column-layout false positives individually (reference keeps
+        # two_column_document.pdf's 3 REAL ruled tables while its 2-column
+        # body text stays plain,
+        # test_api_module_table_recognizer.test_tables_annotations)
+        tdoc.tables = [t for t in tdoc.tables if _plausible_table(t)]
+        if tdoc.tables:
+            return tdoc
+    return doc
 
 
 def _plausible_table(table) -> bool:

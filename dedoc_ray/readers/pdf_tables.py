@@ -264,7 +264,7 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                 by_line[-1].append(op)
             else:
                 by_line.append([op])
-        return "\n".join(" ".join(op[4] for op in seg) for seg in by_line)
+        return "\n".join(re.sub(r" {2,}", " ", " ".join(t for t in (op[4].strip() for op in seg) if t)) for seg in by_line)
 
     # previous page's (rest ops, merged lines, first line_id) — cross-page
     # anchor fallback for top-of-page ruled tables
@@ -375,7 +375,7 @@ def read_pdf_tabby(data: bytes, pages: tuple = (0, None)) -> UnstructuredDoc:
                             by_line[-1].append(op)
                         else:
                             by_line.append([op])
-                    text = "\n".join(" ".join(op[4] for op in seg) for seg in by_line)
+                    text = "\n".join(re.sub(r" {2,}", " ", " ".join(t for t in (op[4].strip() for op in seg) if t)) for seg in by_line)
                     out_row.append(CellWithMeta([LineWithMeta(text)] if text else []))
                 cells.append(out_row)
             tables.append(Table(cells, page_id=page_id, uid=f"tabby_{file_hash}_{len(tables)}",

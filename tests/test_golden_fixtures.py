@@ -199,11 +199,17 @@ def test_txt_gz():
 
 
 def test_pdf_english_doc():
+    # reference content_checker._check_english_doc: list items stay body
+    # text, the 2×2 grid is a TABLE (auto route runs the table recognizer,
+    # tests/api_tests/test_api_format_pdf_tabby_reader.py:20-22)
     r = parse("pdf_with_text_layer/english_doc.pdf")
     text = r["extracted_text"]
     assert text.startswith("THE GREAT ENGLISH DOCUMENT")
     assert "Fisrst item with some english text" in text
-    assert "The capital of Great Britain" in text
+    assert table_texts(r, 0) == [
+        ["London", "The capital of Great Britain"],
+        ["Speek", "From my heart"],
+    ]
 
 
 def test_pdf_example_ru():
@@ -214,12 +220,18 @@ def test_pdf_example_ru():
 
 def test_pdf_vvp_tables_no_interleave():
     # round-2 verdict repro: the regex-scan reader returned 'Ф9р3а0н3ц7ия'
-    # (digits from the adjacent table column interleaved into 'Франция')
+    # (digits from the adjacent table column interleaved into 'Франция');
+    # the auto route now recognizes the reference's 4 tables, so the cell
+    # lands in a grid, intact
     r = parse("pdf_with_text_layer/VVP_6_tables.pdf")
     lines = r["extracted_text"].split("\n")
-    assert "Франция" in lines
-    assert not any("Ф9р" in ln or "Ф9" in ln for ln in lines)
     assert any(ln.startswith("ВВП (валовой внутренний продукт)") for ln in lines)
+    tables = r["content"]["tables"]
+    assert len(tables) == 4
+    all_cells = [c for i in range(4) for row in table_texts(r, i) for c in row]
+    assert "Франция" in all_cells
+    assert not any("Ф9р" in c or "Ф9" in c for c in all_cells)
+    assert not any("Ф9р" in ln or "Ф9" in ln for ln in lines)
 
 
 def test_pdf_two_column_state():
@@ -267,7 +279,13 @@ def test_pdf_encrypted_empty_password_decrypts():
     assert r["status"] == "ok"
     text = r["extracted_text"]
     assert text.startswith("Quick Guide")
-    assert "Radio Controls" in text and "Rotate clockwise to apply power" in text
+    # the guide's keypad/control grids now surface as tables on the auto
+    # route; the decrypted content must appear in text OR table cells
+    cells = " ".join(
+        c for i in range(len(r["content"]["tables"])) for row in table_texts(r, i) for c in row
+    )
+    assert "Radio Controls" in text + cells
+    assert "Rotate clockwise to apply power" in text + cells
 
 
 # ------------------------------------------------------------------ pptx
