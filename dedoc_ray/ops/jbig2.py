@@ -319,7 +319,7 @@ def _generic_decode_mq(
     ats = _NOMINAL_ATS[template] if ats is None else tuple(ats)
     offs = _sorted_offsets(template, ats)
     pad_t, pad_l, pad_r = _pads(offs)
-    pw = pad_l + width + pad_r
+    pw = pad_l + width + pad_r + 1  # +1: the rolling-context prefetch below
     bm = [bytearray(pw) for _ in range(height + pad_t)]
     ltp = 0
     sltp = _SLTP_CTX[template]
@@ -338,18 +338,23 @@ def _generic_decode_mq(
             rm1 = bm[ry - 1]
             rm2 = bm[ry - 2]
             dec = mq.decode
-            for x in range(width):
-                px = x + pad_l
-                ctx = (
-                    (rm2[px - 2] << 15) | (rm2[px - 1] << 14) | (rm2[px] << 13)
-                    | (rm2[px + 1] << 12) | (rm2[px + 2] << 11)
-                    | (rm1[px - 3] << 10) | (rm1[px - 2] << 9) | (rm1[px - 1] << 8)
-                    | (rm1[px] << 7) | (rm1[px + 1] << 6) | (rm1[px + 2] << 5)
-                    | (rm1[px + 3] << 4)
-                    | (row[px - 4] << 3) | (row[px - 3] << 2) | (row[px - 2] << 1)
-                    | row[px - 1]
-                )
-                row[px] = dec(ctx, gcx)
+            # rolling context: shift in rm2[px+3]/rm1[px+4]/the decoded bit
+            # each step instead of recomputing 16 reads per pixel; the field
+            # overflow bits (16, 11, 4) clear via the mask
+            px = pad_l
+            ctx = (
+                (rm2[px - 2] << 15) | (rm2[px - 1] << 14) | (rm2[px] << 13)
+                | (rm2[px + 1] << 12) | (rm2[px + 2] << 11)
+                | (rm1[px - 3] << 10) | (rm1[px - 2] << 9) | (rm1[px - 1] << 8)
+                | (rm1[px] << 7) | (rm1[px + 1] << 6) | (rm1[px + 2] << 5)
+                | (rm1[px + 3] << 4)
+                | (row[px - 4] << 3) | (row[px - 3] << 2) | (row[px - 2] << 1)
+                | row[px - 1]
+            )
+            for px in range(pad_l, pad_l + width):
+                bit = dec(ctx, gcx)
+                row[px] = bit
+                ctx = ((ctx << 1) & 0xF7EF) | (rm2[px + 3] << 11) | (rm1[px + 4] << 4) | bit
         else:
             dec = mq.decode
             for x in range(width):
@@ -375,7 +380,7 @@ def _generic_encode_mq(
     ats = _NOMINAL_ATS[template] if ats is None else tuple(ats)
     offs = _sorted_offsets(template, ats)
     pad_t, pad_l, pad_r = _pads(offs)
-    pw = pad_l + width + pad_r
+    pw = pad_l + width + pad_r + 1  # +1: the rolling-context prefetch below
     bm = [bytearray(pw) for _ in range(height + pad_t)]
     ltp = 0
     sltp = _SLTP_CTX[template]
@@ -397,20 +402,23 @@ def _generic_encode_mq(
             rm1 = bm[ry - 1]
             rm2 = bm[ry - 2]
             enc = mq.encode
+            bits = bytes(np.asarray(src, np.uint8) & 1)
+            px = pad_l
+            ctx = (
+                (rm2[px - 2] << 15) | (rm2[px - 1] << 14) | (rm2[px] << 13)
+                | (rm2[px + 1] << 12) | (rm2[px + 2] << 11)
+                | (rm1[px - 3] << 10) | (rm1[px - 2] << 9) | (rm1[px - 1] << 8)
+                | (rm1[px] << 7) | (rm1[px + 1] << 6) | (rm1[px + 2] << 5)
+                | (rm1[px + 3] << 4)
+                | (row[px - 4] << 3) | (row[px - 3] << 2) | (row[px - 2] << 1)
+                | row[px - 1]
+            )
             for x in range(width):
                 px = x + pad_l
-                ctx = (
-                    (rm2[px - 2] << 15) | (rm2[px - 1] << 14) | (rm2[px] << 13)
-                    | (rm2[px + 1] << 12) | (rm2[px + 2] << 11)
-                    | (rm1[px - 3] << 10) | (rm1[px - 2] << 9) | (rm1[px - 1] << 8)
-                    | (rm1[px] << 7) | (rm1[px + 1] << 6) | (rm1[px + 2] << 5)
-                    | (rm1[px + 3] << 4)
-                    | (row[px - 4] << 3) | (row[px - 3] << 2) | (row[px - 2] << 1)
-                    | row[px - 1]
-                )
-                bit = int(src[x] & 1)
+                bit = bits[x]
                 enc(ctx, bit, gcx)
                 row[px] = bit
+                ctx = ((ctx << 1) & 0xF7EF) | (rm2[px + 3] << 11) | (rm1[px + 4] << 4) | bit
         else:
             enc = mq.encode
             for x in range(width):
