@@ -1,4 +1,4 @@
-"""Train the txtlayer logistic classifier and print committed weights.
+"""Train the txtlayer classifier (tiny numpy MLP) and print committed weights.
 
 Deterministic synthetic corpus (seed 0): positives are readable EN/RU-like
 sentences; negatives are the garbage families a broken PDF text layer
@@ -26,7 +26,7 @@ RU_WORDS = ("Ð´Ð¾ÐºÑƒÐ¼ÐµÐ½Ñ‚ Ñ€Ð°Ð·Ð´ÐµÐ» Ð³Ð»Ð°Ð²Ð° ÑÑ‚Ð°Ñ‚ÑŒÑ Ñ‚Ð°Ð±Ð»Ð¸Ñ†Ð
 
 def make_positive(rng: np.random.RandomState, words=None) -> str:
     if words is None:
-        words = EN_WORDS if rng.rand() < 0.6 else RU_WORDS
+        words = EN_WORDS if rng.rand() < 0.5 else RU_WORDS
     n = rng.randint(30, 120)
     toks = [words[rng.randint(len(words))] for _ in range(n)]
     out = []
@@ -41,6 +41,81 @@ def make_positive(rng: np.random.RandomState, words=None) -> str:
     return " ".join(out)
 
 
+def make_positive_real(rng: np.random.RandomState) -> str:
+    """Real-document shapes a prose-only positive corpus misses (they
+    misclassified actual reference fixtures before round 3):
+    table-column layers (one word/number per line, VVP_global_table),
+    TOC dot-leader lines (alpaca_tz), and identifier-bearing prose
+    (diff_styles' 'TimesNewRoman18', standards like 'Ð“ÐžÐ¡Ð¢ 2.104-68')."""
+    kind = rng.randint(6)
+    words = EN_WORDS if rng.rand() < 0.4 else RU_WORDS
+    if kind == 3:  # identifier-dominant style sampler (diff_styles.pdf:
+        # nearly every word is FontName+size, 'TimesNewRoman9,')
+        fonts = ["TimesNewRoman", "Arial", "Calibri", "Tahoma", "Verdana",
+                 "CourierNew", "TimesNewRomanItalic", "TimesNewRomanBold"]
+        lines = []
+        for i in range(rng.randint(4, 10)):
+            idents = []
+            for _ in range(rng.randint(1, 4)):
+                f = fonts[rng.randint(len(fonts))]
+                sz = rng.randint(6, 22)
+                idents.append(f"{f}{sz}" + (".5" if rng.rand() < 0.2 else ""))
+            head = f"{i + 1}. " if rng.rand() < 0.7 else ""
+            lines.append(head + ", ".join(idents))
+        return "\n".join(lines)
+    if kind == 4:  # pure numeric table column (big_table_with_merged_cells:
+        # the whole text layer is digit cell values â€” mostly single digits
+        # with trailing spaces, one per line)
+        cells = []
+        for _ in range(rng.randint(15, 60)):
+            v = str(rng.randint(1, 10 if rng.rand() < 0.7 else 1000))
+            cells.append(v + (" " if rng.rand() < 0.7 else ""))
+        return "\n".join(cells)
+    if kind == 5:  # rotated/gost table layer: prose fragments interleaved
+        # with digit cell lines and slashed headers ('Ð¿/Ð¿', 'â„–Ð´Ð¾Ðº') â€”
+        # example_table_with_90_orient_cells / gost_multipage_table_2
+        lines = []
+        ru = "Ð°Ð±Ð²Ð³Ð´ÐµÐ¸ÐºÐ»Ð¼Ð½Ð¾Ð¿Ñ€ÑÑ‚Ñƒ"
+        n_prose = rng.randint(2, 8)
+        for _ in range(rng.randint(25, 70)):
+            r = rng.rand()
+            sp = " " if rng.rand() < 0.5 else ""
+            if r < 0.3:
+                lines.append(str(rng.randint(1, 99)) + sp)
+            elif r < 0.6:  # rotated cells decompose to single-letter lines
+                lines.append(ru[rng.randint(len(ru))] + sp)
+            elif r < 0.7:
+                lines.append(["Ð¿/Ð¿", "â„–", "Ð˜Ð·Ð¼.", "Ð›Ð¸ÑÑ‚", "Ð”Ð°Ñ‚Ð°", "ÐšÐ¾Ð»."][rng.randint(6)])
+            elif n_prose > 0:
+                n_prose -= 1
+                lines.append(" ".join(words[rng.randint(len(words))]
+                                      for _ in range(rng.randint(3, 6))) + " ")
+        return "\n".join(lines)
+    if kind == 0:  # table-column text layer: single words / numbers per line
+        lines = []
+        for _ in range(rng.randint(25, 70)):
+            if rng.rand() < 0.45:
+                v = rng.randint(1, 30000)
+                lines.append(f"{v:,}".replace(",", " ") if rng.rand() < 0.3 else str(v))
+            else:
+                w = words[rng.randint(len(words))]
+                lines.append(w.capitalize() if rng.rand() < 0.5 else w)
+        return "\n".join(lines)
+    if kind == 1:  # TOC with dot leaders + numbered headings
+        lines = []
+        for i in range(rng.randint(8, 20)):
+            w = " ".join(words[rng.randint(len(words))] for _ in range(rng.randint(2, 5)))
+            lines.append(f"{i + 1} {w.capitalize()} " + "." * rng.randint(6, 40) + f" {rng.randint(1, 99)}")
+        return "\n".join(lines)
+    # prose with alphanumeric identifiers (font names, standards, versions)
+    base = make_positive(rng, words).split()
+    idents = ["TimesNewRoman18", "Arial16", "Calibri11", "Ð“ÐžÐ¡Ð¢ 2.104-68", "ISO 9001:2015",
+              "IPv6", "Ð£Ð”Ðš 004.9", "RFC 7231", "Ñ‚Ð°Ð±Ð». 3", "Ñ€Ð¸Ñ. 12", "A4", "v2.1"]
+    for _ in range(max(2, len(base) // 12)):
+        base.insert(rng.randint(len(base)), idents[rng.randint(len(idents))])
+    return " ".join(base)
+
+
 _HOMOGLYPH = str.maketrans({
     "A": "Ð", "B": "Ð’", "C": "Ð¡", "E": "Ð•", "H": "Ð", "K": "Ðš", "M": "Ðœ",
     "O": "Ðž", "P": "Ð ", "T": "Ð¢", "X": "Ð¥", "a": "Ð°", "c": "Ñ", "e": "Ðµ",
@@ -50,8 +125,58 @@ _HOMOGLYPH = str.maketrans({
 })
 
 
+# case-preserving OCR confusion: lowercase Latin misread as UPPERCASE
+# Cyrillic lookalikes / digits / symbols mid-word â€” the real
+# english_doc_bad_text.pdf shape ('speak'â†’'Ð·Ñ€ÐµÐµÐš', 'list'â†’'Ð•15Ñ‚',
+# 'text'â†’'{ÐµÑ…Ñ‘'): mid-word case flips, digits and symbols inside words
+_HOMOGLYPH_CASED = str.maketrans({
+    "a": "Ð°", "b": "Ð’", "c": "Ñ", "e": "Ðµ", "f": "Ð“", "h": "Ð", "i": "1",
+    "k": "Ðš", "l": "1", "m": "Ñ‚", "n": "Ð¿", "o": "Ð¾", "p": "Ñ€", "r": "Ð³",
+    "s": "5", "t": "{", "u": "Ð¸", "v": "Ð¼", "x": "Ñ…", "y": "Ñƒ", "d": "Ð´",
+    "g": "Ð´", "w": "Ð¼", "j": "Ñƒ", "q": "Ñ‡", "z": "2",
+    "A": "Ð", "B": "Ð’", "C": "Ð¡", "E": "Ð•", "H": "Ð", "K": "Ðš", "M": "Ðœ",
+    "O": "Ðž", "P": "Ð ", "T": "Ð¢", "X": "Ð¥", "S": "$", "I": "1", "L": "Ð¢",
+    "D": "Ðž", "G": "Ð¡", "R": "Ð’", "N": "Ðœ", "F": "Ð•", "U": "Ð˜", "V": "Ðœ",
+    "W": "Ð¨", "Y": "Ð£", "J": "Ð£", "Q": "Ðž", "Z": "2",
+})
+
+
+# the benign half of the confusion: pure lookalike swaps that keep case
+# coherent â€” used for the words the "OCR" got lucky on, so the mild
+# negatives below stay mostly plausible-Cyrillic like the real fixture
+_HOMOGLYPH_MILD = str.maketrans({
+    "a": "Ð°", "c": "Ñ", "e": "Ðµ", "o": "Ð¾", "p": "Ñ€", "x": "Ñ…", "y": "Ñƒ",
+    "u": "Ð¸", "m": "Ñ‚", "n": "Ð¿", "r": "Ð³", "t": "Ñ‚", "s": "Ð·", "d": "Ð´",
+    "b": "Ð²", "f": "Ñ„", "g": "Ð´", "h": "Ð½", "i": "Ð¸", "j": "Ñƒ", "k": "Ðº",
+    "l": "Ð»", "q": "Ñ‡", "v": "Ð¼", "w": "Ð¼", "z": "Ð³",
+    "A": "Ð", "B": "Ð’", "C": "Ð¡", "E": "Ð•", "H": "Ð", "K": "Ðš", "M": "Ðœ",
+    "O": "Ðž", "P": "Ð ", "T": "Ð¢", "X": "Ð¥", "S": "Ð¡", "I": "Ð˜", "L": "Ð¢",
+    "D": "Ðž", "G": "Ð¡", "R": "Ð’", "N": "Ðœ", "F": "Ð•", "U": "Ð˜", "V": "Ðœ",
+    "W": "Ð¨", "Y": "Ð£", "J": "Ð£", "Q": "Ðž", "Z": "Ð—",
+})
+
+
 def make_negative(rng: np.random.RandomState) -> str:
-    kind = rng.randint(6)
+    kind = rng.randint(9)
+    if kind == 8:
+        # low-ord ASCII letter salad: random keyboard mash with wordlike
+        # token lengths â€” keeps the model from using char-ord as a
+        # garbage proxy (real Russian is high-ord and must stay positive)
+        pool = "qwrtypsdfghjklzxcvbnm"
+        return " ".join("".join(pool[rng.randint(len(pool))]
+                                 for _ in range(rng.randint(2, 11)))
+                        for _ in range(rng.randint(25, 90)))
+    if kind >= 6:
+        # MILD cased homoglyph garbage (english_doc_bad_text.pdf shape):
+        # only a fraction of words carry digits/symbols/case-flips, the
+        # rest read as plausible Cyrillic â€” forces the trainer to weight
+        # the word-coherence features hard enough to catch low firing
+        # rates instead of relying on saturated synthetic fractions
+        src = make_positive(rng, EN_WORDS)
+        toks = [t.capitalize() if rng.rand() < 0.3 else t for t in src.split()]
+        out = [t.translate(_HOMOGLYPH_CASED if rng.rand() < 0.4 else _HOMOGLYPH_MILD)
+               for t in toks]
+        return " ".join(out)[:rng.randint(150, 600)]
     n = rng.randint(150, 600)
     if kind == 0:  # utf-8 bytes read as latin-1 (classic mojibake).
         # Must be non-ASCII source: ASCII survives the trip unchanged and
@@ -76,8 +201,8 @@ def make_negative(rng: np.random.RandomState) -> str:
 def main() -> None:
     rng = np.random.RandomState(0)
     texts, labels = [], []
-    for _ in range(1500):
-        texts.append(make_positive(rng))
+    for i in range(1500):
+        texts.append(make_positive(rng) if i % 2 else make_positive_real(rng))
         labels.append(1)
         texts.append(make_negative(rng))
         labels.append(0)
@@ -85,24 +210,58 @@ def main() -> None:
     y = np.array(labels, dtype=np.float64)
     n_train = int(0.8 * len(y))
 
-    w = np.zeros(X.shape[1])
-    b = 0.0
-    lr = 2.0
-    for epoch in range(4000):
-        z = X[:n_train] @ w + b
+    # tiny MLP (16 â†’ 12 tanh â†’ 1): the positive families are DISJOINT
+    # regions of feature space (prose, digit columns, identifier lists,
+    # single-letter rotated-cell layers) â€” a single linear boundary keeps
+    # trading one family against another; one hidden layer separates them
+    # cleanly, mirroring the reference's nonlinear XGBoost. Adam, full
+    # batch, deterministic seed.
+    hid = 12
+    r = np.random.RandomState(7)
+    W1 = r.randn(X.shape[1], hid) * 0.5
+    b1 = np.zeros(hid)
+    W2 = r.randn(hid) * 0.5
+    b2 = 0.0
+    params = [W1, b1, W2, np.array([b2])]
+    m = [np.zeros_like(p) for p in params]
+    v = [np.zeros_like(p) for p in params]
+    lr, beta1, beta2, eps, l2 = 0.02, 0.9, 0.999, 1e-8, 1e-4
+    Xt, yt = X[:n_train], y[:n_train]
+    for epoch in range(1, 3001):
+        H = np.tanh(Xt @ params[0] + params[1])
+        z = H @ params[2] + params[3][0]
         p = 1.0 / (1.0 + np.exp(-z))
-        g = p - y[:n_train]
-        w -= lr * (X[:n_train].T @ g) / n_train
-        b -= lr * g.mean()
+        g = (p - yt) / len(yt)
+        gW2 = H.T @ g + l2 * params[2]
+        gb2 = np.array([g.sum()])
+        gH = np.outer(g, params[2]) * (1 - H * H)
+        gW1 = Xt.T @ gH + l2 * params[0]
+        gb1 = gH.sum(axis=0)
+        for i, grad in enumerate([gW1, gb1, gW2, gb2]):
+            m[i] = beta1 * m[i] + (1 - beta1) * grad
+            v[i] = beta2 * v[i] + (1 - beta2) * grad * grad
+            mh = m[i] / (1 - beta1 ** epoch)
+            vh = v[i] / (1 - beta2 ** epoch)
+            params[i] -= lr * mh / (np.sqrt(vh) + eps)
+
+    def predict(Xs):
+        return np.tanh(Xs @ params[0] + params[1]) @ params[2] + params[3][0]
 
     for name, Xs, ys in (("train", X[:n_train], y[:n_train]), ("heldout", X[n_train:], y[n_train:])):
-        acc = (((Xs @ w + b) > 0) == (ys == 1)).mean()
+        acc = ((predict(Xs) > 0) == (ys == 1)).mean()
         print(f"{name} acc: {acc:.4f}")
-    print("_WEIGHTS = [")
-    for v in w:
-        print(f"    {v:.7f},")
-    print("]")
-    print(f"_BIAS = {b:.7f}")
+
+    def fmt_matrix(name, a):
+        if a.ndim == 1:
+            rows = "    " + ", ".join(f"{x:.6f}" for x in a)
+            return f"{name} = [\n{rows},\n]"
+        body = "\n".join("    [" + ", ".join(f"{x:.6f}" for x in row) + "]," for row in a)
+        return f"{name} = [\n{body}\n]"
+
+    print(fmt_matrix("_W1", params[0]))
+    print(fmt_matrix("_B1", params[1]))
+    print(fmt_matrix("_W2", params[2]))
+    print(f"_B2 = {params[3][0]:.6f}")
 
 
 if __name__ == "__main__":

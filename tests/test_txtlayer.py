@@ -30,7 +30,7 @@ def test_obvious_cases():
 def test_features_deterministic():
     t = "Sample text 123 with punctuation!"
     assert txtlayer_features(t) == txtlayer_features(t)
-    assert len(txtlayer_features(t)) == 12
+    assert len(txtlayer_features(t)) == 16
 
 
 def test_pdf_auto_routes_garbage_layer_to_ocr_stub():
@@ -114,3 +114,35 @@ def test_homoglyph_garbage_detected():
     assert not c.is_correct("ТНЕ СВЕАТ ЕМСТ1$Н РОСОМЕМТ 1) Е15т${ Нет мВ зоте еп 1$В {ехт " * 4)
     assert c.is_correct("Обычный русский текст про результаты анализа данных и метод работы. " * 3)
     assert c.is_correct("Plain english sentence about data analysis results and methods. " * 3)
+
+
+def test_real_fixture_layers_classified_correctly():
+    """Sweep every born-digital reference PDF through the classifier: all
+    correct text layers accepted (prose, digit-only table columns, rotated
+    single-letter cell layers, identifier-dense style samplers), the one
+    garbage layer (english_doc_bad_text: Cyrillic homoglyph mojibake)
+    rejected. These real files are exactly the shapes round-2's
+    synthetic-only training misrouted."""
+    import glob
+    import os
+
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+
+    DATA = "/root/reference/tests/data"
+    clf = TxtlayerClassifier()
+    got_reject = []
+    checked = 0
+    for rel in ("pdf_with_text_layer/*.pdf", "pdf_auto/*.pdf", "tables/*.pdf"):
+        for path in sorted(glob.glob(os.path.join(DATA, rel))):
+            try:
+                doc = read_pdf_textlayer(open(path, "rb").read())
+            except ValueError:
+                continue  # scanned fixtures with no text layer
+            text = "".join(line.line for line in doc.lines)
+            if not text:
+                continue
+            checked += 1
+            if not clf.is_correct(text):
+                got_reject.append(os.path.basename(path))
+    assert checked >= 25  # the sweep actually covered the corpus
+    assert got_reject == ["english_doc_bad_text.pdf"]
