@@ -230,72 +230,138 @@ class _BitReader:
     stops at any non-RST marker."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
+        # Pre-scan the entropy stream ONCE: collapse 0xFF00 stuffing, split
+        # at RSTn markers, stop at the first real marker. bit()/receive()
+        # then run over clean bytes with zero per-byte branching, and
+        # peek16/consume power the table-driven Huffman fast path — the
+        # difference between ~100 s and ~10 s on a 1 MP photo scan.
+        segs: List[bytes] = []
+        cur = bytearray()
+        p = pos
+        end = len(data)
+        self.end_pos = end
+        while True:
+            nxt = data.find(b"\xff", p)
+            if nxt < 0:
+                cur += data[p:end]
+                self.end_pos = end
+                break
+            cur += data[p:nxt]
+            mk = data[nxt + 1] if nxt + 1 < end else 0xD9
+            if mk == 0x00:
+                cur.append(0xFF)
+                p = nxt + 2
+            elif 0xD0 <= mk <= 0xD7:  # restart: segment boundary
+                segs.append(bytes(cur))
+                cur = bytearray()
+                p = nxt + 2
+            else:  # real marker terminates the scan
+                self.end_pos = nxt
+                break
+        segs.append(bytes(cur))
+        self.segs = segs
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.si = i
+        self.buf = self.segs[i] if i < len(self.segs) else b""
+        self.bp = 0
         self.acc = 0
         self.n = 0
+        self.virt = 0
 
     def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy data")
-        byte = d[self.pos]
-        if byte == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn — handled by caller via sync()
-                raise ValueError("unexpected restart marker mid-symbol")
-            else:
-                raise ValueError("marker inside entropy data")
+        buf = self.buf
+        bp = self.bp
+        take = len(buf) - bp
+        if take > 0:
+            if take > 6:
+                take = 6
+            self.acc = ((self.acc & ((1 << self.n) - 1)) << (take * 8)) | int.from_bytes(
+                buf[bp : bp + take], "big"
+            )
+            self.bp = bp + take
+            self.n += take * 8
         else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | byte
-        self.n += 8
+            # past segment end: T.81 pad bits are 1s; bounded so corrupt
+            # streams that keep asking fail closed
+            if self.virt > 64:
+                raise ValueError("truncated JPEG entropy data")
+            self.acc = ((self.acc & ((1 << self.n) - 1)) << 16) | 0xFFFF
+            self.n += 16
+            self.virt += 16
 
     def bit(self) -> int:
-        if not self.n:
+        n = self.n
+        if not n:
             self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+            n = self.n
+        self.n = n - 1
+        return (self.acc >> (n - 1)) & 1
 
     def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
-        return v
+        while self.n < length:
+            self._fill()
+        self.n -= length
+        return (self.acc >> self.n) & ((1 << length) - 1)
+
+    def peek16(self) -> int:
+        while self.n < 16:
+            self._fill()
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def consume(self, length: int) -> None:
+        self.n -= length
+
+    @property
+    def pos(self) -> int:
+        """Source offset of the marker terminating the scan (read by the
+        progressive path after a scan completes)."""
+        return self.end_pos
 
     def sync_restart(self) -> None:
-        """Discard pad bits and consume one RSTn marker."""
-        self.n = 0
-        d = self.data
-        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
-        else:
+        """Discard pad bits and consume one RSTn marker (advance segment)."""
+        if self.si + 1 >= len(self.segs):
             raise ValueError("expected restart marker")
+        self._load(self.si + 1)
 
 
-def _decode_tree(bits: List[int], vals: List[int]):
-    """Canonical table → dict mapping (length, code) → value for fast lookup."""
-    table: Dict[Tuple[int, int], int] = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _HuffLUT:
+    """16-bit-prefix Huffman decode table: one peek + two list lookups per
+    symbol (JPEG codes are ≤ 16 bits)."""
+
+    __slots__ = ("sym", "length")
+
+    def __init__(self, bits: List[int], vals: List[int]) -> None:
+        sym = [0] * 65536
+        lng = [0] * 65536
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                a = code << (16 - length)
+                b = (code + 1) << (16 - length)
+                v = vals[k]
+                sym[a:b] = [v] * (b - a)
+                lng[a:b] = [length] * (b - a)
+                code += 1
+                k += 1
+            code <<= 1
+        self.sym = sym
+        self.length = lng
 
 
-def _huff_read(r: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code")
+def _decode_tree(bits: List[int], vals: List[int]) -> _HuffLUT:
+    """Canonical table → prefix LUT (see _HuffLUT)."""
+    return _HuffLUT(bits, vals)
+
+
+def _huff_read(r: _BitReader, table: _HuffLUT) -> int:
+    idx = r.peek16()
+    length = table.length[idx]
+    if length == 0:
+        raise ValueError("invalid Huffman code")
+    r.consume(length)
+    return table.sym[idx]
 
 
 def _extend(v: int, cat: int) -> int:

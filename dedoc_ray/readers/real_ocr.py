@@ -1,0 +1,684 @@
+"""Open-font template OCR for REAL scans — the Tesseract-shaped recognizer.
+
+The fixed-width LUT in readers/scan_ocr.py and the atlas-learned
+MultifontRecognizer only read rasters written by this repo's own scan
+writers (exact bitmap equality).  Real scanned pages — the reference's
+tests/data/scanned fixtures: anti-aliased serif text, arbitrary sizes,
+scanner noise, rotations — need an actual shape recognizer.  The reference
+shells out to Tesseract (pdf_image_reader/ocr/ocr_line_extractor.py:11-48);
+this module is a from-scratch classical template OCR over the SAME route:
+
+1. **Glyph bank**: every charset glyph rasterized from the container's
+   DejaVu faces (Sans/Serif × Regular/Bold/Italic) with the sfnt outline
+   parser from readers/ttf_glyphs.py — two render variants per glyph (a
+   supersampled smooth one and an ~11 px quantized one that mimics how
+   small print rasterizes), bbox-normalized to a 24×24 anti-aliased grid
+   plus em-relative size features (height, y-center vs baseline, width).
+2. **Line finding**: noise-robust horizontal projection (row ink COUNT, not
+   `.any()` — scanner speckle must not fuse bands), per-band baseline from
+   the modal run bottom.
+3. **Scale hypotheses**: the tallest ink alone cannot tell cap-height from
+   x-height, so each band is decoded under ppem = h/0.74, h/0.63, h/0.54
+   and the hypothesis with the best mean match score wins.
+4. **Segmentation DP**: glyph runs from the grayscale column profile; wide
+   runs get cut candidates at profile valleys (serif faces connect whole
+   words through baseline serifs).  A valley whose bridge column is faint
+   is a HARD cut (kissing letters — grouping may not cross); solid-ink
+   valleys are soft (н's crossbar survives).  A DP over the atoms picks
+   the segmentation maximizing Σ (match − margin)·width, with cross-run
+   grouping whitelisted to the genuinely multi-part glyphs (ы Ы « »).
+5. **Match**: normalized cross-correlation on the 24×24 grid plus
+   penalties on the em-relative size features (separates о/О/0-style
+   case confusables), with a per-page script-coherence pass (Cyrillic vs
+   Latin majority masks the losing alphabet's lookalikes).
+6. **Orientation**: decode the first bands in all four rotations, best
+   mean score wins — the ColumnsOrientationClassifier decision
+   (reference: columns_orientation_classifier.py, a CNN) made by trial
+   recognition.
+
+Scale shape: map-only per page; the bank is built once per actor
+(stateful-stage rule) from the system DejaVu faces; no shuffle, no
+cross-row state.  Pages where the fonts are absent fall back to the
+synthetic recognizers (the bank is None and callers skip this path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dedoc_ray.readers.ttf_glyphs import SfntFont, _DEJAVU_PATHS
+
+GRID = 24  #: bbox-normalized match resolution
+
+_FACE_PATHS = _DEJAVU_PATHS + (
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Italic.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Oblique.ttf",
+)
+_BOLD_FACES = frozenset(
+    i for i, p in enumerate(_FACE_PATHS) if "Bold" in p
+)
+
+CHARSET = (
+    "абвгдежзийклмнопрстуфхцчшщъыьэюя"
+    "АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789"
+    ".,:;!?()-—–«»№/%\"'+=*"
+    "ёЁ"
+)
+
+#: glyphs that legitimately span two column runs (everything else that the
+#: DP would stitch across a real inter-letter gap is an over-merge: тат→ш)
+_MULTI_RUN = frozenset("ыЫ«»")
+
+#: letters whose SHAPE identifies the script (no Latin/Cyrillic homoglyph)
+_DISTINCT_CYR = frozenset("бвгджзийлмнптфцчшщъыьэюяБГДЁЖЗИЙЛПЦЧШЩЪЫЬЭЮЯё")
+_DISTINCT_LAT = frozenset("bdfghijklmnqrstuvwzDFGIJLNQRSUVWZ")
+
+_SCALE_RATIOS = (0.74, 0.63, 0.54)  #: tall-ink-to-em hypotheses
+_MARGIN = 0.25  #: DP per-pixel score margin (segmentation prior)
+
+
+def _flatten(contours) -> List[List[Tuple[float, float]]]:
+    """TrueType contours → polygons (quadratics flattened, off-curve-only
+    contours reconstructed), font units."""
+    polys = []
+    for c in contours:
+        on_idx = next((i for i, p in enumerate(c) if p[2]), None)
+        if on_idx is None:
+            mids = []
+            for i in range(len(c)):
+                a, b = c[i], c[(i + 1) % len(c)]
+                mids.append(((a[0] + b[0]) / 2, (a[1] + b[1]) / 2, 1))
+            merged = []
+            for i in range(len(c)):
+                merged.append(mids[i - 1])
+                merged.append(c[i])
+            c = merged
+            on_idx = 0
+        c = c[on_idx:] + c[:on_idx]
+        pts = [(c[0][0], c[0][1])]
+        prev_off = None
+        for pt in list(c[1:]) + [c[0]]:
+            if pt[2]:
+                if prev_off is None:
+                    pts.append((pt[0], pt[1]))
+                else:
+                    p0, p1 = pts[-1], prev_off
+                    for t in (0.2, 0.4, 0.6, 0.8, 1.0):
+                        x = (1 - t) ** 2 * p0[0] + 2 * (1 - t) * t * p1[0] + t * t * pt[0]
+                        y = (1 - t) ** 2 * p0[1] + 2 * (1 - t) * t * p1[1] + t * t * pt[1]
+                        pts.append((x, y))
+                    prev_off = None
+            else:
+                if prev_off is not None:
+                    mid = ((prev_off[0] + pt[0]) / 2, (prev_off[1] + pt[1]) / 2)
+                    p0, p1 = pts[-1], prev_off
+                    for t in (0.2, 0.4, 0.6, 0.8, 1.0):
+                        x = (1 - t) ** 2 * p0[0] + 2 * (1 - t) * t * p1[0] + t * t * mid[0]
+                        y = (1 - t) ** 2 * p0[1] + 2 * (1 - t) * t * p1[1] + t * t * mid[1]
+                        pts.append((x, y))
+                prev_off = pt
+        polys.append(pts)
+    return polys
+
+
+def _raster_poly(polys, x0, x1, y0, y1, W, H) -> np.ndarray:
+    """Anti-aliased non-zero-winding scanline fill of font-unit polygons
+    onto a W×H grid covering [x0,x1]×[y0,y1] (top row = y1): per-row span
+    fill with fractional edge coverage."""
+    img = np.zeros((H, W), np.float32)
+    sx = W / (x1 - x0)
+    sy = H / (y1 - y0)
+    for row in range(H):
+        ys = y1 - (row + 0.5) / sy
+        crossings = []
+        for poly in polys:
+            for (xa, ya), (xb, yb) in zip(poly, poly[1:] + poly[:1]):
+                if (ya <= ys < yb) or (yb <= ys < ya):
+                    t = (ys - ya) / (yb - ya)
+                    crossings.append((xa + t * (xb - xa), 1 if yb > ya else -1))
+        crossings.sort()
+        wind = 0
+        px = None
+        for x, d in crossings:
+            if wind != 0 and px is not None:
+                ca = (px - x0) * sx
+                cb = (x - x0) * sx
+                ia, ib = int(np.floor(ca)), int(np.floor(cb))
+                if ia == ib:
+                    if 0 <= ia < W:
+                        img[row, ia] += cb - ca
+                else:
+                    if 0 <= ia < W:
+                        img[row, ia] += ia + 1 - ca
+                    if 0 <= ib < W:
+                        img[row, ib] += cb - ib
+                    img[row, max(0, ia + 1) : max(0, min(W, ib))] += 1.0
+            wind += d
+            px = x
+    return np.clip(img, 0.0, 1.0)
+
+
+def _resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Bilinear resize (float32)."""
+    h, w = img.shape
+    ys = (np.arange(H) + 0.5) * h / H - 0.5
+    xs = (np.arange(W) + 0.5) * w / W - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
+
+
+class RealScanOCR:
+    """The recognizer. Build once per actor; ``decode_page`` per raster."""
+
+    def __init__(self) -> None:
+        import os
+
+        entries = []  # (char, face, grid, rel_h, rel_yc, rel_w)
+        for fi, path in enumerate(_FACE_PATHS):
+            if not os.path.exists(path):
+                continue
+            try:
+                font = SfntFont(open(path, "rb").read())
+            except Exception:
+                continue
+            lk = font.unicode_lookup()
+            if lk is None:
+                continue
+            u = font.units_per_em
+            for ch in CHARSET:
+                gid = lk(ord(ch))
+                if not gid:
+                    continue
+                polys = _flatten(font.outline(gid))
+                if not polys:
+                    continue
+                xs = [x for p in polys for x, _ in p]
+                ys = [y for p in polys for _, y in p]
+                x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+                if x1 - x0 < 1 or y1 - y0 < 1:
+                    continue
+                rh = (y1 - y0) / u
+                ryc = ((y0 + y1) / 2) / u
+                rw = (x1 - x0) / u
+                big = _raster_poly(polys, x0, x1, y0, y1, GRID * 2, GRID * 2)
+                entries.append((ch, fi, _resize(big, GRID, GRID), rh, ryc, rw))
+                hs = 11  # quantized small-print variant
+                ws = max(2, int(round(hs * (x1 - x0) / (y1 - y0))))
+                small = _raster_poly(polys, x0, x1, y0, y1, ws, hs)
+                entries.append((ch, fi, _resize(small, GRID, GRID), rh, ryc, rw))
+        self.ok = bool(entries)
+        if not self.ok:
+            return
+        self.chars: List[str] = [e[0] for e in entries]
+        self.faces = np.array([e[1] for e in entries])
+        grids = np.stack([e[2] for e in entries]).reshape(len(entries), -1)
+        gm = grids - grids.mean(axis=1, keepdims=True)
+        self.gn = gm / np.maximum(np.linalg.norm(gm, axis=1, keepdims=True), 1e-6)
+        self.rel_h = np.array([e[3] for e in entries], np.float32)
+        self.rel_yc = np.array([e[4] for e in entries], np.float32)
+        self.rel_w = np.array([e[5] for e in entries], np.float32)
+        carr = np.array(self.chars)
+        self._cyr = np.array([("Ѐ" <= c <= "ӿ") for c in carr])
+        self._lat = np.array([c.isalpha() and c.isascii() for c in carr])
+        self._bold = np.array([f in _BOLD_FACES for f in self.faces])
+
+    # ------------------------------------------------------------ matching
+
+    def _match_batch(self, band_ink, cands, ppem, baseline, mask):
+        """Match MANY candidate segments at once — one BLAS matmul per band
+        instead of thousands of small ones (the 100× page-decode speedup).
+
+        cands: list of (a0, a1). Returns list of (char, score, bank_idx) or
+        None per candidate."""
+        vecs = []
+        feats = []
+        keep = []
+        for ci, (a0, a1) in enumerate(cands):
+            sub = band_ink[:, a0:a1]
+            rm = sub.max(axis=1)
+            rr = np.where(rm > 0.3)[0]
+            if rr.size == 0:
+                continue
+            tp, bt = int(rr.min()), int(rr.max())
+            g = _resize(sub[tp : bt + 1], GRID, GRID).reshape(-1)
+            g = g - g.mean()
+            n = np.linalg.norm(g)
+            if n < 1e-6:
+                continue
+            vecs.append(g / n)
+            feats.append(
+                (
+                    (bt - tp + 1) / ppem,
+                    (baseline - (tp + bt) / 2) / ppem,
+                    (a1 - a0) / ppem,
+                )
+            )
+            keep.append(ci)
+        out: List[Optional[tuple]] = [None] * len(cands)
+        if not vecs:
+            return out
+        V = np.stack(vecs)  # (m, GRID*GRID)
+        ncc = V @ self.gn.T  # (m, n_bank)
+        F = np.array(feats, np.float32)
+        sc = (
+            ncc
+            - 1.4 * np.abs(self.rel_h[None, :] - F[:, 0:1])
+            - 1.2 * np.abs(self.rel_yc[None, :] - F[:, 1:2])
+            - 0.5 * np.abs(self.rel_w[None, :] - F[:, 2:3])
+        )
+        if mask is not None:
+            sc = np.where(mask[None, :], sc, -10.0)
+        js = np.argmax(sc, axis=1)
+        for row, ci in enumerate(keep):
+            j = int(js[row])
+            out[ci] = (self.chars[j], float(sc[row, j]), j)
+        return out
+
+    # ---------------------------------------------------------- one band
+
+    def _decode_band(self, ink, t, b, script_mask=None):
+        """One text band → (text, mean_score, ppem, bold_ranges, x0)."""
+        t0 = max(0, t - 2)
+        b0 = min(ink.shape[0], b + 3)
+        band_ink = ink[t0:b0]
+        colmax = band_ink.max(axis=0)
+        runs: List[Tuple[int, int]] = []
+        s = None
+        on = colmax >= 0.25
+        for j in range(len(on) + 1):
+            v = on[j] if j < len(on) else False
+            if v and s is None:
+                s = j
+            elif not v and s is not None:
+                runs.append((s, j))
+                s = None
+        if not runs:
+            return None
+        binb = band_ink > 0.4
+        bots, tops = [], []
+        for s_, e_ in runs:
+            rr = np.where(binb[:, s_:e_].any(axis=1))[0]
+            if rr.size:
+                bots.append(int(rr.max()))
+                tops.append(int(rr.min()))
+        if not bots:
+            return None
+        baseline = float(np.median(np.array(bots)))
+        h_tall = baseline - min(tops) + 1
+        if h_tall < 4:
+            return None
+        best = None
+        for ratio in _SCALE_RATIOS:
+            ppem = h_tall / ratio
+            atoms: List[Tuple[int, int, float]] = []  # (a0, a1, gap_before)
+            prev_e = None
+            for (s_, e_) in runs:
+                gap = (s_ - prev_e) if prev_e is not None else 1e9
+                w = e_ - s_
+                cuts: List[Tuple[int, bool]] = [(s_, False)]
+                if w > 0.8 * ppem:
+                    prof = band_ink[:, s_:e_].sum(axis=0)
+                    cmax = band_ink[:, s_:e_].max(axis=0)
+                    nz = prof[prof > 0.1]
+                    thr = 0.45 * float(np.median(nz)) if nz.size else 0.0
+                    low = prof <= thr
+                    j = 2
+                    jlast = -9
+                    while j < w - 2:
+                        if low[j]:
+                            j2 = j
+                            while j2 < w - 2 and low[j2]:
+                                j2 += 1
+                            mid = j + int(np.argmin(prof[j:j2])) if j2 > j else j
+                            if mid - jlast >= 3:
+                                cuts.append((s_ + mid, bool(cmax[mid] < 0.32)))
+                                jlast = mid
+                            j = j2
+                        j += 1
+                cuts.append((e_, False))
+                for ci in range(len(cuts) - 1):
+                    c0, c1 = cuts[ci][0], cuts[ci + 1][0]
+                    hard = cuts[ci][1]
+                    gb = gap if ci == 0 else (-1.0 if hard else 0.0)
+                    atoms.append((c0, c1, gb))
+                prev_e = e_
+            n = len(atoms)
+            NEG = -1e9
+            # enumerate every legal (i, k) group once, batch-match, then DP
+            groups: List[Tuple[int, int, bool]] = []  # (i, k, cross)
+            for i in range(n):
+                for k in range(1, 5):
+                    if i + k > n:
+                        break
+                    cross = any(atoms[i + t_][2] > 0 for t_ in range(1, k))
+                    if k > 1 and atoms[i + k - 1][2] > 0.16 * ppem:
+                        break
+                    if k > 1 and any(atoms[i + t_][2] < 0 for t_ in range(1, k)):
+                        break  # hard cut: kissing letters, no grouping across
+                    a0, a1 = atoms[i][0], atoms[i + k - 1][1]
+                    if (a1 - a0) > 1.5 * ppem and k > 1:
+                        break
+                    groups.append((i, k, cross))
+            matches = self._match_batch(
+                band_ink,
+                [(atoms[i][0], atoms[i + k - 1][1]) for i, k, _ in groups],
+                ppem,
+                baseline,
+                script_mask,
+            )
+            dp = np.full(n + 1, NEG)
+            dp[0] = 0.0
+            bk: List[Optional[tuple]] = [None] * (n + 1)
+            by_start: Dict[int, List[Tuple[int, bool, Optional[tuple]]]] = {}
+            for (i, k, cross), m in zip(groups, matches):
+                by_start.setdefault(i, []).append((k, cross, m))
+            for i in range(n):
+                if dp[i] <= NEG / 2:
+                    continue
+                for k, cross, m in by_start.get(i, ()):
+                    if m is None:
+                        if k == 1 and dp[i] > dp[i + 1]:
+                            dp[i + 1] = dp[i]
+                            bk[i + 1] = (i, None, 0.0)
+                        continue
+                    if cross and m[0] not in _MULTI_RUN:
+                        continue
+                    a0, a1 = atoms[i][0], atoms[i + k - 1][1]
+                    val = dp[i] + (m[1] - _MARGIN) * (a1 - a0)
+                    if val > dp[i + k]:
+                        dp[i + k] = val
+                        bk[i + k] = (i, m, atoms[i][2])
+            seq = []
+            i = n
+            ok = True
+            while i > 0:
+                if bk[i] is None:
+                    ok = False
+                    break
+                prev, m, gapb = bk[i]
+                seq.append((m, gapb))
+                i = prev
+            if not ok:
+                continue
+            parts: List[str] = []
+            bolds: List[bool] = []
+            ssum = 0.0
+            cnt = 0
+            for m, gapb in reversed(seq):
+                if 0.24 * ppem < gapb < 1e8:
+                    parts.append(" ")
+                    bolds.append(False)
+                if m:
+                    parts.append(m[0])
+                    bolds.append(bool(self._bold[m[2]]))
+                    ssum += m[1]
+                    cnt += 1
+            if not cnt:
+                continue
+            mean = ssum / cnt
+            if best is None or mean > best[1]:
+                best = ("".join(parts), mean, ppem, bolds)
+        if best is None:
+            return None
+        text, mean, ppem, bolds = best
+        # word-level bold ranges: per-glyph face attribution is noisy, so a
+        # WORD is bold when ≥60% of its glyphs matched a bold face; adjacent
+        # bold words merge across the space (whole-line bold = one range)
+        ranges: List[Tuple[int, int]] = []
+        ws = 0
+        words: List[Tuple[int, int, bool]] = []
+        for idx in range(len(text) + 1):
+            if idx == len(text) or text[idx] == " ":
+                if idx > ws:
+                    flags = bolds[ws:idx]
+                    words.append((ws, idx, sum(flags) >= 0.6 * len(flags)))
+                ws = idx + 1
+        for w0, w1, bl in words:
+            if not bl:
+                continue
+            if ranges and text[ranges[-1][1] : w0].strip() == "" and ranges[-1][1] + 2 >= w0:
+                ranges[-1] = (ranges[-1][0], w1)
+            else:
+                ranges.append((w0, w1))
+        x0 = runs[0][0]
+        return text, mean, ppem, ranges, x0
+
+    # --------------------------------------------------------------- page
+
+    @staticmethod
+    def _bands(ink: np.ndarray) -> List[Tuple[int, int]]:
+        """Noise-robust line bands: row ink COUNT threshold."""
+        need = max(2, ink.shape[1] // 400)
+        rows = (ink > 0.45).sum(axis=1) >= need
+        bands = []
+        top = None
+        for i in range(len(rows) + 1):
+            v = rows[i] if i < len(rows) else False
+            if v and top is None:
+                top = i
+            elif not v and top is not None:
+                if i - top >= 4:
+                    bands.append((top, i))
+                top = None
+        return bands
+
+    @staticmethod
+    def _adaptive_ink(gray: np.ndarray) -> np.ndarray:
+        """Local-mean adaptive binarization (the reference's
+        AdaptiveBinarizer / need_binarization knob): photocopies with gray
+        noise floors and lighting gradients defeat a global threshold —
+        ink = pixel darker than its neighborhood mean by a margin.
+        Box mean via integral image (O(1) per pixel)."""
+        g = gray.astype(np.float64)
+        h, w = g.shape
+        win = max(15, min(h, w) // 40) | 1
+        r = win // 2
+        pad = np.pad(g, r + 1, mode="edge")
+        ii = pad.cumsum(axis=0).cumsum(axis=1)
+        a = ii[win:, win:]
+        b = ii[:-win, win:]
+        c = ii[win:, :-win]
+        d = ii[:-win, :-win]
+        local = (a - b - c + d)[: h, : w] / (win * win)
+        span = float(g.max() - g.min()) or 1.0
+        return ((local - g) > 0.18 * span).astype(np.float32)
+
+    @staticmethod
+    def _strip_rules(ink: np.ndarray) -> np.ndarray:
+        """Zero out long straight rules (page frames, table borders,
+        underlines spanning most of the page): a >50%-ink row/column is a
+        drawn line, never a text row — and an un-stripped frame defeats
+        both blank-row band detection and blank-column gutter detection
+        (Tesseract's line-removal preprocessing plays the same role)."""
+        h, w = ink.shape
+        binm = ink > 0.45
+        bad_rows = binm.sum(axis=1) > 0.5 * w
+        bad_cols = binm.sum(axis=0) > 0.5 * h
+        if not bad_rows.any() and not bad_cols.any():
+            return ink
+        out = ink.copy()
+        out[bad_rows, :] = 0.0
+        out[:, bad_cols] = 0.0
+        return out
+
+    @staticmethod
+    def _shear_rows(arr: np.ndarray, t: float, fill: float) -> np.ndarray:
+        """Vertical shear: column x shifts by round(t·(x − W/2)) — the
+        small-angle deskew transform (no interpolation, no cropping)."""
+        h, w = arr.shape
+        shifts = np.round(t * (np.arange(w) - w / 2)).astype(int)
+        out = np.full_like(arr, fill)
+        for s in np.unique(shifts):
+            cols = shifts == s
+            if s == 0:
+                out[:, cols] = arr[:, cols]
+            elif s > 0:
+                out[s:, cols] = arr[: h - s, cols]
+            else:
+                out[:h + s, cols] = arr[-s:, cols]
+        return out
+
+    def _deskew(self, ink: np.ndarray) -> Tuple[np.ndarray, float]:
+        """Estimate small skew (±3°) by maximizing row-projection sharpness
+        over shear candidates on a 2× downsample; return (deskewed ink,
+        shear) — shear 0.0 when the page is already straight."""
+        small = (ink[::2, ::2] > 0.45).astype(np.float32)
+        if small.sum() < 50:
+            return ink, 0.0
+        def sharp(m):
+            p = m.sum(axis=1)
+            return float((p * p).sum())
+        base = sharp(small)
+        best_t, best_s = 0.0, base
+        for deg in np.arange(-3.0, 3.01, 0.4):
+            if abs(deg) < 1e-6:
+                continue
+            t = np.tan(np.radians(deg))
+            s = sharp(self._shear_rows(small, t, 0.0))
+            if s > best_s:
+                best_s, best_t = s, t
+        if best_t == 0.0 or best_s < 1.15 * base:
+            return ink, 0.0
+        return self._shear_rows(ink, best_t, 0.0), best_t
+
+    def _page_score(self, ink: np.ndarray, max_bands: int = 3) -> float:
+        scores = []
+        for c0, c1 in self._columns(ink)[:2]:
+            col = ink[:, c0:c1]
+            got = 0
+            for t, b in self._bands(col):
+                if b - t < 8:
+                    continue
+                r = self._decode_band(col, t, b)
+                if r is not None and len(r[0].replace(" ", "")) >= 3:
+                    scores.append(r[1])
+                    got += 1
+                if got >= max_bands:
+                    break
+        return float(np.mean(scores)) if scores else -9.0
+
+    @classmethod
+    def _columns(cls, ink: np.ndarray) -> List[Tuple[int, int]]:
+        """Column x-ranges — split BEFORE line segmentation: two columns
+        whose baselines interleave have no blank rows in the full-width
+        projection, so bands fuse unless the gutter is cut first."""
+        return cls._split_columns(ink, max(16, ink.shape[1] // 60))
+
+    @staticmethod
+    def _split_columns(ink: np.ndarray, min_gutter: int) -> List[Tuple[int, int]]:
+        """Left-to-right column x-ranges: split at the widest internal blank
+        column run ≥ min_gutter with substantial ink both sides."""
+        on = (ink > 0.45).sum(axis=0) >= max(2, ink.shape[0] // 150)
+        idx = np.flatnonzero(on)
+        if idx.size == 0:
+            return [(0, ink.shape[1])]
+        gaps = np.diff(idx)
+        if gaps.size == 0:
+            return [(0, ink.shape[1])]
+        cut = int(np.argmax(gaps))
+        if gaps[cut] - 1 < min_gutter:
+            return [(0, ink.shape[1])]
+        left_end, right_start = int(idx[cut]) + 1, int(idx[cut + 1])
+        # both sides must carry real text mass (≥ 15% of page ink each)
+        total = float((ink > 0.45).sum())
+        lmass = float((ink[:, :left_end] > 0.45).sum())
+        if total <= 0 or not (0.15 <= lmass / total <= 0.85):
+            return [(0, ink.shape[1])]
+        out = []
+        for lo, hi in RealScanOCR._split_columns(ink[:, :left_end], min_gutter):
+            out.append((lo, hi))
+        for lo, hi in RealScanOCR._split_columns(ink[:, right_start:], min_gutter):
+            out.append((lo + right_start, hi + right_start))
+        return out
+
+    def decode_page(self, gray: np.ndarray, orientation: str = "auto",
+                    binarize: bool = False):
+        """Grayscale page → ([(text, bold_ranges, x0, conf, ink_mean)], k).
+
+        ``k``: page was rotated 90k° CCW; output reads the unrotated page.
+        ``binarize``: adaptive local-mean binarization first (the
+        reference's need_binarization knob — noisy photocopies).
+        """
+        if not self.ok:
+            return [], 0
+        img = gray.astype(np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        if hi - lo < 64:
+            return [], 0
+        if binarize:
+            ink = self._adaptive_ink(img)
+        else:
+            ink = (hi - img) / (hi - lo)
+        ink = self._strip_rules(ink)
+        k = 0
+        if orientation == "auto":
+            best = -10.0
+            for kk in range(4):
+                sc = self._page_score(np.rot90(ink, -kk))
+                if sc > best + 1e-9:
+                    best, k = sc, kk
+        if k:
+            ink = np.rot90(ink, -k).copy()
+            img = np.rot90(img, -k).copy()
+        ink, shear = self._deskew(ink)
+        if shear:
+            img = self._shear_rows(img, shear, fill=float(img.max()))
+        # columns first (interleaved baselines fuse full-width bands), then
+        # a first pass over the leading bands to establish script majority
+        cols = self._columns(ink)
+        pre = []
+        first_col = ink[:, cols[0][0] : cols[0][1]]
+        for t, b in self._bands(first_col)[:4]:
+            r = self._decode_band(first_col, t, b)
+            if r:
+                pre.append(r[0])
+        joined = "".join(pre)
+        # script vote over DISTINCTIVE letters only — Cyrillic с/о/а/е render
+        # identically to Latin c/o/a/e in any face, so homoglyph matches are
+        # arbitrary and dilute a naive majority to a coin flip
+        n_cyr = sum(1 for c in joined if c in _DISTINCT_CYR)
+        n_lat = sum(1 for c in joined if c in _DISTINCT_LAT)
+        mask = None
+        if n_cyr > 1.5 * n_lat and n_cyr >= 4:
+            mask = ~self._lat
+        elif n_lat > 1.5 * n_cyr and n_lat >= 4:
+            mask = ~self._cyr
+        lines = []
+        for c0, c1 in cols:
+            col_ink = ink[:, c0:c1]
+            col_img = img[:, c0:c1]
+            for t, b in self._bands(col_ink):
+                r = self._decode_band(col_ink, t, b, mask)
+                if r is None:
+                    continue
+                text, mean, ppem, ranges, x0 = r
+                conf = float(np.clip(mean, 0.0, 1.0))
+                band_bin = col_ink[t:b] > 0.45
+                gband = col_img[t:b]
+                ink_px = gband[band_bin]
+                ink_mean = int(ink_px.mean()) if ink_px.size else 0
+                lines.append((text, ranges, c0 + x0, conf, ink_mean))
+        return lines, k
+
+
+_REAL: List[Optional[RealScanOCR]] = [None]
+
+
+def real_ocr() -> RealScanOCR:
+    if _REAL[0] is None:
+        _REAL[0] = RealScanOCR()
+    return _REAL[0]

@@ -343,7 +343,13 @@ def lines_from_recognized(
     for i, tup in enumerate(recognized):
         text, all_bold, x0 = tup[0], tup[1], tup[2]
         annotations = []
-        if all_bold:
+        if isinstance(all_bold, list):
+            # real-scan OCR path: word-level bold ranges (reference
+            # FontTypeClassifier emits per-word bold spans, bbox test pins
+            # exact (start, end) offsets)
+            for r0, r1 in all_bold:
+                annotations.append(Annotation(int(r0), int(r1), AN.bold, "True"))
+        elif all_bold:
             annotations.append(Annotation(0, len(text), AN.bold, "True"))
         if x0 - min_x0 >= CHAR_GAP + 1:  # indent signal (paragraph starts)
             annotations.append(Annotation(0, len(text), AN.indentation, str(20 * (x0 - min_x0))))
@@ -412,6 +418,63 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
             recognized = mf.decode_page(img)
             k = 0
             warnings.append("scan decoded with atlas-learned font templates")
+            joined = "".join(t[0] for t in recognized)
+            glyphs = [c for c in joined if c != " "]
+            fixed_quality = (1.0 - glyphs.count("?") / len(glyphs)) if glyphs else 0.0
+    if fixed_quality < 0.75:
+        # neither synthetic-font recognizer reads this raster: a REAL scan.
+        # The open-font template recognizer (readers/real_ocr.py) is the
+        # Tesseract-shaped fallback — accept its read when its mean match
+        # confidence clears the floor and beats what the LUTs managed.
+        from dedoc_ray.readers.real_ocr import real_ocr
+
+        ocr = real_ocr()
+        if ocr.ok:
+            def _metrics(lines):
+                """(kept, overall conf, strong-line conf, strong chars) —
+                acceptance keys on the STRONG lines: real pages carry stamp
+                and handwriting bands whose junk reads drag a plain mean
+                below any sane floor while the printed text reads at 0.55+."""
+                kept_ = [t for t in lines if t[3] >= 0.18 and t[0].strip()]
+                if not kept_:
+                    return [], 0.0, 0.0, 0
+                conf_ = sum(t[3] * len(t[0]) for t in kept_) / max(
+                    1, sum(len(t[0]) for t in kept_)
+                )
+                strong = [t for t in kept_ if t[3] >= 0.45]
+                s_chars = sum(len(t[0].strip()) for t in strong)
+                s_conf = (
+                    sum(t[3] * len(t[0]) for t in strong)
+                    / max(1, sum(len(t[0]) for t in strong))
+                    if strong
+                    else 0.0
+                )
+                return kept_, conf_, s_conf, s_chars
+
+            best = None  # (rank, kept, k, conf, binarized)
+            for binz in (False, True):
+                if binz and best is not None and best[0] >= 0.5:
+                    break  # clean page — skip the binarized retry
+                # binz=True: adaptive-binarization retry for noisy
+                # photocopies (the reference's need_binarization knob)
+                real_lines, rk = ocr.decode_page(
+                    img, orientation=orientation, binarize=binz
+                )
+                kept, conf, s_conf, s_chars = _metrics(real_lines)
+                accept = (s_chars >= 25 and s_conf >= 0.5) or conf >= 0.35
+                if not accept or conf <= fixed_quality:
+                    continue
+                rank = s_conf * min(1.0, s_chars / 100.0)
+                if best is None or rank > best[0]:
+                    best = (rank, kept, rk, conf, binz)
+            if best is not None:
+                _, recognized, k, best_conf, used_bin = best
+                warnings = [w for w in warnings if not w.startswith("scan decoded")]
+                warnings.append(
+                    "scan decoded with the open-font template recognizer "
+                    f"(mean match confidence {best_conf:.2f})"
+                    + (", adaptive binarization" if used_bin else "")
+                )
     if k:
         warnings.append(f"scan orientation corrected {90 * k} degrees")
     if not recognized:

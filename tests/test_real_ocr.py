@@ -1,0 +1,125 @@
+"""Real-scan OCR over the reference's OWN scanned fixtures.
+
+The reference pins these via Tesseract at 0.8 similarity
+(tests/api_tests/test_api_format_pdf.py::TestApiPdfReader, _check_similarity
+threshold 0.8, abstract_api_test.py:14); the open-font template recognizer
+(readers/real_ocr.py) must clear the same bar on the same real files —
+this is the evidence that the scan route reads the REAL world, not just
+the repo's own synthetic rasters.
+"""
+
+import os
+from difflib import SequenceMatcher
+
+import pytest
+
+DATA = "/root/reference/tests/data/scanned"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"),
+    reason="system DejaVu faces absent",
+)
+
+
+def sim(a: str, b: str) -> float:
+    return SequenceMatcher(None, a, b).ratio()
+
+
+def read(name: str):
+    from dedoc_ray.readers.scan_ocr import read_scan
+
+    with open(os.path.join(DATA, name), "rb") as f:
+        return read_scan(f.read())
+
+
+@pytest.fixture(scope="module")
+def example_doc():
+    return read("example.png")
+
+
+def test_example_png_first_line(example_doc):
+    # reference __check_example_file: node 0.0 first line "Пример документа"
+    first = example_doc.lines[0].line.strip()
+    assert sim(first, "Пример документа") >= 0.8, first
+
+
+def test_example_png_annotations(example_doc):
+    # reference asserts bold + confidence annotations present on node 0.0
+    names = {a.name for a in example_doc.lines[0].annotations}
+    assert "bold" in names and "confidence" in names
+
+
+def test_example_png_line_count(example_doc):
+    # the fixture has 13 text lines
+    assert len(example_doc.lines) == 13
+
+
+@pytest.mark.parametrize("ext", ["jpg", "bmp", "gif", "tiff"])
+def test_example_other_containers(ext):
+    # reference test_images: every container of the same page reads the same
+    doc = read(f"example.{ext}")
+    first = doc.lines[0].line.strip()
+    assert sim(first, "Пример документа") >= 0.8, (ext, first)
+
+
+def test_orient_3_rotation_and_text():
+    doc = read("orient_3.png")
+    # reference test_image_metadata: exif dims + rotated_page_angles
+    assert doc.metadata["exif_image_width"] == 1654
+    assert doc.metadata["exif_image_height"] == 2338
+    assert doc.metadata["rotated_page_angles"] == [90]
+    # reference test_document_orientation: first node text
+    got = (doc.lines[0].line + doc.lines[1].line).replace("\n", " ").strip()
+    want = "Приложение к постановлению Губернатора Камчатского края"
+    assert sim(got, want) >= 0.8, got
+
+
+def test_orient_1_rotation_and_text():
+    doc = read("orient_1.png")
+    # reference test_rotated_image: "Приложение к Положению о порядке"
+    got = doc.lines[0].line.strip()
+    assert sim(got, "Приложение к Положению о порядке") >= 0.75, got
+
+
+def test_bold_font_word_spans():
+    doc = read("bold_font.png")
+    # reference test_bold_annotation pins exact (start, end) word offsets
+    def bold_spans(line):
+        return [(a.start, a.end) for a in line.annotations if a.name == "bold"]
+
+    assert bold_spans(doc.lines[0]) == [(8, 12)]   # "Testing bold"
+    assert bold_spans(doc.lines[1]) == []          # "Testing regular"
+    assert bold_spans(doc.lines[2]) == [(0, 4)]    # "Bold nonbold"
+    assert bold_spans(doc.lines[4]) == [(0, 15)]   # "Fully bold line"
+
+
+def test_two_columns_reading_order():
+    # reference test_2_columns (they skip it; we read it): a 2-column
+    # English paper — columns split, left column first, Latin script locked
+    doc = read("example_2_columns.png")
+    assert len(doc.lines) > 80
+    text = "".join(L.line for L in doc.lines)
+    # script coherence: the Latin mask must hold (no Cyrillic-only letters)
+    assert sum(1 for c in text if c in "бвгджзийлпцчшщъыьэюя") <= len(text) * 0.02
+    assert sim(doc.lines[0].line.strip().lower(), "in fig. 3, we show the learning curves obtained with") >= 0.6
+
+
+def test_with_trash_photo_reads_heading():
+    # a noisy phone photo: the adaptive-binarization retry must kick in and
+    # produce a non-empty read without error (reference filters handwriting
+    # by OCR confidence on this same file)
+    doc = read("with_trash.jpg")
+    assert any(len(L.line.strip()) > 10 for L in doc.lines)
+
+
+def test_synthetic_scans_untouched():
+    # the synthetic-corpus route must still go through the exact-LUT path
+    # (the real-OCR fallback only fires when the LUTs fail)
+    from dedoc_ray.sources.scan_writer import pgm_bytes, render_page
+
+    from dedoc_ray.readers.scan_ocr import read_scan
+
+    pgm = pgm_bytes(render_page([("HELLO WORLD 123", False), ("SECOND LINE", False)]))
+    doc = read_scan(pgm)
+    assert [L.line for L in doc.lines] == ["HELLO WORLD 123\n", "SECOND LINE\n"]
+    assert not any("open-font" in w for w in doc.warnings)
