@@ -709,7 +709,7 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
     the legacy regex scan below. Returns None when no raster exists."""
     import numpy as np
 
-    from dedoc_ray.readers.scan_ocr import lines_from_recognized, ocr_raster
+    from dedoc_ray.readers.scan_ocr import lines_from_recognized, recognize_raster
 
     file_hash = hashlib.md5(data).hexdigest()
     page_start, page_stop = pages
@@ -742,7 +742,8 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
             except Exception as e:
                 warnings.append(f"page {idx} raster {w}x{h} ({filt}): decode failed ({e})")
                 continue
-            recognized, k = ocr_raster(raster, with_metadata=True)
+            recognized, k, rwarns = recognize_raster(raster)
+            warnings.extend(rwarns)
             if k:
                 warnings.append(f"page {idx} scan orientation corrected {90 * k} degrees")
             lines.extend(lines_from_recognized(recognized, file_hash, page_id=idx, start_line_id=line_id))
@@ -772,7 +773,8 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
         if page_id < page_start or (page_stop is not None and page_id >= page_stop):
             page_id += 1
             continue
-        recognized, k = ocr_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
+        recognized, k, rwarns = recognize_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
+        warnings.extend(rwarns)
         if k:
             warnings.append(f"page {page_id} scan orientation corrected {90 * k} degrees")
         lines.extend(lines_from_recognized(recognized, file_hash, page_id=page_id, start_line_id=line_id))
@@ -781,6 +783,42 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
     if not saw_image:
         return None
     return UnstructuredDoc(lines=lines, warnings=warnings)
+
+
+def _ocr_rendered_textlayer(data: bytes, pages: tuple = (0, None)) -> Optional[UnstructuredDoc]:
+    """Forced-OCR route for a BORN-DIGITAL pdf: rasterize each page from its
+    own text layer (readers/pdf_render.py — the pdf2image stand-in) and run
+    the real recognizer chain over the raster. Returns None when there is no
+    text layer or no renderable faces (caller falls back to the stub)."""
+    from dedoc_ray.readers.pdf_render import DPI, render_textlayer_page
+    from dedoc_ray.readers.scan_ocr import lines_from_recognized, recognize_raster
+
+    try:
+        tl = read_pdf_textlayer(data, pages=pages)
+    except ValueError:
+        return None
+    if not tl.lines:
+        return None
+    mb = _MEDIABOX_RE.search(data)
+    page_w, page_h = (float(mb.group(1)), float(mb.group(2))) if mb else (612.0, 792.0)
+    file_hash = hashlib.md5(data).hexdigest()
+    page_ids = sorted({getattr(L.metadata, "page_id", 0) for L in tl.lines})
+    out_lines: List[LineWithMeta] = []
+    warnings: List[str] = [f"born-digital pages rasterized at {DPI} dpi for the OCR route"]
+    line_id = 0
+    for pid in page_ids:
+        raster = render_textlayer_page(tl.lines, pid, page_w, page_h)
+        if raster is None:
+            continue
+        recognized, _k, rwarns = recognize_raster(raster, orientation="no_change")
+        warnings.extend(rwarns)
+        out_lines.extend(
+            lines_from_recognized(recognized, file_hash, page_id=pid, start_line_id=line_id)
+        )
+        line_id += len(recognized)
+    if not out_lines:
+        return None
+    return UnstructuredDoc(lines=out_lines, warnings=warnings)
 
 
 def merge_partial_docs(first: UnstructuredDoc, second: UnstructuredDoc) -> UnstructuredDoc:
@@ -867,10 +905,18 @@ def _read_pdf_auto(
 
     def ocr_route(reason: str) -> UnstructuredDoc:
         # scanned-PDF branch (reference PdfImageReader): recognize embedded
-        # page rasters when present; otherwise the honest stub warning
+        # page rasters when present; a born-digital page forced through this
+        # route is rasterized from its text layer first (the reference
+        # renders EVERY page with pdf2image before Tesseract — its test_pdf
+        # posts a text-layer file through pdf_with_text_layer="false");
+        # otherwise the honest stub warning
         ocr_doc = _ocr_embedded_images(data, pages=pages)
         if ocr_doc is not None:
             ocr_doc.warnings.insert(0, f"{reason}: scanned-image OCR route")
+            return ocr_doc
+        ocr_doc = _ocr_rendered_textlayer(data, pages=pages)
+        if ocr_doc is not None:
+            ocr_doc.warnings.insert(0, f"{reason}: page rasterized from the text layer and OCR'd")
             return ocr_doc
         return UnstructuredDoc(lines=[], warnings=[f"{reason}: OCR stage stubbed (no tesseract in container)"])
 

@@ -671,7 +671,10 @@ class RealScanOCR:
                 gband = col_img[t:b]
                 ink_px = gband[band_bin]
                 ink_mean = int(ink_px.mean()) if ink_px.size else 0
-                lines.append((text, ranges, c0 + x0, conf, ink_mean))
+                on = np.flatnonzero(band_bin.any(axis=0))
+                x1 = int(on[-1]) + 1 if on.size else x0 + 1
+                bbox = (c0 + x0, int(t), max(1, x1 - x0), int(b - t))
+                lines.append((text, ranges, c0 + x0, conf, ink_mean, bbox))
         return lines, k
 
 

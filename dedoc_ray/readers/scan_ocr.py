@@ -353,6 +353,13 @@ def lines_from_recognized(
             annotations.append(Annotation(0, len(text), AN.bold, "True"))
         if x0 - min_x0 >= CHAR_GAP + 1:  # indent signal (paragraph starts)
             annotations.append(Annotation(0, len(text), AN.indentation, str(20 * (x0 - min_x0))))
+        if len(tup) >= 6 and tup[5] is not None:
+            # page-pixel line box (reference BBoxAnnotation on OCR lines,
+            # ocr_line.py bbox field)
+            bx, by, bw, bh = tup[5]
+            annotations.append(
+                Annotation(0, len(text), AN.bounding_box, f"({bx},{by},{bw},{bh})")
+            )
         if len(tup) >= 5:
             conf, ink_mean = tup[3], tup[4]
             # reference ConfidenceAnnotation (ocr_line.py:38) + the
@@ -371,39 +378,12 @@ def lines_from_recognized(
     return lines
 
 
-def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
-    """Image scan → UnstructuredDoc (the image half of the reference's
-    PdfImageReader, which accepts bare images alongside textless PDFs;
-    supported_image_types there spans the cv2/PIL container family — here
-    every raster ops/media_codecs.image_decode_gray parses: BMP, PNG, GIF,
-    TIFF, JPEG, the Netpbm family, PCX, Sun raster, SGI, Radiance HDR,
-    WebP; bare PGM from the synthetic corpus as the fallback).
-    ``orientation="no_change"`` skips rotation correction (the reference's
-    document_orientation query knob)."""
-    from dedoc_ray.ops.media_codecs import image_decode_gray, image_dimensions
-
-    file_hash = hashlib.md5(data).hexdigest()
-    dims = image_dimensions(data)
-    slow = data[:3] == b"\xff\xd8\xff" or data[:4] == b"GIF8" or (
-        len(data) > 68 and data[0] == 0x0A and data[2] == 1  # PCX RLE
-    )
-    cap = SCAN_MAX_PIXELS_SLOW if slow else SCAN_MAX_PIXELS
-    if dims is not None and dims[0] * dims[1] > cap:
-        # same cap story as the PDF OCR route (readers/pdf.py:542-547):
-        # the pure-Python decode constant factor makes multi-megapixel
-        # rasters minutes-per-image; surface geometry instead of hanging
-        return UnstructuredDoc(
-            lines=[],
-            warnings=[
-                f"scan raster {dims[0]}x{dims[1]} exceeds the native-codec "
-                f"decode cap ({cap} px): geometry only"
-            ],
-            metadata={"exif_image_width": int(dims[0]), "exif_image_height": int(dims[1])},
-        )
-    try:
-        img = image_decode_gray(data)
-    except ValueError:
-        img = parse_pgm(data)
+def recognize_raster(img: np.ndarray, orientation: str = "auto"):
+    """The full recognition chain over one grayscale raster — shared by the
+    bare-image route (read_scan) and the PDF embedded-raster OCR route
+    (readers/pdf.py): fixed-width LUT → atlas-learned templates → the
+    open-font template recognizer for REAL scans.  Returns
+    (recognized tuples, rotation_k, warnings)."""
     recognized, k = ocr_raster(img, orientation=orientation, with_metadata=True)
     warnings: List[str] = []
     # fixed-width LUT struggling → try the atlas-learned template
@@ -475,6 +455,43 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
                     f"(mean match confidence {best_conf:.2f})"
                     + (", adaptive binarization" if used_bin else "")
                 )
+    return recognized, k, warnings
+
+
+def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
+    """Image scan → UnstructuredDoc (the image half of the reference's
+    PdfImageReader, which accepts bare images alongside textless PDFs;
+    supported_image_types there spans the cv2/PIL container family — here
+    every raster ops/media_codecs.image_decode_gray parses: BMP, PNG, GIF,
+    TIFF, JPEG, the Netpbm family, PCX, Sun raster, SGI, Radiance HDR,
+    WebP; bare PGM from the synthetic corpus as the fallback).
+    ``orientation="no_change"`` skips rotation correction (the reference's
+    document_orientation query knob)."""
+    from dedoc_ray.ops.media_codecs import image_decode_gray, image_dimensions
+
+    file_hash = hashlib.md5(data).hexdigest()
+    dims = image_dimensions(data)
+    slow = data[:3] == b"\xff\xd8\xff" or data[:4] == b"GIF8" or (
+        len(data) > 68 and data[0] == 0x0A and data[2] == 1  # PCX RLE
+    )
+    cap = SCAN_MAX_PIXELS_SLOW if slow else SCAN_MAX_PIXELS
+    if dims is not None and dims[0] * dims[1] > cap:
+        # same cap story as the PDF OCR route (readers/pdf.py:542-547):
+        # the pure-Python decode constant factor makes multi-megapixel
+        # rasters minutes-per-image; surface geometry instead of hanging
+        return UnstructuredDoc(
+            lines=[],
+            warnings=[
+                f"scan raster {dims[0]}x{dims[1]} exceeds the native-codec "
+                f"decode cap ({cap} px): geometry only"
+            ],
+            metadata={"exif_image_width": int(dims[0]), "exif_image_height": int(dims[1])},
+        )
+    try:
+        img = image_decode_gray(data)
+    except ValueError:
+        img = parse_pgm(data)
+    recognized, k, warnings = recognize_raster(img, orientation=orientation)
     if k:
         warnings.append(f"scan orientation corrected {90 * k} degrees")
     if not recognized:

@@ -112,6 +112,27 @@ def test_with_trash_photo_reads_heading():
     assert any(len(L.line.strip()) > 10 for L in doc.lines)
 
 
+def test_forced_ocr_on_born_digital_pdf():
+    # reference test_pdf: scanned/example.pdf posted with
+    # pdf_with_text_layer="false" — the page renders from its text layer
+    # (pdf2image stand-in) and the OCR'd tree still reads the document,
+    # with bold + confidence + bbox annotations on the first node
+    from dedoc_ray.readers.pdf import read_pdf_auto
+
+    with open(os.path.join(DATA, "example.pdf"), "rb") as f:
+        doc = read_pdf_auto(f.read(), mode="false")
+    assert any("rasterized from the text layer" in w for w in doc.warnings)
+    first = doc.lines[0]
+    assert sim(first.line.strip(), "Пример документа") >= 0.8, first.line
+    names = {a.name for a in first.annotations}
+    assert {"bold", "confidence", "bounding box"} <= names
+    joined = "".join(L.line for L in doc.lines)
+    assert sim(
+        joined.split("\n")[1],
+        "Глава 1 с таким длинным названием которое даже не влазит в",
+    ) >= 0.8
+
+
 def test_synthetic_scans_untouched():
     # the synthetic-corpus route must still go through the exact-LUT path
     # (the real-OCR fallback only fires when the LUTs fail)
