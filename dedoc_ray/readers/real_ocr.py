@@ -498,6 +498,23 @@ class RealScanOCR:
         return ((local - g) > 0.18 * span).astype(np.float32)
 
     @staticmethod
+    def _despeckle(binm: np.ndarray) -> np.ndarray:
+        """Drop isolated ink pixels (< 2 of 8 neighbors inked) — photo noise
+        amplified by adaptive binarization otherwise keeps every projection
+        row 'on' and fuses all line bands."""
+        h, w = binm.shape
+        p = np.pad(binm, 1)
+        nb = (
+            sum(
+                p[1 + dy : h + 1 + dy, 1 + dx : w + 1 + dx]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            )
+            - binm
+        )
+        return np.where(nb >= 2, binm, 0.0).astype(np.float32)
+
+    @staticmethod
     def _strip_rules(ink: np.ndarray) -> np.ndarray:
         """Zero out long straight rules (page frames, table borders,
         underlines spanning most of the page): a >50%-ink row/column is a
@@ -555,8 +572,12 @@ class RealScanOCR:
             return ink, 0.0
         return self._shear_rows(ink, best_t, 0.0), best_t
 
-    def _page_score(self, ink: np.ndarray, max_bands: int = 3) -> float:
-        scores = []
+    def _page_score(self, ink: np.ndarray, probe_bands: int = 8) -> float:
+        """Char-weighted trial-recognition score of the BEST 3 of the first
+        ~8 bands: a correctly-oriented real page has a few strongly readable
+        printed lines even when its leading bands are stamps or decorative
+        junk; a wrong rotation has none."""
+        cands = []
         for c0, c1 in self._columns(ink)[:2]:
             col = ink[:, c0:c1]
             got = 0
@@ -564,12 +585,17 @@ class RealScanOCR:
                 if b - t < 8:
                     continue
                 r = self._decode_band(col, t, b)
-                if r is not None and len(r[0].replace(" ", "")) >= 3:
-                    scores.append(r[1])
-                    got += 1
-                if got >= max_bands:
+                if r is not None:
+                    n = len(r[0].replace(" ", ""))
+                    if n >= 3:
+                        cands.append((r[1], n))
+                        got += 1
+                if got >= probe_bands:
                     break
-        return float(np.mean(scores)) if scores else -9.0
+        if not cands:
+            return -9.0
+        top = sorted(cands, reverse=True)[:3]
+        return sum(s * n for s, n in top) / sum(n for _, n in top)
 
     @classmethod
     def _columns(cls, ink: np.ndarray) -> List[Tuple[int, int]]:
@@ -620,14 +646,25 @@ class RealScanOCR:
         if hi - lo < 64:
             return [], 0
         if binarize:
-            ink = self._adaptive_ink(img)
+            ink = self._despeckle(self._adaptive_ink(img))
         else:
             ink = (hi - img) / (hi - lo)
         ink = self._strip_rules(ink)
         k = 0
         if orientation == "auto":
+            # prefilter by text-line structure: the upright/upside-down pair
+            # has a far sharper row projection than the sideways pair, so
+            # only the structurally-plausible rotations get trial-decoded
+            small = (ink[::2, ::2] > 0.45).astype(np.float32)
+            sharps = []
+            for kk in range(4):
+                p = np.rot90(small, -kk).sum(axis=1)
+                sharps.append(float((p * p).sum()))
+            cut = 0.7 * max(sharps) if max(sharps) > 0 else 0.0
             best = -10.0
             for kk in range(4):
+                if sharps[kk] < cut:
+                    continue
                 sc = self._page_score(np.rot90(ink, -kk))
                 if sc > best + 1e-9:
                     best, k = sc, kk

@@ -441,8 +441,16 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto"):
                     img, orientation=orientation, binarize=binz
                 )
                 kept, conf, s_conf, s_chars = _metrics(real_lines)
-                accept = (s_chars >= 25 and s_conf >= 0.5) or conf >= 0.35
-                if not accept or conf <= fixed_quality:
+                # acceptance mirrors the reference: Tesseract's read is the
+                # output even when mediocre — so when the synthetic LUTs read
+                # NOTHING (every real scan), any non-empty read wins; the
+                # stronger bars only gate replacing a partial LUT read
+                accept = (
+                    (s_chars >= 25 and s_conf >= 0.5)
+                    or conf >= 0.35
+                    or (fixed_quality <= 0.05 and s_chars >= 8)
+                )
+                if not kept or not accept or conf <= fixed_quality:
                     continue
                 rank = s_conf * min(1.0, s_chars / 100.0)
                 if best is None or rank > best[0]:

@@ -112,6 +112,28 @@ def test_with_trash_photo_reads_heading():
     assert any(len(L.line.strip()) > 10 for L in doc.lines)
 
 
+def test_tilted_photo_bank_heading():
+    # reference test_image_binarization: 01_МФО_Наклон.jpg with
+    # need_binarization — the binarized retry must fire and read the
+    # Bank-of-Russia letterhead lines
+    doc = read("01_МФО_Наклон.jpg")
+    assert any("adaptive binarization" in w for w in doc.warnings)
+    text = "".join(L.line for L in doc.lines)
+    assert max(
+        (sim(line.strip(), "(БАНК РОССИИ)") for line in text.split("\n")), default=0
+    ) >= 0.7, text[:200]
+
+
+def test_contract_photo_scan():
+    # scan_orient_1.jpg: a real photographed contract page — §5 force
+    # majeure clause reads at the reference's own similarity bar
+    doc = read("scan_orient_1.jpg")
+    assert sim(doc.lines[0].line.strip(), "5. ФОРС-МАЖОР") >= 0.8
+    want = "Стороны освобождаются от ответственности за неисполнение или ненадлежащее"
+    got = doc.lines[1].line
+    assert sim(got[: len(want) + 10], "5.1. " + want) >= 0.75, got
+
+
 def test_forced_ocr_on_born_digital_pdf():
     # reference test_pdf: scanned/example.pdf posted with
     # pdf_with_text_layer="false" — the page renders from its text layer
