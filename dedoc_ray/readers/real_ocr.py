@@ -10,29 +10,39 @@ this module is a from-scratch classical template OCR over the SAME route:
 
 1. **Glyph bank**: every charset glyph rasterized from the container's
    DejaVu faces (Sans/Serif × Regular/Bold/Italic) with the sfnt outline
-   parser from readers/ttf_glyphs.py — two render variants per glyph (a
-   supersampled smooth one and an ~11 px quantized one that mimics how
-   small print rasterizes), bbox-normalized to a 24×24 anti-aliased grid
-   plus em-relative size features (height, y-center vs baseline, width).
-2. **Line finding**: noise-robust horizontal projection (row ink COUNT, not
-   `.any()` — scanner speckle must not fuse bands), per-band baseline from
-   the modal run bottom.
-3. **Scale hypotheses**: the tallest ink alone cannot tell cap-height from
+   parser from readers/ttf_glyphs.py — three render variants per glyph (a
+   supersampled smooth one plus 11 px / 15 px quantized ones that mimic
+   how small print rasterizes), bbox-normalized to a 24×24 anti-aliased
+   grid plus em-relative size features (height, y-center vs baseline,
+   width).
+2. **Page cleanup**: long-rule stripping (frames/borders defeat blank-row
+   and blank-column detection), small-angle shear deskew by row-projection
+   sharpness, optional adaptive local-mean binarization + despeckle for
+   noisy photocopies (the reference's need_binarization knob).
+3. **Columns then lines**: gutter split FIRST (two columns whose baselines
+   interleave have no blank rows in a full-width projection), then
+   noise-robust horizontal projection per column (row ink COUNT, not
+   `.any()`), per-band baseline from the modal run bottom.
+4. **Scale hypotheses**: the tallest ink alone cannot tell cap-height from
    x-height, so each band is decoded under ppem = h/0.74, h/0.63, h/0.54
    and the hypothesis with the best mean match score wins.
-4. **Segmentation DP**: glyph runs from the grayscale column profile; wide
+5. **Segmentation DP**: glyph runs from the grayscale column profile; wide
    runs get cut candidates at profile valleys (serif faces connect whole
    words through baseline serifs).  A valley whose bridge column is faint
    is a HARD cut (kissing letters — grouping may not cross); solid-ink
    valleys are soft (н's crossbar survives).  A DP over the atoms picks
    the segmentation maximizing Σ (match − margin)·width, with cross-run
-   grouping whitelisted to the genuinely multi-part glyphs (ы Ы « »).
-5. **Match**: normalized cross-correlation on the 24×24 grid plus
-   penalties on the em-relative size features (separates о/О/0-style
-   case confusables), with a per-page script-coherence pass (Cyrillic vs
-   Latin majority masks the losing alphabet's lookalikes).
-6. **Orientation**: decode the first bands in all four rotations, best
-   mean score wins — the ColumnsOrientationClassifier decision
+   grouping whitelisted to the genuinely multi-part glyphs (ы Ы « »);
+   candidate segments batch into ONE matmul per band.
+6. **Match**: normalized cross-correlation on the 24×24 grid — max over
+   two penalized vertical-warp row remaps (faces place е-crossbar-style
+   internal features at different heights) — plus penalties on the
+   em-relative size features (separates о/О/0-style case confusables),
+   with a per-page script-coherence pass voted over script-DISTINCTIVE
+   letters only (с/о/а/е homoglyphs are coin flips).
+7. **Orientation**: row-projection-sharpness prefilter (sideways pages
+   lose structure) then char-weighted trial recognition of the best bands
+   in the surviving rotations — the ColumnsOrientationClassifier decision
    (reference: columns_orientation_classifier.py, a CNN) made by trial
    recognition.
 
@@ -164,8 +174,32 @@ def _raster_poly(polys, x0, x1, y0, y1, W, H) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
-    """Bilinear resize (float32)."""
+    """Resize (float32): bilinear when upscaling, AREA-average when
+    downscaling — bilinear downsampling point-samples and can drop a
+    1-px stroke entirely (е's crossbar), area averaging preserves its
+    ink mass."""
     h, w = img.shape
+    if h > H or w > W:
+        # integral-image area average over fractional boxes, axis at a time
+        def area_axis(m: np.ndarray, n_out: int) -> np.ndarray:
+            n_in = m.shape[0]
+            if n_in == n_out:
+                return m
+            cs = np.zeros((n_in + 1,) + m.shape[1:], np.float64)
+            np.cumsum(m, axis=0, out=cs[1:])
+            edges = np.linspace(0.0, n_in, n_out + 1)
+            lo = np.floor(edges).astype(int)
+            frac = edges - lo
+            lo = np.clip(lo, 0, n_in)
+            vals = cs[lo] + frac[(...,) + (None,) * (m.ndim - 1)] * (
+                cs[np.clip(lo + 1, 0, n_in)] - cs[lo]
+            )
+            out = np.diff(vals, axis=0)
+            widths = np.diff(edges)
+            return (out / widths[(...,) + (None,) * (m.ndim - 1)]).astype(np.float32)
+
+        tmp = area_axis(img.astype(np.float64), H)
+        return area_axis(tmp.T, W).T.astype(np.float32)
     ys = (np.arange(H) + 0.5) * h / H - 0.5
     xs = (np.arange(W) + 0.5) * w / W - 0.5
     y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
@@ -216,10 +250,10 @@ class RealScanOCR:
                 rw = (x1 - x0) / u
                 big = _raster_poly(polys, x0, x1, y0, y1, GRID * 2, GRID * 2)
                 entries.append((ch, fi, _resize(big, GRID, GRID), rh, ryc, rw))
-                hs = 11  # quantized small-print variant
-                ws = max(2, int(round(hs * (x1 - x0) / (y1 - y0))))
-                small = _raster_poly(polys, x0, x1, y0, y1, ws, hs)
-                entries.append((ch, fi, _resize(small, GRID, GRID), rh, ryc, rw))
+                for hs in (11, 15):  # quantized small-print variants
+                    ws = max(2, int(round(hs * (x1 - x0) / (y1 - y0))))
+                    small = _raster_poly(polys, x0, x1, y0, y1, ws, hs)
+                    entries.append((ch, fi, _resize(small, GRID, GRID), rh, ryc, rw))
         self.ok = bool(entries)
         if not self.ok:
             return
@@ -272,7 +306,21 @@ class RealScanOCR:
         if not vecs:
             return out
         V = np.stack(vecs)  # (m, GRID*GRID)
+        # vertical-warp-max NCC: different faces place internal features
+        # (е's crossbar) at different heights — correlate each patch also
+        # under two smooth monotone row remaps (edges pinned, mid-grid
+        # features move ~2 rows) and keep the best. Warped copies are
+        # re-normalized so the maximum is a true NCC.
         ncc = V @ self.gn.T  # (m, n_bank)
+        Vg = V.reshape(-1, GRID, GRID)
+        for a in (0.82, 1.22):
+            rows = np.clip(
+                (GRID * (np.arange(GRID) / GRID) ** a).astype(int), 0, GRID - 1
+            )
+            Vw = Vg[:, rows, :].reshape(len(vecs), -1)
+            Vw = Vw - Vw.mean(axis=1, keepdims=True)
+            n = np.maximum(np.linalg.norm(Vw, axis=1, keepdims=True), 1e-6)
+            np.maximum(ncc, (Vw / n) @ self.gn.T - 0.05, out=ncc)
         F = np.array(feats, np.float32)
         sc = (
             ncc
@@ -330,7 +378,7 @@ class RealScanOCR:
                 gap = (s_ - prev_e) if prev_e is not None else 1e9
                 w = e_ - s_
                 cuts: List[Tuple[int, bool]] = [(s_, False)]
-                if w > 0.8 * ppem:
+                if w > 0.55 * ppem:
                     prof = band_ink[:, s_:e_].sum(axis=0)
                     cmax = band_ink[:, s_:e_].max(axis=0)
                     nz = prof[prof > 0.1]
