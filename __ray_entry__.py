@@ -199,6 +199,16 @@ def q_extract_scan(sf_dir: str):
     return _office_extract(sf_dir, "scan").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_openfont(sf_dir: str):
+    """The REAL-scan recognizer at corpus scale: pages rendered with the
+    system DejaVu vector faces (anti-aliased, proportional — unreadable by
+    every synthetic-font LUT) decoded by the open-font template OCR
+    (readers/real_ocr.py, the Tesseract analogue that also reads the
+    reference's scanned fixtures). Byte-exact text oracle — a true
+    render->recognize roundtrip, not an encoder/decoder LUT pair."""
+    return _office_extract(sf_dir, "scan_openfont").select_columns(["url", "status", "extracted_text"])
+
+
 def q_extract_pdf_encrypted(sf_dir: str):
     """RC4-encrypted PDFs (standard security handler V2/R3, empty user
     password) through the full pipeline: readers/pdf_crypt.py derives the
@@ -1710,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
         "extract_scan_multifont": q_extract_scan_multifont,
+        "extract_scan_openfont": q_extract_scan_openfont,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_pdf_encrypted_aes256": q_extract_pdf_encrypted_aes256,
         "extract_scan_2col": q_extract_scan_2col,
@@ -2024,6 +2035,13 @@ def oracle_sql() -> dict[str, str]:
                         f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_multifont": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                                   f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        # openfont: same ' the '-split lines over the first 200 chars, 'l'
+        # removed (bar-glyph case ambiguity — openfont_writer docstring),
+        # trailing space/newline trimmed (an empty tail chunk draws no ink)
+        "extract_scan_openfont": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
+                                 "'Document ' || doc_id || chr(10) || "
+                                 "rtrim(replace(replace(substr(text, 1, 200), ' the ', chr(10)), 'l', ''), ' ' || chr(10)) "
+                                 "|| chr(10) AS extracted_text FROM documents",
         "extract_scan_2col": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                              f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_bmp": f"SELECT {office_url.format(ext='bmp')} AS url, 'ok' AS status, "

@@ -265,6 +265,18 @@ class RealScanOCR:
         self.rel_h = np.array([e[3] for e in entries], np.float32)
         self.rel_yc = np.array([e[4] for e in entries], np.float32)
         self.rel_w = np.array([e[5] for e in entries], np.float32)
+        # templates that are themselves (near-)solid bars — the only legal
+        # matches for a zero-variance patch (see _match_batch): tall-narrow
+        # AND high fill (l, I, solid-rendered i) — the geometry gate keeps
+        # blurry small-size variants of wide letters out
+        self._alnum = np.array([c.isalnum() for c in self.chars], dtype=float)
+        self._lower = np.array([c.islower() for c in self.chars], dtype=float)
+        self._barlike = np.array(
+            [
+                bool(e[5] < 0.30 * e[3] and float(e[2].mean()) > 0.5)
+                for e in entries
+            ]
+        )
         carr = np.array(self.chars)
         self._cyr = np.array([("Ѐ" <= c <= "ӿ") for c in carr])
         self._lat = np.array([c.isalpha() and c.isascii() for c in carr])
@@ -272,7 +284,7 @@ class RealScanOCR:
 
     # ------------------------------------------------------------ matching
 
-    def _match_batch(self, band_ink, cands, ppem, baseline, mask):
+    def _match_batch(self, band_ink, cands, ppem, baseline, mask, allow_bar=None):
         """Match MANY candidate segments at once — one BLAS matmul per band
         instead of thousands of small ones (the 100× page-decode speedup).
 
@@ -281,6 +293,7 @@ class RealScanOCR:
         vecs = []
         feats = []
         keep = []
+        out: List[Optional[tuple]] = [None] * len(cands)
         for ci, (a0, a1) in enumerate(cands):
             sub = band_ink[:, a0:a1]
             rm = sub.max(axis=1)
@@ -288,21 +301,49 @@ class RealScanOCR:
             if rr.size == 0:
                 continue
             tp, bt = int(rr.min()), int(rr.max())
+            ft = (
+                (bt - tp + 1) / ppem,
+                (baseline - (tp + bt) / 2) / ppem,
+                (a1 - a0) / ppem,
+            )
+            ink_cols = int((sub.max(axis=0) > 0.3).sum())
+            solid_rows = float((sub[tp : bt + 1].max(axis=1) > 0.45).mean())
             g = _resize(sub[tp : bt + 1], GRID, GRID).reshape(-1)
-            g = g - g.mean()
+            fill = float(g.mean())
+            g = g - fill
             n = np.linalg.norm(g)
-            if n < 1e-6:
+            # bar matching only for atoms that are COMPLETE runs: a real
+            # i/l is never produced by cutting a wider glyph, while stem
+            # fragments of cut glyphs pass every geometric bar test
+            is_bar = (
+                (allow_bar is None or allow_bar[ci])
+                and ink_cols <= max(2, int(0.12 * ppem))
+                and (bt - tp + 1) >= 3.5 * max(1, ink_cols)
+                and solid_rows > 0.95
+            )
+            if n < 1e-6 or is_bar:
+                # a SOLID BAR fills its bbox (l, I, dotless-rendered i) —
+                # (near-)zero variance, NCC meaningless; decide among the
+                # bar-shaped templates by the size features alone
+                sc = (
+                    np.where(self._barlike, 0.6, -1.0)
+                    + 0.05 * self._alnum  # i/l over !/' on feature ties
+                    + 0.04 * self._lower  # i over I: lowercase-frequency
+                    # prior — a solid bar carries no case information
+                    # (DejaVu i's dot tops at exactly cap height)
+                    - 1.4 * np.abs(self.rel_h - ft[0])
+                    - 1.2 * np.abs(self.rel_yc - ft[1])
+                    - 0.5 * np.abs(self.rel_w - ft[2])
+                )
+                if mask is not None:
+                    sc = np.where(mask, sc, -10.0)
+                j = int(np.argmax(sc))
+                if sc[j] > 0.0:
+                    out[ci] = (self.chars[j], float(sc[j]), j)
                 continue
             vecs.append(g / n)
-            feats.append(
-                (
-                    (bt - tp + 1) / ppem,
-                    (baseline - (tp + bt) / 2) / ppem,
-                    (a1 - a0) / ppem,
-                )
-            )
+            feats.append(ft)
             keep.append(ci)
-        out: List[Optional[tuple]] = [None] * len(cands)
         if not vecs:
             return out
         V = np.stack(vecs)  # (m, GRID*GRID)
@@ -421,12 +462,21 @@ class RealScanOCR:
                     if (a1 - a0) > 1.5 * ppem and k > 1:
                         break
                     groups.append((i, k, cross))
+            # an atom group is a full intact run iff it is a single atom
+            # whose neighbors both lie across run boundaries (gap != 0)
+            def _full_run(i, k):
+                if k != 1:
+                    return False
+                if atoms[i][2] == 0:
+                    return False  # starts mid-run (after a cut)
+                return i + 1 >= len(atoms) or atoms[i + 1][2] != 0
             matches = self._match_batch(
                 band_ink,
                 [(atoms[i][0], atoms[i + k - 1][1]) for i, k, _ in groups],
                 ppem,
                 baseline,
                 script_mask,
+                allow_bar=[_full_run(i, k) for i, k, _ in groups],
             )
             dp = np.full(n + 1, NEG)
             dp[0] = 0.0
@@ -508,10 +558,15 @@ class RealScanOCR:
     # --------------------------------------------------------------- page
 
     @staticmethod
-    def _bands(ink: np.ndarray) -> List[Tuple[int, int]]:
-        """Noise-robust line bands: row ink COUNT threshold."""
-        need = max(2, ink.shape[1] // 400)
-        rows = (ink > 0.45).sum(axis=1) >= need
+    def _bands(ink: np.ndarray, expand: bool = True, with_flags: bool = False):
+        """Noise-robust line bands: row ink COUNT threshold, then edges
+        expanded over adjacent lightly-inked rows — on a wide page the
+        scaled threshold would otherwise trim sparse glyph-top rows (a
+        capital D's flat top) and deform the shapes."""
+        counts = (ink > 0.45).sum(axis=1)
+        # capped: a lone short word on a very wide page still makes a band
+        need = max(2, min(ink.shape[1] // 400, 8))
+        rows = counts >= need
         bands = []
         top = None
         for i in range(len(rows) + 1):
@@ -522,7 +577,75 @@ class RealScanOCR:
                 if i - top >= 4:
                     bands.append((top, i))
                 top = None
-        return bands
+        # rescue pass: a lone short word (even one letter) on a wide page
+        # never reaches the scaled threshold — any ≥6-row region of ≥2-px
+        # rows outside the found bands is a band too (junk ones die at the
+        # confidence filter downstream)
+        low = counts >= 2
+        covered = np.zeros(len(counts), bool)
+        for t, b in bands:
+            covered[t:b] = True
+        top = None
+        extra = []
+        for i in range(len(low) + 1):
+            v = low[i] and not covered[i] if i < len(low) else False
+            if v and top is None:
+                top = i
+            elif not v and top is not None:
+                if i - top >= 6:
+                    extra.append((top, i))
+                top = None
+        rescue = {tuple(e) for e in extra}
+        if extra:
+            bands = sorted(bands + extra)
+
+        def _ret(bs):
+            if with_flags:
+                return [(t_, b_, (t_, b_) in rescue) for t_, b_ in bs]
+            return bs
+        if not expand:
+            # binarized photocopies: speckle rows adjoin real bands and the
+            # dot-recovery expansion would drag noise into every patch
+            return _ret(bands)
+        out = []
+        n = len(counts)
+        for bi, (t, b) in enumerate(bands):
+            t0_, b0_ = t, b
+            lo = bands[bi - 1][1] if bi else 0
+            hi = bands[bi + 1][0] if bi + 1 < len(bands) else n
+            for _ in range(6):
+                # may skip up to TWO blank rows: i/j dots sit a couple of
+                # rows above the x-height body and losing them leaves bare
+                # unmatchable stems
+                if t - 1 >= lo and counts[t - 1] >= 1:
+                    t -= 1
+                elif t - 2 >= lo and counts[t - 1] == 0 and counts[t - 2] >= 1:
+                    t -= 2
+                elif (
+                    t - 3 >= lo
+                    and counts[t - 1] == 0
+                    and counts[t - 2] == 0
+                    and counts[t - 3] >= 1
+                ):
+                    t -= 3
+                else:
+                    break
+            for _ in range(6):
+                if b < hi and counts[b] >= 1:
+                    b += 1
+                elif b + 1 < hi and counts[b] == 0 and counts[b + 1] >= 1:
+                    b += 2
+                elif (
+                    b + 2 < hi
+                    and counts[b] == 0
+                    and counts[b + 1] == 0
+                    and counts[b + 2] >= 1
+                ):
+                    b += 3
+                else:
+                    break
+            out.append((t, b, (t0_, b0_) in rescue) if with_flags else (t, b))
+        return out
 
     @staticmethod
     def _adaptive_ink(gray: np.ndarray) -> np.ndarray:
@@ -588,6 +711,8 @@ class RealScanOCR:
         shifts = np.round(t * (np.arange(w) - w / 2)).astype(int)
         out = np.full_like(arr, fill)
         for s in np.unique(shifts):
+            if abs(int(s)) >= h:  # wide short page: shift exceeds height
+                continue
             cols = shifts == s
             if s == 0:
                 out[:, cols] = arr[:, cols]
@@ -620,7 +745,8 @@ class RealScanOCR:
             return ink, 0.0
         return self._shear_rows(ink, best_t, 0.0), best_t
 
-    def _page_score(self, ink: np.ndarray, probe_bands: int = 8) -> float:
+    def _page_score(self, ink: np.ndarray, probe_bands: int = 14,
+                    expand: bool = True) -> float:
         """Char-weighted trial-recognition score of the BEST 3 of the first
         ~8 bands: a correctly-oriented real page has a few strongly readable
         printed lines even when its leading bands are stamps or decorative
@@ -629,7 +755,7 @@ class RealScanOCR:
         for c0, c1 in self._columns(ink)[:2]:
             col = ink[:, c0:c1]
             got = 0
-            for t, b in self._bands(col):
+            for t, b in self._bands(col, expand=expand):
                 if b - t < 8:
                     continue
                 r = self._decode_band(col, t, b)
@@ -649,8 +775,18 @@ class RealScanOCR:
     def _columns(cls, ink: np.ndarray) -> List[Tuple[int, int]]:
         """Column x-ranges — split BEFORE line segmentation: two columns
         whose baselines interleave have no blank rows in the full-width
-        projection, so bands fuse unless the gutter is cut first."""
-        return cls._split_columns(ink, max(16, ink.shape[1] // 60))
+        projection, so bands fuse unless the gutter is cut first.
+
+        The gutter floor scales with the line height (25th percentile of
+        full-width band heights — robust against bands fused by the very
+        columns being detected): a real gutter is wider than a line is
+        tall, while large-print word spaces can exceed any fixed floor."""
+        floor = max(16, ink.shape[1] // 60)
+        heights = [b - t for t, b in cls._bands(ink)]
+        if heights:
+            h25 = float(np.percentile(np.array(heights), 25))
+            floor = max(floor, int(1.15 * h25))
+        return cls._split_columns(ink, floor)
 
     @staticmethod
     def _split_columns(ink: np.ndarray, min_gutter: int) -> List[Tuple[int, int]]:
@@ -698,6 +834,7 @@ class RealScanOCR:
         else:
             ink = (hi - img) / (hi - lo)
         ink = self._strip_rules(ink)
+        expand = not binarize
         k = 0
         if orientation == "auto":
             # prefilter by text-line structure: the upright/upside-down pair
@@ -713,7 +850,7 @@ class RealScanOCR:
             for kk in range(4):
                 if sharps[kk] < cut:
                     continue
-                sc = self._page_score(np.rot90(ink, -kk))
+                sc = self._page_score(np.rot90(ink, -kk), expand=expand)
                 if sc > best + 1e-9:
                     best, k = sc, kk
         if k:
@@ -727,7 +864,7 @@ class RealScanOCR:
         cols = self._columns(ink)
         pre = []
         first_col = ink[:, cols[0][0] : cols[0][1]]
-        for t, b in self._bands(first_col)[:4]:
+        for t, b in self._bands(first_col, expand=expand)[:4]:
             r = self._decode_band(first_col, t, b)
             if r:
                 pre.append(r[0])
@@ -746,12 +883,14 @@ class RealScanOCR:
         for c0, c1 in cols:
             col_ink = ink[:, c0:c1]
             col_img = img[:, c0:c1]
-            for t, b in self._bands(col_ink):
+            for t, b, rescued in self._bands(col_ink, expand=expand, with_flags=True):
                 r = self._decode_band(col_ink, t, b, mask)
                 if r is None:
                     continue
                 text, mean, ppem, ranges, x0 = r
                 conf = float(np.clip(mean, 0.0, 1.0))
+                if rescued and conf < 0.33:
+                    continue  # rescue bands carry the burden of proof
                 band_bin = col_ink[t:b] > 0.45
                 gband = col_img[t:b]
                 ink_px = gband[band_bin]

@@ -1,0 +1,80 @@
+"""Open-font scan corpus: pages RENDERED with the system DejaVu outlines.
+
+The other scan writers draw the repo's synthetic bitmap fonts, which the
+exact-LUT recognizers read back byte-perfectly — they exercise the route,
+not the recognizer. This writer renders real anti-aliased vector glyphs
+(the same faces readers/real_ocr.py banks), so the only recognizer that
+can read the page is the open-font template OCR itself: the corpus is a
+true render→recognize roundtrip at corpus scale.
+
+Charset discipline keeps the roundtrip EXACT (the oracle is a byte-exact
+SQL replay): lowercase latin + digits + space, with 'l' removed — a bare
+vertical bar is pixel-identical to 'I'/'|' in DejaVu Sans, the one
+genuinely shape-ambiguous glyph class (Tesseract disambiguates those with
+a language model; this recognizer refuses to guess).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from dedoc_ray.readers.pdf_render import _glyph_raster
+from dedoc_ray.sources.scan_writer import pgm_bytes
+from dedoc_ray.sources.synth import chunks_of
+
+SIZE = 20      #: render px-per-em
+GAP = 1.0      #: extra blank px between glyphs (blank stays under the
+               #: recognizer's space threshold ~0.24 em)
+SPACE_W = 0.5  #: word-space advance in em — over the recognizer space
+               #: threshold (~0.24 em) but safely under its column-gutter
+               #: floor (~a line height)
+
+
+def render_openfont_page(lines: List[str], size: int = SIZE) -> np.ndarray:
+    """Render text lines with DejaVu glyph outlines → uint8 grayscale page
+    (white paper, anti-aliased ink)."""
+    strips: List[np.ndarray] = []
+    for line in lines:
+        asc, desc = size, size // 2
+        strip = np.zeros((asc + desc, 30 * max(1, len(line)) + 40), np.float32)
+        x = 4.0
+        for ch in line:
+            if ch == " ":
+                x += SPACE_W * size
+                continue
+            g = _glyph_raster(ch, size, False)
+            if g is None:
+                x += SPACE_W * size
+                continue
+            img, top, adv = g
+            gx, gy = int(round(x)), asc - top
+            h, w = img.shape
+            y0, y1 = max(0, gy), min(strip.shape[0], gy + h)
+            x1 = min(strip.shape[1], gx + w)
+            if y1 > y0 and x1 > gx:
+                strip[y0:y1, gx:x1] = np.maximum(
+                    strip[y0:y1, gx:x1], img[y0 - gy : y1 - gy, : x1 - gx]
+                )
+            x += adv + GAP
+        strips.append(strip[:, : int(x) + 4])
+    W = max((s.shape[1] for s in strips), default=10) + 8
+    H = sum(s.shape[0] + 12 for s in strips) + 24
+    page = np.zeros((H, W), np.float32)
+    y = 12
+    for s in strips:
+        page[y : y + s.shape[0], 4 : 4 + s.shape[1]] = s
+        y += s.shape[0] + 12
+    return (255.0 - np.clip(page, 0, 1) * 255.0).astype(np.uint8)
+
+
+def openfont_lines(doc_id: int, text: str) -> List[str]:
+    """The page's text lines — same ' the '-split as the sibling scan
+    corpora over the first 200 chars (page-decode cost bound), minus the
+    shape-ambiguous 'l' (see module docstring)."""
+    return [f"Document {doc_id}"] + [c.replace("l", "") for c in chunks_of(text[:200])]
+
+
+def scan_openfont_pgm(doc_id: int, text: str) -> bytes:
+    return pgm_bytes(render_openfont_page(openfont_lines(doc_id, text)))

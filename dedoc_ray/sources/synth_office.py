@@ -572,12 +572,22 @@ _GENERATORS["pdf_scan"] = scan_pdf
 _GENERATORS["pdf_scan_jbig2"] = scan_pdf_jbig2
 _GENERATORS["pdf_scan_jbig2s"] = scan_pdf_jbig2_sym
 
+
+def _scan_openfont(doc_id: int, text: str) -> bytes:
+    # imported lazily: the open-font writer pulls the glyph rasterizer
+    from dedoc_ray.sources.openfont_writer import scan_openfont_pgm
+
+    return scan_openfont_pgm(doc_id, text)
+
+
+_GENERATORS["scan_openfont"] = _scan_openfont
+
 _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "law_foiv": "txt", "fintoc": "txt",
                  "article": "tei", "note": "note.pickle", "pdf_table": "pdf",
                  "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
                  "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf",
                  "pdf_scan_jbig2": "pdf", "pdf_scan_jbig2s": "pdf", "scan_multifont": "pgm",
-                 "scan_png": "png", "scan_tiff": "tif"}
+                 "scan_png": "png", "scan_tiff": "tif", "scan_openfont": "pgm"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:

@@ -155,6 +155,27 @@ def test_forced_ocr_on_born_digital_pdf():
     ) >= 0.8
 
 
+def test_openfont_roundtrip_exact():
+    # the extract_scan_openfont corpus: pages rendered with DejaVu vector
+    # faces decode byte-exactly through the open-font recognizer — a true
+    # render→recognize roundtrip (full 500-doc sweep runs in the oracle
+    # gate; a deterministic sample here)
+    import pyarrow.parquet as pq
+
+    from dedoc_ray.readers.scan_ocr import read_scan
+    from dedoc_ray.sources.openfont_writer import openfont_lines, scan_openfont_pgm
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:25]
+    for doc_id, text in rows:
+        doc = read_scan(scan_openfont_pgm(doc_id, text))
+        got = [L.line.rstrip("\n") for L in doc.lines]
+        want = [ln.strip() for ln in openfont_lines(doc_id, text) if ln.strip()]
+        assert got == want, (doc_id, got, want)
+
+
 def test_synthetic_scans_untouched():
     # the synthetic-corpus route must still go through the exact-LUT path
     # (the real-OCR fallback only fires when the LUTs fail)
