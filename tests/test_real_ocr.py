@@ -176,6 +176,43 @@ def test_openfont_roundtrip_exact():
         assert got == want, (doc_id, got, want)
 
 
+def test_rotation_invariance():
+    # the SAME page rotated 90/180/270 must come back upright with the
+    # same first line (ColumnsOrientationClassifier parity)
+    import numpy as np
+
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    R = real_ocr()
+    with open(os.path.join(DATA, "example.png"), "rb") as f:
+        img = image_decode_gray(f.read())
+    base, k0 = R.decode_page(img)
+    assert k0 == 0 and base
+    for k in (1, 2, 3):
+        lines, kk = R.decode_page(np.rot90(img, k).copy())
+        assert kk == k, (k, kk)
+        assert lines and lines[0][0] == base[0][0]
+
+
+def test_fuzz_noise_pages_fail_closed():
+    # random noise and degenerate rasters must not crash and must not be
+    # accepted as text (the poisoned-row guarantee at corpus scale)
+    import numpy as np
+
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    R = real_ocr()
+    rng = np.random.default_rng(7)
+    noise = (rng.random((300, 400)) * 255).astype(np.uint8)
+    lines, _ = R.decode_page(noise)
+    assert all(t[3] < 0.45 for t in lines)  # nothing reads as strong text
+    flat = np.full((50, 80), 200, np.uint8)
+    assert R.decode_page(flat) == ([], 0)  # no ink/paper separation
+    tiny = (rng.random((6, 6)) * 255).astype(np.uint8)
+    R.decode_page(tiny)  # must simply not raise
+
+
 def test_synthetic_scans_untouched():
     # the synthetic-corpus route must still go through the exact-LUT path
     # (the real-OCR fallback only fires when the LUTs fail)
