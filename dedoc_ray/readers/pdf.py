@@ -914,10 +914,14 @@ def _read_pdf_auto(
         if ocr_doc is not None:
             ocr_doc.warnings.insert(0, f"{reason}: scanned-image OCR route")
             return ocr_doc
-        ocr_doc = _ocr_rendered_textlayer(data, pages=pages)
-        if ocr_doc is not None:
-            ocr_doc.warnings.insert(0, f"{reason}: page rasterized from the text layer and OCR'd")
-            return ocr_doc
+        if "classified incorrect" not in reason:
+            # a GOOD text layer forced through the OCR route renders and
+            # re-reads; a layer the classifier called garbage would only
+            # reproduce its garbage — keep the honest stub for that case
+            ocr_doc = _ocr_rendered_textlayer(data, pages=pages)
+            if ocr_doc is not None:
+                ocr_doc.warnings.insert(0, f"{reason}: page rasterized from the text layer and OCR'd")
+                return ocr_doc
         return UnstructuredDoc(lines=[], warnings=[f"{reason}: OCR stage stubbed (no tesseract in container)"])
 
     if mode in ("tabby", "auto_tabby") and table_analysis:

@@ -24,11 +24,17 @@ def _simple_pdf(text: str = "hello world from a pdf line") -> bytes:
             + b" >> stream\n" + content + b"\nendstream endobj\ntrailer\n%%EOF")
 
 
-def test_pdf_with_text_layer_false_routes_to_ocr_stub():
+def test_pdf_with_text_layer_false_renders_and_ocrs():
+    # the forced-OCR route now rasterizes the born-digital page from its
+    # text layer and re-reads it with the open-font recognizer (reference
+    # pdf2image+Tesseract shape) instead of the old stub warning
     k = ExtractKernel(config=PipelineConfig(pdf_with_text_layer="false"))
     row = k.extract_row("https://x.test/a.pdf", _simple_pdf())
-    assert row["extracted_text"] == ""
     assert any("pdf_with_text_layer=false" in w for w in row["warnings"])
+    if any("rasterized from the text layer" in w for w in row["warnings"]):
+        assert row["extracted_text"].strip()  # OCR'd the rendered page
+    else:  # no DejaVu faces in this environment: honest stub
+        assert row["extracted_text"] == ""
 
 
 def test_pdf_with_text_layer_true_skips_classifier():
