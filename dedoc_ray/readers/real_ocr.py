@@ -815,6 +815,41 @@ class RealScanOCR:
             out.append((lo + right_start, hi + right_start))
         return out
 
+    def _orientation_k(self, ink: np.ndarray, expand: bool = True) -> int:
+        """k such that np.rot90(ink, -k) reads upright.
+
+        Prefilter by text-line structure — the upright/upside-down pair has
+        a far sharper row projection than the sideways pair — then trial
+        recognition among the structurally-plausible rotations (the
+        reference's ColumnsOrientationClassifier decision, a CNN there:
+        columns_orientation_classifier.py; its class pins are replayed on
+        the orient_1..8 fixtures in tests/test_real_ocr.py)."""
+        small = (ink[::2, ::2] > 0.45).astype(np.float32)
+        sharps = []
+        for kk in range(4):
+            p = np.rot90(small, -kk).sum(axis=1)
+            sharps.append(float((p * p).sum()))
+        cut = 0.7 * max(sharps) if max(sharps) > 0 else 0.0
+        best = -10.0
+        k = 0
+        for kk in range(4):
+            if sharps[kk] < cut:
+                continue
+            sc = self._page_score(np.rot90(ink, -kk), expand=expand)
+            if sc > best + 1e-9:
+                best, k = sc, kk
+        return k
+
+    def detect_orientation_k(self, gray: np.ndarray) -> int:
+        """Public orientation-only entry (no full page decode): the page
+        was rotated 90k° CCW; reading it requires np.rot90(img, -k)."""
+        img = gray.astype(np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        if hi - lo < 64:
+            return 0
+        ink = self._strip_rules((hi - img) / (hi - lo))
+        return self._orientation_k(ink)
+
     def decode_page(self, gray: np.ndarray, orientation: str = "auto",
                     binarize: bool = False):
         """Grayscale page → ([(text, bold_ranges, x0, conf, ink_mean)], k).
@@ -837,22 +872,7 @@ class RealScanOCR:
         expand = not binarize
         k = 0
         if orientation == "auto":
-            # prefilter by text-line structure: the upright/upside-down pair
-            # has a far sharper row projection than the sideways pair, so
-            # only the structurally-plausible rotations get trial-decoded
-            small = (ink[::2, ::2] > 0.45).astype(np.float32)
-            sharps = []
-            for kk in range(4):
-                p = np.rot90(small, -kk).sum(axis=1)
-                sharps.append(float((p * p).sum()))
-            cut = 0.7 * max(sharps) if max(sharps) > 0 else 0.0
-            best = -10.0
-            for kk in range(4):
-                if sharps[kk] < cut:
-                    continue
-                sc = self._page_score(np.rot90(ink, -kk), expand=expand)
-                if sc > best + 1e-9:
-                    best, k = sc, kk
+            k = self._orientation_k(ink, expand=expand)
         if k:
             ink = np.rot90(ink, -k).copy()
             img = np.rot90(img, -k).copy()

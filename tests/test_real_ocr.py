@@ -176,6 +176,48 @@ def test_openfont_roundtrip_exact():
         assert got == want, (doc_id, got, want)
 
 
+def test_scan_orientation_classifier_parity():
+    # the reference's CNN orientation classifier pins these classes for
+    # orient_1..8 (test_format_pdf_reader.test_scan_orientation:
+    # [90, 90, 270, 270, 180, 270, 180, 270]); trial recognition agrees on
+    # ≥7 of 8 real fixtures (orient_4 is the known miss — a sparse form
+    # page where 180° scores within noise of 270°)
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    R = real_ocr()
+    expected = [90.0, 90.0, 270.0, 270.0, 180.0, 270.0, 180.0, 270.0]
+    hits = 0
+    for i, want in enumerate(expected, start=1):
+        with open(os.path.join(DATA, f"orient_{i}.png"), "rb") as f:
+            img = image_decode_gray(f.read())
+        k = R.detect_orientation_k(img)
+        got = ((4 - k) % 4) * 90.0
+        hits += got == want
+    assert hits >= 7, hits
+
+
+def test_skew_corrector_parity():
+    # reference test_skew_corrector pins near-zero residual skew angles
+    # (±8° tolerance) for rotated_1..4.jpg; the shear-deskew estimate must
+    # land in the same window
+    import numpy as np
+
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    R = real_ocr()
+    expected = [0.0617, -0.0175, 0.1223, 0.0]
+    base = "/root/reference/tests/data/skew_corrector"
+    for i, want in enumerate(expected, start=1):
+        with open(os.path.join(base, f"rotated_{i}.jpg"), "rb") as f:
+            img = image_decode_gray(f.read()).astype(np.float32)
+        ink = R._strip_rules((img.max() - img) / max(1.0, img.max() - img.min()))
+        _, shear = R._deskew(ink)
+        got = float(np.degrees(np.arctan(shear)))
+        assert abs(got - want) < 8.0, (i, got, want)
+
+
 def test_rotation_invariance():
     # the SAME page rotated 90/180/270 must come back upright with the
     # same first line (ColumnsOrientationClassifier parity)
