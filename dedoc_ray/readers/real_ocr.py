@@ -89,6 +89,10 @@ _DISTINCT_CYR = frozenset("Ð±Ð²Ð³Ð´Ð¶Ð·Ð¸Ð¹Ð»Ð¼Ð½Ð¿Ñ‚Ñ„Ñ†Ñ‡ÑˆÑ‰ÑŠÑ‹ÑŒÑÑŽÑÐ‘Ð“Ð
 _DISTINCT_LAT = frozenset("bdfghijklmnqrstuvwzDFGIJLNQRSUVWZ")
 
 _SCALE_RATIOS = (0.74, 0.63, 0.54)  #: tall-ink-to-em hypotheses
+
+#: lowercase letters whose ascender/descender pins the em scale â€” their
+#: presence in a confident read makes the other scale hypotheses moot
+_SCALE_PINNING = frozenset("bdfghjklpqtyÐ±Ð´Ñ€ÑƒÑ„Ñ‰Ñ†")
 _MARGIN = 0.25  #: DP per-pixel score margin (segmentation prior)
 
 
@@ -530,6 +534,15 @@ class RealScanOCR:
             mean = ssum / cnt
             if best is None or mean > best[1]:
                 best = ("".join(parts), mean, ppem, bolds)
+            if mean >= 0.82 and any(c in _SCALE_PINNING for c in parts):
+                # confident read at this scale AND the text contains a
+                # glyph whose ascender/descender pins the em topology â€”
+                # an all-x-height line ("sow va") ties between the cap
+                # and x-height interpretations and must try them all;
+                # otherwise alternative hypotheses only ever lose (clean
+                # renders decide on the first try; 3x page-decode cost
+                # saved on exactly the pages that dominate a corpus run)
+                break
         if best is None:
             return None
         text, mean, ppem, bolds = best
