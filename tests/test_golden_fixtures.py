@@ -1255,3 +1255,52 @@ def test_pdf_merged_cells_spans():
     assert table[3][0]["invisible"] is False
     assert table[3][0]["rowspan"] == 3
     assert table[3][0]["colspan"] == 4
+
+
+# ------------------------- running header/footer removal on real PDFs
+# reference test_format_pdf_reader.test_header_footer_search{,_2,_3}: the
+# Richelieu Bond / QUEST MANAGEMENT prospectuses carry a running header on
+# every page and "- N -"-style page footers; with need_header_footer_analysis
+# both must vanish while genuine BODY mentions of the same words survive.
+
+import re as _re
+
+
+def _hf_lines(rel):
+    from dedoc_ray.readers.header_footer import remove_headers_footers
+    from dedoc_ray.readers.pdf import read_pdf_textlayer
+
+    with open(os.path.join(DATA, rel), "rb") as f:
+        doc = read_pdf_textlayer(f.read())
+    lines, _w = remove_headers_footers(doc.lines)
+    pages = {}
+    for line in lines:
+        pages.setdefault(line.metadata.page_id, []).append(line.line)
+    return pages
+
+
+def test_header_footer_prospectus():
+    pages = _hf_lines("pdf_with_text_layer/prospectus.pdf")
+    assert len(pages) == 6
+    flat = [l for p in pages.values() for l in p]
+    assert not any(l.strip() == "Richelieu Bond" for l in flat)
+    assert not any(_re.match(r"^\s*-( )*[0-9]+( )*-\s*$", p[-1]) for p in pages.values())
+    assert any('Richelieu Bond (the "Sicav")' in l for l in flat)  # body kept
+
+
+def test_header_footer_changed_positions():
+    # reference test 2: same header/footer pattern at CHANGED positions
+    pages = _hf_lines("pdf_with_text_layer/with_changed_header_footer.pdf")
+    assert len(pages) == 10
+    flat = [l for p in pages.values() for l in p]
+    assert not any(l.strip() == "Richelieu Bond" for l in flat)
+    assert not any(_re.match(r"^\s*-( )*[0-9]+( )*-\s*$", p[-1]) for p in pages.values())
+
+
+def test_header_footer_quest_sicav():
+    pages = _hf_lines("pdf_with_text_layer/with_header_footer_2.pdf")
+    assert len(pages) == 5
+    flat = [l for p in pages.values() for l in p]
+    assert not any(l.strip() == "QUEST MANAGEMENT, SICAV" for l in flat)
+    assert not any(_re.match(r"^\s*[0-9]\s*$", p[-1]) for p in pages.values())
+    assert any('QUEST MANAGEMENT, SICAV (the "Company")' in l for l in flat)
