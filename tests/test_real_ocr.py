@@ -218,6 +218,26 @@ def test_skew_corrector_parity():
         assert abs(got - want) < 8.0, (i, got, want)
 
 
+def test_skew_short_lines_zero_angle():
+    # reference test_module_skew_corrector.test_documents_with_short_lines:
+    # pages made of short lines must NOT be "corrected" (their projection
+    # sharpness is flat, a classic false-skew trap) — angle stays 0
+    import numpy as np
+
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    R = real_ocr()
+    base = "/root/reference/tests/data/skew_corrector"
+    for i in range(1, 6):
+        with open(os.path.join(base, f"short_lines-{i}.png"), "rb") as f:
+            img = image_decode_gray(f.read()).astype(np.float32)
+        span = max(1.0, img.max() - img.min())
+        ink = R._strip_rules((img.max() - img) / span)
+        _, shear = R._deskew(ink)
+        assert shear == 0.0, (i, shear)
+
+
 def test_rotation_invariance():
     # the SAME page rotated 90/180/270 must come back upright with the
     # same first line (ColumnsOrientationClassifier parity)
