@@ -777,8 +777,8 @@ class RealScanOCR:
                     if n >= 3:
                         cands.append((r[1], n))
                         got += 1
-                if got >= probe_bands:
-                    break
+                if got >= probe_bands or sum(1 for sc, _ in cands if sc >= 0.55) >= 3:
+                    break  # three strongly-read bands settle the rotation
         if not cands:
             return -9.0
         top = sorted(cands, reverse=True)[:3]
