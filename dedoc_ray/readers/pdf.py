@@ -742,7 +742,7 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
             except Exception as e:
                 warnings.append(f"page {idx} raster {w}x{h} ({filt}): decode failed ({e})")
                 continue
-            recognized, k, rwarns = recognize_raster(raster)
+            recognized, k, rwarns, _rtables = recognize_raster(raster)
             warnings.extend(rwarns)
             if k:
                 warnings.append(f"page {idx} scan orientation corrected {90 * k} degrees")
@@ -773,7 +773,7 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
         if page_id < page_start or (page_stop is not None and page_id >= page_stop):
             page_id += 1
             continue
-        recognized, k, rwarns = recognize_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
+        recognized, k, rwarns, _rtables = recognize_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
         warnings.extend(rwarns)
         if k:
             warnings.append(f"page {page_id} scan orientation corrected {90 * k} degrees")
@@ -810,7 +810,7 @@ def _ocr_rendered_textlayer(data: bytes, pages: tuple = (0, None)) -> Optional[U
         raster = render_textlayer_page(tl.lines, pid, page_w, page_h)
         if raster is None:
             continue
-        recognized, _k, rwarns = recognize_raster(raster, orientation="no_change")
+        recognized, _k, rwarns, _rt = recognize_raster(raster, orientation="no_change")
         warnings.extend(rwarns)
         out_lines.extend(
             lines_from_recognized(recognized, file_hash, page_id=pid, start_line_id=line_id)

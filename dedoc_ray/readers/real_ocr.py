@@ -863,6 +863,18 @@ class RealScanOCR:
         ink = self._strip_rules((hi - img) / (hi - lo))
         return self._orientation_k(ink)
 
+    def decode_region(self, region_ink: np.ndarray, mask=None) -> List[str]:
+        """OCR a small ink crop (a table cell) → text lines. No column
+        split, no orientation — the caller owns the page geometry."""
+        if not self.ok or region_ink.size == 0:
+            return []
+        out = []
+        for t, b in self._bands(region_ink):
+            r = self._decode_band(region_ink, t, b, mask)
+            if r is not None and r[1] >= 0.18:
+                out.append(r[0])
+        return out
+
     def decode_page(self, gray: np.ndarray, orientation: str = "auto",
                     binarize: bool = False):
         """Grayscale page → ([(text, bold_ranges, x0, conf, ink_mean)], k).
@@ -871,17 +883,30 @@ class RealScanOCR:
         ``binarize``: adaptive local-mean binarization first (the
         reference's need_binarization knob — noisy photocopies).
         """
+        lines, k, _tables = self.decode_page_full(
+            gray, orientation=orientation, binarize=binarize, with_tables=False
+        )
+        return lines, k
+
+    def decode_page_full(self, gray: np.ndarray, orientation: str = "auto",
+                         binarize: bool = False, with_tables: bool = True,
+                         file_hash: str = ""):
+        """decode_page plus ruled-table recognition on the oriented page
+        (readers/raster_tables.py): → (lines, k, tables). Table regions
+        are blanked before the free-text line pass so cell text does not
+        duplicate into the line stream (the reference PdfImageReader
+        excludes recognized table areas the same way)."""
         if not self.ok:
-            return [], 0
+            return [], 0, []
         img = gray.astype(np.float32)
         lo, hi = float(img.min()), float(img.max())
         if hi - lo < 64:
-            return [], 0
+            return [], 0, []
         if binarize:
-            ink = self._despeckle(self._adaptive_ink(img))
+            raw_ink = self._despeckle(self._adaptive_ink(img))
         else:
-            ink = (hi - img) / (hi - lo)
-        ink = self._strip_rules(ink)
+            raw_ink = (hi - img) / (hi - lo)
+        ink = self._strip_rules(raw_ink)
         expand = not binarize
         k = 0
         if orientation == "auto":
@@ -889,6 +914,24 @@ class RealScanOCR:
         if k:
             ink = np.rot90(ink, -k).copy()
             img = np.rot90(img, -k).copy()
+            raw_ink = np.rot90(raw_ink, -k).copy()
+        tables: list = []
+        if with_tables:
+            from dedoc_ray.readers.raster_tables import detect_raster_tables
+
+            try:
+                # detection sees the UN-stripped, UN-deskewed ink: a
+                # page-wide table's outer borders are exactly what
+                # _strip_rules removes, and the detector runs its own
+                # rotation correction (stacking two shears breaks it)
+                tables, boxes = detect_raster_tables(raw_ink, self, None, file_hash)
+            except Exception:
+                tables, boxes = [], []
+            for t0, b0, l0, r0 in boxes:
+                # margin absorbs the frame difference between the
+                # detector's rotation-corrected space and this page
+                m = 4 + int(0.01 * max(ink.shape))
+                ink[max(0, t0 - m) : b0 + m, max(0, l0 - m) : r0 + m] = 0.0
         ink, shear = self._deskew(ink)
         if shear:
             img = self._shear_rows(img, shear, fill=float(img.max()))
@@ -932,7 +975,7 @@ class RealScanOCR:
                 x1 = int(on[-1]) + 1 if on.size else x0 + 1
                 bbox = (c0 + x0, int(t), max(1, x1 - x0), int(b - t))
                 lines.append((text, ranges, c0 + x0, conf, ink_mean, bbox))
-        return lines, k
+        return lines, k, tables
 
 
 _REAL: List[Optional[RealScanOCR]] = [None]

@@ -383,8 +383,9 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto"):
     bare-image route (read_scan) and the PDF embedded-raster OCR route
     (readers/pdf.py): fixed-width LUT → atlas-learned templates → the
     open-font template recognizer for REAL scans.  Returns
-    (recognized tuples, rotation_k, warnings)."""
+    (recognized tuples, rotation_k, warnings, ruled tables)."""
     recognized, k = ocr_raster(img, orientation=orientation, with_metadata=True)
+    tables: list = []
     warnings: List[str] = []
     # fixed-width LUT struggling → try the atlas-learned template
     # recognizer (proportional widths, integer scales); keep the better
@@ -431,16 +432,25 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto"):
                 )
                 return kept_, conf_, s_conf, s_chars
 
-            best = None  # (rank, kept, k, conf, binarized)
+            best = None  # (rank, kept, k, conf, binarized, tables)
             for binz in (False, True):
                 if binz and best is not None and best[0] >= 0.5:
                     break  # clean page — skip the binarized retry
                 # binz=True: adaptive-binarization retry for noisy
                 # photocopies (the reference's need_binarization knob)
-                real_lines, rk = ocr.decode_page(
+                real_lines, rk, rtables = ocr.decode_page_full(
                     img, orientation=orientation, binarize=binz
                 )
                 kept, conf, s_conf, s_chars = _metrics(real_lines)
+                # a page that is ONE ruled table has no free-text lines:
+                # recognized table cells count as acceptance evidence too
+                t_cells = sum(
+                    1
+                    for t in rtables
+                    for row in t.cells
+                    for c in row
+                    if not c.invisible and c.lines
+                )
                 # acceptance mirrors the reference: Tesseract's read is the
                 # output even when mediocre — so when the synthetic LUTs read
                 # NOTHING (every real scan), any non-empty read wins; the
@@ -448,22 +458,26 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto"):
                 accept = (
                     (s_chars >= 25 and s_conf >= 0.5)
                     or conf >= 0.35
-                    or (fixed_quality <= 0.05 and s_chars >= 8)
+                    or (fixed_quality <= 0.05 and (s_chars >= 8 or t_cells >= 4))
                 )
-                if not kept or not accept or conf <= fixed_quality:
+                if (not kept and not t_cells) or not accept or conf < fixed_quality:
                     continue
-                rank = s_conf * min(1.0, s_chars / 100.0)
+                rank = s_conf * min(1.0, s_chars / 100.0) + 0.2 * min(1.0, t_cells / 10.0)
                 if best is None or rank > best[0]:
-                    best = (rank, kept, rk, conf, binz)
+                    best = (rank, kept, rk, conf, binz, rtables)
             if best is not None:
-                _, recognized, k, best_conf, used_bin = best
+                _, recognized, k, best_conf, used_bin, tables = best
                 warnings = [w for w in warnings if not w.startswith("scan decoded")]
                 warnings.append(
                     "scan decoded with the open-font template recognizer "
                     f"(mean match confidence {best_conf:.2f})"
                     + (", adaptive binarization" if used_bin else "")
                 )
-    return recognized, k, warnings
+                if tables:
+                    warnings.append(
+                        f"{len(tables)} ruled table(s) recognized from the raster"
+                    )
+    return recognized, k, warnings, tables
 
 
 def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
@@ -479,7 +493,10 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
 
     file_hash = hashlib.md5(data).hexdigest()
     dims = image_dimensions(data)
-    slow = data[:3] == b"\xff\xd8\xff" or data[:4] == b"GIF8" or (
+    # JPEG left the slow set when the entropy reader went table-driven
+    # (ops/jpeg_codec.py: ~0.4 s per MP); GIF LZW and PCX RLE remain
+    # per-symbol Python loops
+    slow = data[:4] == b"GIF8" or (
         len(data) > 68 and data[0] == 0x0A and data[2] == 1  # PCX RLE
     )
     cap = SCAN_MAX_PIXELS_SLOW if slow else SCAN_MAX_PIXELS
@@ -499,7 +516,7 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
         img = image_decode_gray(data)
     except ValueError:
         img = parse_pgm(data)
-    recognized, k, warnings = recognize_raster(img, orientation=orientation)
+    recognized, k, warnings, tables = recognize_raster(img, orientation=orientation)
     if k:
         warnings.append(f"scan orientation corrected {90 * k} degrees")
     if not recognized:
@@ -513,9 +530,14 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
         "exif_image_height": int(dims[1]) if dims else int(h),
         "rotated_page_angles": [90 * int(k)],
     }
-    return UnstructuredDoc(
+    doc = UnstructuredDoc(
         lines=lines_from_recognized(recognized, file_hash), warnings=warnings, metadata=metadata
     )
+    if tables:
+        for i, t in enumerate(tables):
+            t.uid = f"rastertab_{file_hash}_{i}"
+        doc.tables = tables
+    return doc
 
 
 # ------------------------------------------------ atlas-learned templates

@@ -1,0 +1,122 @@
+"""Ruled-table recognition on the reference's REAL raster-table fixtures.
+
+The reference pins table bboxes and cell grids via its OpenCV+Tesseract
+stack (tests/unit_tests/test_module_table_detection.py, api table tests);
+readers/raster_tables.py must land in the same tolerance windows on the
+same files."""
+
+import os
+from difflib import SequenceMatcher
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/tests/data/tables"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"),
+    reason="system DejaVu faces absent",
+)
+
+
+def sim(a: str, b: str) -> float:
+    return SequenceMatcher(None, a, b).ratio()
+
+
+def detect(name: str):
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.raster_tables import detect_raster_tables
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    with open(os.path.join(DATA, name), "rb") as f:
+        img = image_decode_gray(f.read()).astype(np.float32)
+    span = max(1.0, img.max() - img.min())
+    ink = (img.max() - img) / span
+    return detect_raster_tables(ink, real_ocr())
+
+
+def _close(a, b, eps):
+    return abs(a - b) <= eps
+
+
+def test_table3_structure_and_cells():
+    # reference test_table_detection_1 (bbox ±10) + test_table_recognition_1
+    tables, boxes = detect("example_with_table3.png")
+    assert len(tables) == 1
+    top, bot, left, right = boxes[0]
+    assert _close(left, 57, 10) and _close(top, 177, 10)
+    assert _close(right - left, 519, 10) and _close(bot - top, 617, 10)
+    t = tables[0]
+    assert len(t.cells) == 8 and len(t.cells[0]) == 3
+    # "Инн" cell reads exactly even at this tiny 605-px-wide scan
+    assert sim(t.cells[4][1].get_text().strip().capitalize(), "Инн") >= 0.8
+
+
+def test_table4_structure_and_cells():
+    # reference test_table_detection_2 (bbox ±30) + test_table_recognition_2
+    # — 300-dpi scan: all four reference cell pins read at ITS OWN 0.8 bar
+    tables, boxes = detect("example_with_table4.jpg")
+    assert len(tables) == 1
+    top, bot, left, right = boxes[0]
+    assert _close(left, 108, 30) and _close(top, 1525, 30)
+    assert _close(right - left, 2282, 50) and _close(bot - top, 1797, 30)
+    t = tables[0]
+    assert len(t.cells) == 5 and len(t.cells[0]) == 3
+    pins = [
+        ((0, 1), "Перечень основных данных и\nтребований"),
+        ((0, 2), "Основные данные и требования"),
+        ((3, 1), "Количество"),
+        ((4, 1), "Технические параметры оборудования"),
+    ]
+    for (r, c), want in pins:
+        got = t.cells[r][c].get_text().strip()
+        assert sim(got, want) >= 0.8, (r, c, got)
+
+
+def test_table5_structure():
+    # reference test_table_detection_3 + test_table_recognition_3 grid:
+    # 13 rows × 3 cols despite a dashed, slightly-rotated left border
+    tables, boxes = detect("example_with_table5.png")
+    assert len(tables) == 1
+    top, bot, left, right = boxes[0]
+    assert _close(left, 164, 30) and _close(top, 261, 30)
+    assert _close(right - left, 1464, 50) and _close(bot - top, 1868, 30)
+    t = tables[0]
+    assert len(t.cells) == 13 and len(t.cells[0]) == 3
+    assert sim(t.cells[0][1].get_text().strip(), "Техническая характеристика") >= 0.75
+
+
+def test_table6_bbox():
+    # reference test_table_detection_with_rotate_4 (bbox ±30)
+    tables, boxes = detect("example_with_table6.png")
+    assert len(tables) == 1
+    top, bot, left, right = boxes[0]
+    assert _close(left, 57, 30) and _close(top, 507, 30)
+    assert _close(right - left, 1652, 60) and _close(bot - top, 631, 30)
+
+
+def test_no_false_tables_on_plain_pages():
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.raster_tables import detect_raster_tables
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    for name in ("example.png", "example_2_columns.png"):
+        with open(f"/root/reference/tests/data/scanned/{name}", "rb") as f:
+            img = image_decode_gray(f.read()).astype(np.float32)
+        ink = (img.max() - img) / max(1.0, img.max() - img.min())
+        tables, _ = detect_raster_tables(ink, real_ocr())
+        assert tables == [], name
+
+
+def test_read_scan_attaches_tables():
+    # end-to-end: the bare-image route carries recognized tables on the doc
+    from dedoc_ray.readers.scan_ocr import read_scan
+
+    with open(os.path.join(DATA, "example_with_table3.png"), "rb") as f:
+        doc = read_scan(f.read())
+    assert doc.tables and len(doc.tables[0].cells) == 8
+    assert any("ruled table" in w for w in doc.warnings)
+    # the quota-table page: table recognized AND letterhead still read
+    with open("/root/reference/tests/data/scanned/orient_3.png", "rb") as f:
+        doc = read_scan(f.read())
+    assert doc.tables and len(doc.tables[0].cells[0]) >= 5

@@ -68,10 +68,17 @@ def test_orient_3_rotation_and_text():
     assert doc.metadata["exif_image_width"] == 1654
     assert doc.metadata["exif_image_height"] == 2338
     assert doc.metadata["rotated_page_angles"] == [90]
-    # reference test_document_orientation: first node text
-    got = (doc.lines[0].line + doc.lines[1].line).replace("\n", " ").strip()
+    # reference test_document_orientation: the letterhead pair (since the
+    # page's ruled 16x9 quota table is recognized too, surrounding stamp
+    # fragments may precede it in the line stream)
     want = "Приложение к постановлению Губернатора Камчатского края"
-    assert sim(got, want) >= 0.8, got
+    cands = [
+        (doc.lines[i].line + doc.lines[i + 1].line).replace("\n", " ").strip()
+        for i in range(min(6, len(doc.lines) - 1))
+    ]
+    assert max(sim(c, want) for c in cands) >= 0.8, cands
+    # the ruled quota table on the page is recognized
+    assert doc.tables and len(doc.tables[0].cells[0]) >= 5
 
 
 def test_orient_1_rotation_and_text():
