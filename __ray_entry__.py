@@ -209,6 +209,46 @@ def q_extract_scan_openfont(sf_dir: str):
     return _office_extract(sf_dir, "scan_openfont").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_table_openfont(sf_dir: str):
+    """Raster-table recognition at corpus scale: every page is a RENDERED
+    fully-ruled 3x3 table (DejaVu vector glyphs, one word per cell) that
+    readers/raster_tables.py must detect, lattice and per-cell OCR back
+    BYTE-EXACTLY — (url, row_idx, col_idx, cell_text) rows with a plain
+    SQL replay as the oracle. Actor-pool map (recognizer bank per actor),
+    no shuffle."""
+    import pandas as pd
+    import ray.data as rd
+
+    class TableRoundtripKernel:
+        def __init__(self) -> None:
+            from dedoc_ray.readers.real_ocr import real_ocr
+
+            self.ocr = real_ocr()
+
+        def __call__(self, batch: "pd.DataFrame") -> "pd.DataFrame":
+            from dedoc_ray.readers.scan_ocr import read_scan
+            from dedoc_ray.sources.openfont_writer import scan_openfont_table_pgm
+
+            urls, ris, cis, texts = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                doc = read_scan(scan_openfont_table_pgm(int(doc_id), text))
+                for t in doc.tables or []:
+                    for ri, row in enumerate(t.cells):
+                        for ci, cell in enumerate(row):
+                            if cell.invisible:
+                                continue
+                            urls.append(f"https://synth.test/office/{doc_id}.pgm")
+                            ris.append(ri)
+                            cis.append(ci)
+                            texts.append(cell.get_text().strip())
+            return pd.DataFrame(
+                {"url": urls, "row_idx": ris, "col_idx": cis, "cell_text": texts}
+            )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(TableRoundtripKernel, batch_format="pandas", concurrency=(1, 8))
+
+
 def q_extract_pdf_encrypted(sf_dir: str):
     """RC4-encrypted PDFs (standard security handler V2/R3, empty user
     password) through the full pipeline: readers/pdf_crypt.py derives the
@@ -1721,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scan": q_extract_scan,
         "extract_scan_multifont": q_extract_scan_multifont,
         "extract_scan_openfont": q_extract_scan_openfont,
+        "extract_scan_table_openfont": q_extract_scan_table_openfont,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_pdf_encrypted_aes256": q_extract_pdf_encrypted_aes256,
         "extract_scan_2col": q_extract_scan_2col,
@@ -2038,6 +2079,14 @@ def oracle_sql() -> dict[str, str]:
         # openfont: same ' the '-split lines over the first 200 chars, 'l'
         # removed (bar-glyph case ambiguity — openfont_writer docstring),
         # trailing space/newline trimmed (an empty tail chunk draws no ink)
+        # ruled-table roundtrip: same first-120-chars word grid the writer
+        # renders, flattened to one row per visible cell
+        "extract_scan_table_openfont": (
+            f"SELECT {office_url.format(ext='pgm')} AS url, "
+            "(gs.i - 1) // 3 AS row_idx, (gs.i - 1) % 3 AS col_idx, "
+            "coalesce(replace(str_split(substr(text, 1, 120), ' ')[gs.i], 'l', ''), 'pad') AS cell_text "
+            "FROM documents CROSS JOIN generate_series(1, 9) gs(i)"
+        ),
         "extract_scan_openfont": f"SELECT {office_url.format(ext='pgm')} AS url, 'ok' AS status, "
                                  "'Document ' || doc_id || chr(10) || "
                                  "rtrim(replace(replace(substr(text, 1, 200), ' the ', chr(10)), 'l', ''), ' ' || chr(10)) "

@@ -915,6 +915,24 @@ class RealScanOCR:
             ink = np.rot90(ink, -k).copy()
             img = np.rot90(img, -k).copy()
             raw_ink = np.rot90(raw_ink, -k).copy()
+        # script vote first (over the leading bands of the raw page): the
+        # mask steers CELL OCR inside table recognition too — Cyrillic
+        # с/о/а/е render identically to Latin c/o/a/e in any face, so
+        # homoglyph matches are arbitrary and dilute a naive majority to
+        # a coin flip; only DISTINCTIVE letters vote
+        pre = []
+        for t, b in self._bands(ink, expand=expand)[:4]:
+            r = self._decode_band(ink, t, b)
+            if r:
+                pre.append(r[0])
+        joined = "".join(pre)
+        n_cyr = sum(1 for c in joined if c in _DISTINCT_CYR)
+        n_lat = sum(1 for c in joined if c in _DISTINCT_LAT)
+        mask = None
+        if n_cyr > 1.5 * n_lat and n_cyr >= 4:
+            mask = ~self._lat
+        elif n_lat > 1.5 * n_cyr and n_lat >= 4:
+            mask = ~self._cyr
         tables: list = []
         if with_tables:
             from dedoc_ray.readers.raster_tables import detect_raster_tables
@@ -924,7 +942,7 @@ class RealScanOCR:
                 # page-wide table's outer borders are exactly what
                 # _strip_rules removes, and the detector runs its own
                 # rotation correction (stacking two shears breaks it)
-                tables, boxes = detect_raster_tables(raw_ink, self, None, file_hash)
+                tables, boxes = detect_raster_tables(raw_ink, self, mask, file_hash)
             except Exception:
                 tables, boxes = [], []
             for t0, b0, l0, r0 in boxes:
@@ -935,26 +953,9 @@ class RealScanOCR:
         ink, shear = self._deskew(ink)
         if shear:
             img = self._shear_rows(img, shear, fill=float(img.max()))
-        # columns first (interleaved baselines fuse full-width bands), then
-        # a first pass over the leading bands to establish script majority
+        # columns after tables are blanked (interleaved baselines fuse
+        # full-width bands; table regions no longer fight the gutter)
         cols = self._columns(ink)
-        pre = []
-        first_col = ink[:, cols[0][0] : cols[0][1]]
-        for t, b in self._bands(first_col, expand=expand)[:4]:
-            r = self._decode_band(first_col, t, b)
-            if r:
-                pre.append(r[0])
-        joined = "".join(pre)
-        # script vote over DISTINCTIVE letters only — Cyrillic с/о/а/е render
-        # identically to Latin c/o/a/e in any face, so homoglyph matches are
-        # arbitrary and dilute a naive majority to a coin flip
-        n_cyr = sum(1 for c in joined if c in _DISTINCT_CYR)
-        n_lat = sum(1 for c in joined if c in _DISTINCT_LAT)
-        mask = None
-        if n_cyr > 1.5 * n_lat and n_cyr >= 4:
-            mask = ~self._lat
-        elif n_lat > 1.5 * n_cyr and n_lat >= 4:
-            mask = ~self._cyr
         lines = []
         for c0, c1 in cols:
             col_ink = ink[:, c0:c1]

@@ -78,3 +78,55 @@ def openfont_lines(doc_id: int, text: str) -> List[str]:
 
 def scan_openfont_pgm(doc_id: int, text: str) -> bytes:
     return pgm_bytes(render_openfont_page(openfont_lines(doc_id, text)))
+
+
+# ------------------------------------------------- ruled-table corpus
+
+
+def openfont_table_cells(doc_id: int, text: str) -> List[List[str]]:
+    """A deterministic 3×3 cell grid from the doc's first words ('l'
+    removed — same charset discipline as the line corpus)."""
+    words = [w.replace("l", "") for w in text[:120].split(" ")][:9]
+    while len(words) < 9:
+        words.append("pad")
+    return [words[0:3], words[3:6], words[6:9]]
+
+
+def render_openfont_table(cells: List[List[str]], size: int = SIZE) -> np.ndarray:
+    """Render a fully-ruled table: 1-px borders, one word per cell, DejaVu
+    glyphs — the raster-table recognizer must read it back byte-exactly."""
+    ncols = len(cells[0])
+    cellw = 30 + max(len(c) for r in cells for c in r) * 14
+    cellh = 44
+    W = ncols * cellw + 1
+    H = len(cells) * cellh + 1
+    page = np.zeros((H + 40, W + 40), np.float32)
+    ox, oy = 20, 20
+    for i in range(len(cells) + 1):
+        page[oy + i * cellh, ox : ox + W] = 1.0
+    for j in range(ncols + 1):
+        page[oy : oy + H, ox + j * cellw] = 1.0
+    for ri, row in enumerate(cells):
+        for ci, text in enumerate(row):
+            xx = float(ox + ci * cellw + 8)
+            y = oy + ri * cellh + 8
+            for ch in text:
+                if ch == " ":
+                    xx += SPACE_W * size
+                    continue
+                g = _glyph_raster(ch, size, False)
+                if g is None:
+                    xx += SPACE_W * size
+                    continue
+                img, top, adv = g
+                gy = y + size - top
+                h, w = img.shape
+                page[gy : gy + h, int(xx) : int(xx) + w] = np.maximum(
+                    page[gy : gy + h, int(xx) : int(xx) + w], img
+                )
+                xx += adv + GAP
+    return (255.0 - np.clip(page, 0, 1) * 255.0).astype(np.uint8)
+
+
+def scan_openfont_table_pgm(doc_id: int, text: str) -> bytes:
+    return pgm_bytes(render_openfont_table(openfont_table_cells(doc_id, text)))

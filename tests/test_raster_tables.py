@@ -108,6 +108,28 @@ def test_no_false_tables_on_plain_pages():
         assert tables == [], name
 
 
+def test_openfont_table_roundtrip_exact():
+    # the extract_scan_table_openfont corpus: rendered fully-ruled 3x3
+    # grids decode byte-exactly through detection + lattice + cell OCR
+    import pyarrow.parquet as pq
+
+    from dedoc_ray.readers.scan_ocr import read_scan
+    from dedoc_ray.sources.openfont_writer import (
+        openfont_table_cells,
+        scan_openfont_table_pgm,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:15]
+    for doc_id, text in rows:
+        doc = read_scan(scan_openfont_table_pgm(doc_id, text))
+        assert doc.tables and len(doc.tables) == 1, doc_id
+        got = [[c.get_text().strip() for c in r] for r in doc.tables[0].cells]
+        assert got == openfont_table_cells(doc_id, text), (doc_id, got)
+
+
 def test_read_scan_attaches_tables():
     # end-to-end: the bare-image route carries recognized tables on the doc
     from dedoc_ray.readers.scan_ocr import read_scan
