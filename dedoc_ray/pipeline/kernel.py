@@ -137,6 +137,7 @@ class ExtractKernel:
                 one_column=self.config.is_one_column_document == "true",
                 table_analysis=self.config.need_pdf_table_analysis,
                 merge_paragraphs=self.config.need_paragraph_analysis,
+                gost_frame=self.config.need_gost_frame_analysis,
             )
             if self.pages != (0, None):
                 # reference pdf_base_reader partial-slice surface

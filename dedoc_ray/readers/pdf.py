@@ -568,7 +568,9 @@ _IMGOBJ_RE = re.compile(
 #: surfaced (the pure-Python JPEG decode of an 8 MP scan costs ~1 min —
 #: the codec constant factor, not the route; a deployment with a C-backed
 #: decoder raises them). Bilevel CCITT decode is ~10x cheaper per pixel.
-_OCR_MAX_PIXELS = 1_500_000
+# the DCT cap rose with the table-driven JPEG entropy reader
+# (ops/jpeg_codec.py, ~0.4 s per MP)
+_OCR_MAX_PIXELS = 12_000_000
 _OCR_MAX_PIXELS_CCITT = 12_000_000
 
 
@@ -611,8 +613,15 @@ def _structured_page_images(data: bytes):
                 if "DCTDecode" in filters or "DCT" in filters:
                     from dedoc_ray.ops.jpeg_codec import jpeg_decode_planes
 
+                    # filter CHAINS put zlib before the JPEG payload
+                    # (["FlateDecode", "DCTDecode"] — gost_multipage_table.pdf)
+                    pre_flate = filters and filters[0] in ("FlateDecode", "Fl")
+
                     def dec():
-                        return jpeg_decode_planes(doc.stream_raw(xo))[0]  # luma plane
+                        raw = doc.stream_raw(xo)
+                        if pre_flate:
+                            raw = zlib.decompress(raw)
+                        return jpeg_decode_planes(raw)[0]  # luma plane
 
                     return dec
                 if "CCITTFaxDecode" in filters or "CCF" in filters:
@@ -699,14 +708,19 @@ def _structured_page_images(data: bytes):
     return out
 
 
-def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "UnstructuredDoc | None":
+def _ocr_embedded_images(data: bytes, pages: tuple = (0, None),
+                         gost_frame: bool = False) -> "UnstructuredDoc | None":
     """Scanned-PDF OCR route (reference PdfImageReader page loop,
     pdf_image_reader.py:61-131: orientation → binarize → line extraction),
-    with the deterministic recognizer standing in for Tesseract. Image
+    with the open-font recognizer standing in for Tesseract. Image
     XObjects come from the real object layer when the file has a usable
     structure (DCT rasters decode through ops/jpeg_codec — size-capped;
     CCITT/JBIG2 surface geometry-only warnings); bare-stream files keep
-    the legacy regex scan below. Returns None when no raster exists."""
+    the legacy regex scan below. Ruled tables recognized per page merge
+    across page breaks (merge_multipage_tables — the reference's
+    multipage_table_extractor runs on this route too); ``gost_frame``
+    blanks the GOST engineering frame first (need_gost_frame_analysis).
+    Returns None when no raster exists."""
     import numpy as np
 
     from dedoc_ray.readers.scan_ocr import lines_from_recognized, recognize_raster
@@ -715,6 +729,7 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
     page_start, page_stop = pages
     lines: List[LineWithMeta] = []
     warnings: List[str] = []
+    all_tables: List = []
     line_id = 0
     page_id = 0
     saw_image = False
@@ -742,15 +757,24 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None)) -> "Unstructured
             except Exception as e:
                 warnings.append(f"page {idx} raster {w}x{h} ({filt}): decode failed ({e})")
                 continue
-            recognized, k, rwarns, _rtables = recognize_raster(raster)
+            recognized, k, rwarns, rtables = recognize_raster(raster, gost_frame=gost_frame)
             warnings.extend(rwarns)
             if k:
                 warnings.append(f"page {idx} scan orientation corrected {90 * k} degrees")
             lines.extend(lines_from_recognized(recognized, file_hash, page_id=idx, start_line_id=line_id))
             line_id += len(recognized)
+            for ti, t in enumerate(rtables):
+                t.page_id = idx
+                t.uid = f"rastertab_{file_hash}_{idx}_{ti}"
+                all_tables.append(t)
         if not saw_image:
             return None
-        return UnstructuredDoc(lines=lines, warnings=warnings)
+        doc = UnstructuredDoc(lines=lines, warnings=warnings)
+        if all_tables:
+            from dedoc_ray.core.table import merge_multipage_tables
+
+            doc.tables = merge_multipage_tables(all_tables)
+        return doc
 
     for m in _IMGOBJ_RE.finditer(data):
         d = m.group("dict")
@@ -859,6 +883,7 @@ def read_pdf_auto(
     first_page_reader=None,
     table_analysis: bool = True,
     merge_paragraphs: bool = False,
+    gost_frame: bool = False,
 ) -> UnstructuredDoc:
     """Attachment-carrying wrapper: the reference runs its
     PDFAttachmentsExtractor for EVERY pdf route (pdf_base_reader.py reader
@@ -872,6 +897,7 @@ def read_pdf_auto(
         first_page_reader=first_page_reader,
         table_analysis=table_analysis,
         merge_paragraphs=merge_paragraphs,
+        gost_frame=gost_frame,
     )
     if not doc.attachments:
         from dedoc_ray.readers.pdf_attachments import extract_pdf_attachments
@@ -892,6 +918,7 @@ def _read_pdf_auto(
     first_page_reader=None,
     table_analysis: bool = True,
     merge_paragraphs: bool = False,
+    gost_frame: bool = False,
 ) -> UnstructuredDoc:
     """Auto-routing analogue of the reference's PdfAutoReader
     (pdf_auto_reader.py:7-153): extract the text layer, then the trained
@@ -910,7 +937,7 @@ def _read_pdf_auto(
         # renders EVERY page with pdf2image before Tesseract — its test_pdf
         # posts a text-layer file through pdf_with_text_layer="false");
         # otherwise the honest stub warning
-        ocr_doc = _ocr_embedded_images(data, pages=pages)
+        ocr_doc = _ocr_embedded_images(data, pages=pages, gost_frame=gost_frame)
         if ocr_doc is not None:
             ocr_doc.warnings.insert(0, f"{reason}: scanned-image OCR route")
             return ocr_doc

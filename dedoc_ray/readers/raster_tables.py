@@ -175,6 +175,28 @@ def _rotation_correct(ink: np.ndarray) -> Tuple[np.ndarray, float]:
     return out, best_t
 
 
+def gost_frame_window(ink: np.ndarray):
+    """GOST drawing-frame content window (the reference's
+    need_gost_frame_analysis / dedocutils frame remover): full-height
+    verticals near both page edges plus a full-width bottom rule mean the
+    page wears an engineering frame; everything outside the innermost
+    frame lines (the left attribute strip included) is frame furniture.
+    → (y0, y1, x0, x1) or None when no frame is present."""
+    h, w = ink.shape
+    hs, vs = rule_segments(ink > 0.45)
+    fullv = [x for a, b, x in vs if b - a >= 0.85 * h]
+    lefts = [x for x in fullv if x < 0.25 * w]
+    rights = [x for x in fullv if x > 0.75 * w]
+    if not lefts or not rights:
+        return None
+    fullh = [y for a, b, y in hs if b - a >= 0.85 * w]
+    bots = [y for y in fullh if y > 0.8 * h]
+    tops = [y for y in fullh if y < 0.2 * h]
+    y0 = int(max(tops)) + 3 if tops else 0
+    y1 = int(min(bots)) - 2 if bots else h
+    return (y0, y1, int(max(lefts)) + 3, int(min(rights)) - 2)
+
+
 def _drop_interior_strokes(hs, vs):
     """Keep rules that can be SEPARATORS: spanning ≥50% of their frame's
     other dimension or touching a frame edge (merged-cell partial

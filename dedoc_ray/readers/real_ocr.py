@@ -890,7 +890,7 @@ class RealScanOCR:
 
     def decode_page_full(self, gray: np.ndarray, orientation: str = "auto",
                          binarize: bool = False, with_tables: bool = True,
-                         file_hash: str = ""):
+                         file_hash: str = "", gost_frame: bool = False):
         """decode_page plus ruled-table recognition on the oriented page
         (readers/raster_tables.py): → (lines, k, tables). Table regions
         are blanked before the free-text line pass so cell text does not
@@ -915,6 +915,20 @@ class RealScanOCR:
             ink = np.rot90(ink, -k).copy()
             img = np.rot90(img, -k).copy()
             raw_ink = np.rot90(raw_ink, -k).copy()
+        if gost_frame:
+            # GOST engineering frame: blank everything outside the content
+            # window (coordinates stay page-absolute) — the frame's left
+            # attribute strip otherwise becomes phantom table columns
+            from dedoc_ray.readers.raster_tables import gost_frame_window
+
+            win = gost_frame_window(raw_ink)
+            if win is not None:
+                y0, y1, x0, x1 = win
+                for arr in (ink, raw_ink):
+                    arr[:y0, :] = 0.0
+                    arr[y1:, :] = 0.0
+                    arr[:, :x0] = 0.0
+                    arr[:, x1:] = 0.0
         # script vote first (over the leading bands of the raw page): the
         # mask steers CELL OCR inside table recognition too — Cyrillic
         # с/о/а/е render identically to Latin c/o/a/e in any face, so

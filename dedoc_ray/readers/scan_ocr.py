@@ -378,7 +378,7 @@ def lines_from_recognized(
     return lines
 
 
-def recognize_raster(img: np.ndarray, orientation: str = "auto"):
+def recognize_raster(img: np.ndarray, orientation: str = "auto", gost_frame: bool = False):
     """The full recognition chain over one grayscale raster — shared by the
     bare-image route (read_scan) and the PDF embedded-raster OCR route
     (readers/pdf.py): fixed-width LUT → atlas-learned templates → the
@@ -439,7 +439,7 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto"):
                 # binz=True: adaptive-binarization retry for noisy
                 # photocopies (the reference's need_binarization knob)
                 real_lines, rk, rtables = ocr.decode_page_full(
-                    img, orientation=orientation, binarize=binz
+                    img, orientation=orientation, binarize=binz, gost_frame=gost_frame
                 )
                 kept, conf, s_conf, s_chars = _metrics(real_lines)
                 # a page that is ONE ruled table has no free-text lines:

@@ -130,6 +130,27 @@ def test_openfont_table_roundtrip_exact():
         assert got == openfont_table_cells(doc_id, text), (doc_id, got)
 
 
+def test_gost_multipage_table_pdf():
+    # reference test_multipage_gost_table_image: gost_multipage_table.pdf
+    # (image-only pdf, FlateDecode+DCTDecode rasters, GOST engineering
+    # frame) with need_gost_frame_analysis — the frame is blanked, per-page
+    # ruled tables recognize and MERGE across the page break, and the last
+    # merged row carries the reference's pinned content
+    from dedoc_ray.readers.pdf import read_pdf_auto
+
+    with open("/root/reference/tests/data/tables/gost_multipage_table.pdf", "rb") as f:
+        doc = read_pdf_auto(f.read(), gost_frame=True)
+    assert doc.tables and len(doc.tables) == 1  # merged across pages
+    t = doc.tables[0]
+    assert len(t.cells) >= 20 and len(t.cells[0]) >= 4
+    last = [c.get_text() for c in t.cells[-1]]
+    assert "7.4.9" in last[3]
+    assert sim(last[1][:28].strip(), "Испытание на воздействие") >= 0.6
+    # the quoted body text survives outside the table
+    text = " ".join(L.line for L in doc.lines)
+    assert "квалификационных испытаний" in text
+
+
 def test_read_scan_attaches_tables():
     # end-to-end: the bare-image route carries recognized tables on the doc
     from dedoc_ray.readers.scan_ocr import read_scan
