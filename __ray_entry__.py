@@ -245,8 +245,18 @@ def q_extract_scan_table_openfont(sf_dir: str):
                 {"url": urls, "row_idx": ris, "col_idx": cis, "cell_text": texts}
             )
 
+    import ray
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(TableRoundtripKernel, batch_format="pandas", concurrency=(1, 8))
+    # pool sized to the node minus read headroom — the OCR kernel is
+    # embarrassingly parallel and was the single most expensive stage under
+    # a fixed (1,8) cap on a 32-cpu node (VERDICT r3 #3); unlike the page
+    # corpus, the input read here is one tiny two-column parquet, so the
+    # half-node read/parse split of _autosize_pool would idle cpus
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return docs.map_batches(
+        TableRoundtripKernel, batch_format="pandas", batch_size=16, concurrency=max(1, ncpu - 2)
+    )
 
 
 def q_extract_pdf_encrypted(sf_dir: str):
@@ -391,6 +401,32 @@ def q_extract_metadata(sf_dir: str):
                 "author": m.field("author"),
                 "created": m.field("created"),
                 "modified": m.field("modified"),
+            }
+        )
+
+    return ds.map_batches(cols, batch_format="pyarrow")
+
+
+def q_extract_pdf_metadata(sf_dir: str):
+    """PDF /Info document metadata (readers/pdf_metadata.py — reference
+    PdfMetadataExtractor): prettified string fields + the two ISO/IEC 8824
+    dates as unix ints, every value a pure function of doc_id so the whole
+    struct is hash-exact against SQL."""
+    ds = _office_extract(sf_dir, "pdf_info")
+
+    def cols(batch: pa.Table) -> pa.Table:
+        m = batch["metadata"].combine_chunks() if isinstance(batch["metadata"], pa.ChunkedArray) else batch["metadata"]
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "title": m.field("title"),
+                "author": m.field("author"),
+                "subject": m.field("subject"),
+                "producer": m.field("producer"),
+                "creator": m.field("creator"),
+                "keywords": m.field("keywords"),
+                "creation_date": m.field("creation_date"),
+                "modification_date": m.field("modification_date"),
             }
         )
 
@@ -1757,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_node_counts": q_extract_node_counts,
         "extract_docx": q_extract_docx,
         "extract_metadata": q_extract_metadata,
+        "extract_pdf_metadata": q_extract_pdf_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
         "extract_scan_multifont": q_extract_scan_multifont,
@@ -2132,6 +2169,15 @@ def oracle_sql() -> dict[str, str]:
                             f"'synth-author-' || (doc_id % 5) AS author, "
                             f"'2024-01-01T00:00:00Z' AS created, "
                             f"'2024-01-02T00:00:00Z' AS modified FROM documents",
+        "extract_pdf_metadata": f"SELECT {office_url.format(ext='pdf')} AS url, "
+                                f"'Report ' || doc_id AS title, "
+                                f"'Author ' || (doc_id % 7) AS author, "
+                                f"'subject ' || (doc_id % 11) AS subject, "
+                                f"'SynthWriter 1.' || (doc_id % 5) AS producer, "
+                                f"'Creator ' || (doc_id % 3) AS creator, "
+                                f"'k1, k' || (doc_id % 9) AS keywords, "
+                                f"CAST(1577826000 + doc_id % 86400 AS BIGINT) AS creation_date, "
+                                f"CAST(1623745800 AS BIGINT) AS modification_date FROM documents",
         "extract_pptx": f"SELECT {office_url.format(ext='pptx')} AS url, 'ok' AS status, "
                         f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_ods": f"SELECT {office_url.format(ext='ods')} AS url, CAST(1 AS BIGINT) AS n_tables, "

@@ -75,6 +75,14 @@ METADATA_TYPE = pa.struct(
         ("created", pa.string()),
         ("modified", pa.string()),
         ("subject", pa.string()),
+        # PDF /Info extension fields (reference PdfMetadataExtractor,
+        # pdf_metadata_extractor.py:28-58): null on non-PDF rows; the two
+        # dates are ISO/IEC 8824 D: strings converted to unix seconds
+        ("producer", pa.string()),
+        ("creator", pa.string()),
+        ("keywords", pa.string()),
+        ("creation_date", pa.int64()),
+        ("modification_date", pa.int64()),
     ]
 )
 
@@ -83,7 +91,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("lang", pa.string()),
         ("shard", pa.int32()),
-        ("status", pa.string()),  # ok | bad_file | parse_error
+        ("status", pa.string()),  # ok | low_confidence | bad_file | parse_error
         ("format", pa.string()),  # html | txt | csv | json | pdf | docx | xlsx | pptx | eml | mhtml | archive | bad_file
         ("extracted_text", pa.string()),
         ("nodes", pa.list_(NODE_TYPE)),
@@ -93,6 +101,11 @@ EXTRACTED_SCHEMA = pa.schema(
         ("metadata", METADATA_TYPE),
         ("warnings", pa.list_(pa.string())),
         ("error_msg", pa.string()),
+        # mean OCR match confidence when the open-font recognizer decoded a
+        # real scan (null on every non-OCR row); rows below the 0.5 floor
+        # are classed status=low_confidence so 100-TB pipelines can gate on
+        # either signal instead of parsing a warning string
+        ("ocr_conf", pa.float32()),
         ("n_nodes", pa.int32()),
         ("n_tables", pa.int32()),
         ("n_bytes", pa.int64()),

@@ -27,7 +27,7 @@ from __future__ import annotations
 import hashlib
 import re
 import zlib
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 from dedoc_ray.core.annotation import Annotation, AnnotationNames as AN
 from dedoc_ray.core.hierarchy import HierarchyLevel
@@ -730,6 +730,7 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None),
     lines: List[LineWithMeta] = []
     warnings: List[str] = []
     all_tables: List = []
+    confs: List[float] = []
     line_id = 0
     page_id = 0
     saw_image = False
@@ -757,8 +758,10 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None),
             except Exception as e:
                 warnings.append(f"page {idx} raster {w}x{h} ({filt}): decode failed ({e})")
                 continue
-            recognized, k, rwarns, rtables = recognize_raster(raster, gost_frame=gost_frame)
+            recognized, k, rwarns, rtables, rconf = recognize_raster(raster, gost_frame=gost_frame)
             warnings.extend(rwarns)
+            if rconf is not None:
+                confs.append(rconf)
             if k:
                 warnings.append(f"page {idx} scan orientation corrected {90 * k} degrees")
             lines.extend(lines_from_recognized(recognized, file_hash, page_id=idx, start_line_id=line_id))
@@ -770,6 +773,8 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None),
         if not saw_image:
             return None
         doc = UnstructuredDoc(lines=lines, warnings=warnings)
+        if confs:
+            doc.metadata = {"ocr_confidence": float(sum(confs) / len(confs))}
         if all_tables:
             from dedoc_ray.core.table import merge_multipage_tables
 
@@ -797,16 +802,31 @@ def _ocr_embedded_images(data: bytes, pages: tuple = (0, None),
         if page_id < page_start or (page_stop is not None and page_id >= page_stop):
             page_id += 1
             continue
-        recognized, k, rwarns, _rtables = recognize_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
+        recognized, k, rwarns, rtables, rconf = recognize_raster(np.frombuffer(payload, np.uint8).reshape(h, w))
         warnings.extend(rwarns)
+        if rconf is not None:
+            confs.append(rconf)
         if k:
             warnings.append(f"page {page_id} scan orientation corrected {90 * k} degrees")
         lines.extend(lines_from_recognized(recognized, file_hash, page_id=page_id, start_line_id=line_id))
         line_id += len(recognized)
+        # ruled tables from the bare-stream route feed the same multipage
+        # merge as the structured path (they were silently dropped before)
+        for ti, t in enumerate(rtables):
+            t.page_id = page_id
+            t.uid = f"rastertab_{file_hash}_{page_id}_{ti}"
+            all_tables.append(t)
         page_id += 1
     if not saw_image:
         return None
-    return UnstructuredDoc(lines=lines, warnings=warnings)
+    doc = UnstructuredDoc(lines=lines, warnings=warnings)
+    if confs:
+        doc.metadata = {"ocr_confidence": float(sum(confs) / len(confs))}
+    if all_tables:
+        from dedoc_ray.core.table import merge_multipage_tables
+
+        doc.tables = merge_multipage_tables(all_tables)
+    return doc
 
 
 def _ocr_rendered_textlayer(data: bytes, pages: tuple = (0, None)) -> Optional[UnstructuredDoc]:
@@ -823,6 +843,21 @@ def _ocr_rendered_textlayer(data: bytes, pages: tuple = (0, None)) -> Optional[U
         return None
     if not tl.lines:
         return None
+    # resolve MediaBox PER PAGE through the object layer (inherited /Pages
+    # attributes included) — mixed-page-size documents render each page at
+    # its own dimensions; the first-match regex is only the recovery path
+    page_boxes: Dict[int, Tuple[float, float]] = {}
+    try:
+        from dedoc_ray.readers.pdf_objects import PdfDocument
+
+        pdoc = PdfDocument(data)
+        for i, pg in enumerate(pdoc.pages()):
+            mb_ = pdoc.resolve(pg.get("MediaBox"))
+            if isinstance(mb_, list) and len(mb_) == 4:
+                vals = [float(pdoc.resolve(v)) for v in mb_]
+                page_boxes[i] = (abs(vals[2] - vals[0]), abs(vals[3] - vals[1]))
+    except Exception:
+        page_boxes = {}
     mb = _MEDIABOX_RE.search(data)
     page_w, page_h = (float(mb.group(1)), float(mb.group(2))) if mb else (612.0, 792.0)
     file_hash = hashlib.md5(data).hexdigest()
@@ -831,10 +866,11 @@ def _ocr_rendered_textlayer(data: bytes, pages: tuple = (0, None)) -> Optional[U
     warnings: List[str] = [f"born-digital pages rasterized at {DPI} dpi for the OCR route"]
     line_id = 0
     for pid in page_ids:
-        raster = render_textlayer_page(tl.lines, pid, page_w, page_h)
+        pw, ph = page_boxes.get(pid, (page_w, page_h))
+        raster = render_textlayer_page(tl.lines, pid, pw, ph)
         if raster is None:
             continue
-        recognized, _k, rwarns, _rt = recognize_raster(raster, orientation="no_change")
+        recognized, _k, rwarns, _rt, _rc = recognize_raster(raster, orientation="no_change")
         warnings.extend(rwarns)
         out_lines.extend(
             lines_from_recognized(recognized, file_hash, page_id=pid, start_line_id=line_id)
@@ -906,6 +942,29 @@ def read_pdf_auto(
             doc.attachments = extract_pdf_attachments(data)
         except Exception:
             pass
+    # /Info document metadata rides every pdf route (reference
+    # PdfMetadataExtractor runs above the readers for all pdf-like files)
+    try:
+        from dedoc_ray.readers.pdf_metadata import extract_pdf_metadata
+
+        info = extract_pdf_metadata(data)
+    except Exception:
+        info = {}
+    if info:
+        import datetime as _dt
+
+        md = dict(doc.metadata or {})
+        for k, v in info.items():
+            if not md.get(k):  # readers pre-fill the 5-slot struct with ""
+                md[k] = v
+        # the 5-slot corpus metadata struct wants ISO strings like the docx
+        # core-properties route; the prettified unix ints stay alongside
+        for src, dst in (("creation_date", "created"), ("modification_date", "modified")):
+            if src in info and not md.get(dst):
+                md[dst] = _dt.datetime.fromtimestamp(
+                    int(info[src]), _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        doc.metadata = md
     return doc
 
 

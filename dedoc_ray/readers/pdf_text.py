@@ -80,13 +80,77 @@ _AGL: Dict[str, str] = {
 }
 for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
     _AGL[_ch] = _ch
-# accented Latin: name = letter + accent suffix
+# accented Latin: name = letter + accent suffix (AGL precomposed set)
 for _base, _codes in {
-    "grave": "àèìòù", "acute": "áéíóú",
+    "grave": "àèìòù", "acute": "áéíóú", "circumflex": "âêîôû", "dieresis": "äëïöü",
 }.items():
     for _letter, _u in zip("aeiou", _codes):
         _AGL[_letter + _base] = _u
         _AGL[(_letter + _base).capitalize()] = _u.upper()
+for _nm, _u in {
+    "ntilde": "ñ", "atilde": "ã", "otilde": "õ", "ccedilla": "ç",
+    "ydieresis": "ÿ", "yacute": "ý", "aring": "å", "scaron": "š",
+    "zcaron": "ž", "ccaron": "č", "lslash": "ł", "dotlessj": "ȷ",
+}.items():
+    _AGL[_nm] = _u
+    _AGL[_nm.capitalize()] = _u.upper() if _u.upper() != _u else _u
+_AGL["Yacute"] = "Ý"
+# standalone accent glyphs (AGL spacing forms). TeX-era fonts (the Computer
+# Modern OT1 layout in article.pdf-style papers) COMPOSE accents by
+# overstriking these over the base letter; assemble_lines pairs an accent
+# with the glyph it horizontally overlaps and emits the precomposed char.
+for _nm, _u in {
+    "grave": "`", "acute": "´", "circumflex": "ˆ", "tilde": "˜",
+    "macron": "¯", "breve": "˘", "dotaccent": "˙", "dieresis": "¨",
+    "ring": "˚", "hungarumlaut": "˝", "caron": "ˇ", "cedilla": "¸",
+    "ogonek": "˛",
+}.items():
+    _AGL.setdefault(_nm, _u)
+
+# Greek + math glyph names (AGL): TeX math fonts (CMMI/CMSY/CMEX) name
+# their builtin codes this way — without them every μ/σ/Σ in a paper
+# degrades to a C0 control char through the latin-1 fallback
+_GREEK_LOWER = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi", "rho",
+]
+for _i, _nm in enumerate(_GREEK_LOWER):
+    _AGL[_nm] = chr(0x03B1 + _i)
+for _i, _nm in enumerate(["sigma", "tau", "upsilon", "phi", "chi", "psi", "omega"]):
+    _AGL[_nm] = chr(0x03C3 + _i)  # skips final-sigma ς at 0x3C2
+for _nm, _u in {
+    "Gamma": "Γ", "Delta": "Δ", "Theta": "Θ", "Lambda": "Λ", "Xi": "Ξ",
+    "Pi": "Π", "Sigma": "Σ", "Upsilon": "Υ", "Phi": "Φ", "Psi": "Ψ",
+    "Omega": "Ω", "theta1": "ϑ", "phi1": "φ", "sigma1": "ς", "omega1": "ϖ",
+    "epsilon1": "ε", "pi1": "ϖ", "rho1": "ϱ",
+    "infinity": "∞", "partialdiff": "∂", "gradient": "∇", "nabla": "∇",
+    "summation": "∑", "product": "∏", "integral": "∫", "radical": "√",
+    "approxequal": "≈", "notequal": "≠", "equivalence": "≡",
+    "lessequal": "≤", "greaterequal": "≥", "element": "∈", "notelement": "∉",
+    "propersubset": "⊂", "propersuperset": "⊃", "reflexsubset": "⊆",
+    "reflexsuperset": "⊇", "union": "∪", "intersection": "∩",
+    "logicaland": "∧", "logicalor": "∨", "logicalnot": "¬",
+    "arrowright": "→", "arrowleft": "←", "arrowup": "↑", "arrowdown": "↓",
+    "arrowboth": "↔", "arrowdblright": "⇒", "arrowdblleft": "⇐",
+    "arrowdblboth": "⇔", "asteriskmath": "∗", "circlemultiply": "⊗",
+    "circleplus": "⊕", "emptyset": "∅", "angbracketleft": "⟨",
+    "angbracketright": "⟩", "bardbl": "∥", "prime": "′",
+    "similar": "∼", "similarequal": "≃", "congruent": "≅",
+    "proportional": "∝", "perpendicular": "⊥", "star": "⋆",
+    "diamondmath": "⋄", "dotmath": "⋅", "existential": "∃",
+    "universal": "∀", "suchthat": "∋", "therefore": "∴",
+    "lessmuch": "≪", "greatermuch": "≫", "approaches": "→",
+    "braceex": "", "vextendsingle": "", "vextenddouble": "",
+}.items():
+    _AGL.setdefault(_nm, _u)
+
+# spacing accent → combining mark for the overstrike composition pass
+SPACING_TO_COMBINING: Dict[str, str] = {
+    "`": "̀", "´": "́", "ˆ": "̂", "˜": "̃",
+    "¯": "̄", "˘": "̆", "˙": "̇", "¨": "̈",
+    "˚": "̊", "˝": "̋", "ˇ": "̌", "¸": "̧",
+    "˛": "̨",
+}
 # afii Cyrillic (AGL): uppercase А..Е, Ё, Ж..Я then lowercase
 for _k in range(6):
     _AGL[f"afii{10017 + _k}"] = chr(0x0410 + _k)
@@ -123,6 +187,40 @@ _BASE_ENCODINGS = {
     "StandardEncoding": _STANDARD,
     "MacExpertEncoding": _STANDARD,  # expert sets are symbol-only; approximate
 }
+
+# Type1 cleartext ``dup <code> /<glyph> put`` entries — the font program's
+# builtin /Encoding array. A simple font with no /Encoding dict uses the
+# builtin per the PDF spec; TeX Computer Modern subsets (no ToUnicode, no
+# /Encoding — article.pdf) are unreadable without it (pdfminer reads the
+# same array through its Type1FontHeaderParser).
+_T1_DUP_RE = re.compile(rb"dup\s+(\d+)\s*/([A-Za-z0-9._]+)\s+put")
+
+
+def _type1_builtin_encoding(doc: PdfDocument, d: Dict[str, Any]) -> Dict[int, str]:
+    fd = doc.resolve(d.get("FontDescriptor"))
+    if not isinstance(fd, dict):
+        return {}
+    ff = doc.resolve(fd.get("FontFile"))
+    if ff is None:
+        return {}
+    try:
+        raw = doc.stream_bytes(ff)
+    except Exception:
+        return {}
+    # the encoding lives in the cleartext segment before eexec
+    idx = raw.find(b"eexec")
+    clear = raw[: idx if idx > 0 else min(len(raw), 4096)]
+    enc_pos = clear.find(b"/Encoding")
+    if enc_pos < 0:
+        return {}
+    out: Dict[int, str] = {}
+    for m in _T1_DUP_RE.finditer(clear, enc_pos):
+        code = int(m.group(1))
+        if 0 <= code < 256:
+            u = glyph_to_unicode(m.group(2).decode("latin-1"))
+            if u is not None:
+                out[code] = u
+    return out
 
 
 # ------------------------------------------------------------------ fonts
@@ -247,6 +345,13 @@ class Font:
                 symbolic = True
         base = _STANDARD if symbolic else _STANDARD
         enc = doc.resolve(d.get("Encoding"))
+        if enc is None or isinstance(enc, dict):
+            # no explicit /Encoding (or Differences with no BaseEncoding):
+            # the font program's builtin encoding is the base (PDF 9.6.6)
+            builtin = _type1_builtin_encoding(doc, d)
+            if builtin:
+                base = dict(_STANDARD)
+                base.update(builtin)
         if isinstance(enc, Name) or isinstance(enc, str) and not isinstance(enc, dict):
             base = _BASE_ENCODINGS.get(str(enc), base)
             self.enc_map = dict(base)
@@ -288,7 +393,11 @@ class Font:
             if u is None:
                 u = self.enc_map.get(b)
             if u is None:
+                # unmapped code: never leak a C0/C1 control char into the
+                # corpus text (pdfminer's analogue is "(cid:N)")
                 u = bytes([b]).decode("latin-1")
+                if u != "\t" and (ord(u) < 32 or 0x7F <= ord(u) < 0xA0):
+                    u = "�"
             out.append((u, self.widths.get(b, self.default_width), b == 32))
         return out
 
@@ -541,6 +650,57 @@ _CHAR_MARGIN = 3.0   # reference LAParams char_margin
 _LINE_TOL_FRAC = 0.5  # baseline tolerance as a fraction of font size
 
 
+def _compose_accents(frag: List[TextChar]) -> List[TextChar]:
+    """TeX-style overstrike composition: a spacing accent glyph whose x-range
+    overlaps an adjacent glyph decorates THAT glyph — replace the pair with
+    the NFC-precomposed character ('Bela' + dieresis + dotlessi + 'd' →
+    'Belaïd'). Accents with no overlapping neighbour (a genuine standalone
+    '¨'/'ˇ') pass through unchanged."""
+    if not any(c.text in SPACING_TO_COMBINING for c in frag):
+        return frag
+    import unicodedata
+
+    def overlap(a: TextChar, b: TextChar) -> float:
+        lo, hi = max(a.x0, b.x0), min(a.x1, b.x1)
+        return hi - lo
+
+    def base_text(t: str, comb: str) -> str:
+        # above-accents compose over the DOTLESS forms in TeX ('ı'+¨ → ï);
+        # unicode precomposes from the dotted letter instead
+        if comb not in ("̧", "̨") and t in ("ı", "ȷ"):
+            return "i" if t == "ı" else "j"
+        return t
+
+    out: List[TextChar] = []
+    i = 0
+    n = len(frag)
+    while i < n:
+        ch = frag[i]
+        if ch.text in SPACING_TO_COMBINING:
+            comb = SPACING_TO_COMBINING[ch.text]
+            prev_c = out[-1] if out else None
+            next_c = frag[i + 1] if i + 1 < n else None
+            ov_prev = overlap(ch, prev_c) if prev_c is not None and len(prev_c.text) == 1 else -1.0
+            ov_next = overlap(ch, next_c) if next_c is not None and len(next_c.text) == 1 else -1.0
+            need = 0.25 * max(ch.x1 - ch.x0, 0.1)  # real overstrike, not kerning touch
+            base_ch = None
+            if ov_next >= ov_prev and ov_next > need:
+                base_ch = next_c
+                i += 1  # consume the base; accent merges into it
+                composed = unicodedata.normalize("NFC", base_text(base_ch.text, comb) + comb)
+                out.append(TextChar(base_ch.x0, base_ch.x1, base_ch.y, base_ch.size, base_ch.font, composed))
+            elif ov_prev > need:
+                base_ch = out[-1]
+                composed = unicodedata.normalize("NFC", base_text(base_ch.text, comb) + comb)
+                out[-1] = TextChar(base_ch.x0, base_ch.x1, base_ch.y, base_ch.size, base_ch.font, composed)
+            if base_ch is None:
+                out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    return out
+
+
 def assemble_lines(chars: List[TextChar]) -> List[tuple]:
     """Chars → line tuples (x0, y, font_display_name, size, text, runs)
     where ``runs`` is a tuple of (start, end, font, size) spans over the
@@ -573,6 +733,7 @@ def assemble_lines(chars: List[TextChar]) -> List[tuple]:
             else:
                 frags[-1].append(ch)
         for frag in frags:
+            frag = _compose_accents(frag)
             parts: List[str] = []
             prev: Optional[TextChar] = None
             # per-run font/size spans over the assembled text (reference:

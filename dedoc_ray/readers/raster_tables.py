@@ -235,20 +235,27 @@ def detect_raster_tables(
     mask=None,
     file_hash: str = "",
     page_id: int = 0,
+    return_rotation: bool = False,
 ):
-    """→ (tables, boxes): ruled tables recognized from the page ink plus
-    their (top, bottom, left, right) raster boxes in the (rotation-
+    """→ (tables, boxes[, rot_deg]): ruled tables recognized from the page
+    ink plus their (top, bottom, left, right) raster boxes in the (rotation-
     corrected) page frame (callers blank those regions before the
     free-text line pass). ``recognizer`` is a RealScanOCR; ``mask`` its
-    script mask."""
+    script mask. ``return_rotation=True`` additionally returns tan(theta)
+    of the detected tilt so callers blanking in the UN-corrected frame can
+    scale their margin by the coordinate displacement the tilt induces."""
     ink, _rot = _rotation_correct(ink)
+
+    def _ret(tabs, bxs):
+        return (tabs, bxs, float(_rot)) if return_rotation else (tabs, bxs)
+
     binm = ink > 0.45
     hs, vs = rule_segments(binm)
     if len(hs) < 2 or len(vs) < 2:
-        return [], []
+        return _ret([], [])
     hs, vs = _drop_interior_strokes(hs, vs)
     if len(hs) < 2 or len(vs) < 2:
-        return [], []
+        return _ret([], [])
     # snap positions to 8-px clusters: double-drawn / re-merged borders a
     # few px apart otherwise cluster into degenerate sliver columns
     def _snap(rules):
@@ -344,7 +351,7 @@ def detect_raster_tables(
             )
         )
         boxes.append((top, bot, left, right))
-    return tables, boxes
+    return _ret(tables, boxes)
 
 
 def _bounds(vals: List[float], tol: float = 4.0) -> List[float]:

@@ -956,13 +956,20 @@ class RealScanOCR:
                 # page-wide table's outer borders are exactly what
                 # _strip_rules removes, and the detector runs its own
                 # rotation correction (stacking two shears breaks it)
-                tables, boxes = detect_raster_tables(raw_ink, self, mask, file_hash)
+                tables, boxes, tilt = detect_raster_tables(
+                    raw_ink, self, mask, file_hash, return_rotation=True
+                )
             except Exception:
-                tables, boxes = [], []
+                tables, boxes, tilt = [], [], 0.0
             for t0, b0, l0, r0 in boxes:
                 # margin absorbs the frame difference between the
-                # detector's rotation-corrected space and this page
+                # detector's rotation-corrected space and this page; a
+                # detected tilt (tilt = tan(theta)) displaces edge
+                # coordinates by up to tan(theta)·dim/2, so the margin
+                # scales with it or edge cell text escapes the blank and
+                # duplicates into the free-text stream
                 m = 4 + int(0.01 * max(ink.shape))
+                m += int(abs(tilt) * max(ink.shape) / 2.0)
                 ink[max(0, t0 - m) : b0 + m, max(0, l0 - m) : r0 + m] = 0.0
         ink, shear = self._deskew(ink)
         if shear:

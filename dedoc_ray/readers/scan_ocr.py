@@ -383,10 +383,15 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto", gost_frame: boo
     bare-image route (read_scan) and the PDF embedded-raster OCR route
     (readers/pdf.py): fixed-width LUT → atlas-learned templates → the
     open-font template recognizer for REAL scans.  Returns
-    (recognized tuples, rotation_k, warnings, ruled tables)."""
+    (recognized tuples, rotation_k, warnings, ruled tables, ocr_conf) —
+    ocr_conf is the open-font recognizer's mean match confidence when that
+    route decoded the page (the typed gating signal surfaced as the
+    ``ocr_conf`` corpus column; None on the synthetic-LUT/atlas routes,
+    whose reads are template-exact)."""
     recognized, k = ocr_raster(img, orientation=orientation, with_metadata=True)
     tables: list = []
     warnings: List[str] = []
+    ocr_conf: "float | None" = None
     # fixed-width LUT struggling → try the atlas-learned template
     # recognizer (proportional widths, integer scales); keep the better
     # read — the reference's multi-model OCR retry shape
@@ -467,6 +472,7 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto", gost_frame: boo
                     best = (rank, kept, rk, conf, binz, rtables)
             if best is not None:
                 _, recognized, k, best_conf, used_bin, tables = best
+                ocr_conf = float(best_conf)
                 warnings = [w for w in warnings if not w.startswith("scan decoded")]
                 warnings.append(
                     "scan decoded with the open-font template recognizer "
@@ -477,7 +483,7 @@ def recognize_raster(img: np.ndarray, orientation: str = "auto", gost_frame: boo
                     warnings.append(
                         f"{len(tables)} ruled table(s) recognized from the raster"
                     )
-    return recognized, k, warnings, tables
+    return recognized, k, warnings, tables, ocr_conf
 
 
 def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
@@ -504,19 +510,27 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
         # same cap story as the PDF OCR route (readers/pdf.py:542-547):
         # the pure-Python decode constant factor makes multi-megapixel
         # rasters minutes-per-image; surface geometry instead of hanging
+        big_md = {"exif_image_width": int(dims[0]), "exif_image_height": int(dims[1])}
+        try:
+            from dedoc_ray.readers.exif import extract_exif
+
+            for k2, v2 in extract_exif(data).items():
+                big_md.setdefault(k2, v2)
+        except Exception:
+            pass
         return UnstructuredDoc(
             lines=[],
             warnings=[
                 f"scan raster {dims[0]}x{dims[1]} exceeds the native-codec "
                 f"decode cap ({cap} px): geometry only"
             ],
-            metadata={"exif_image_width": int(dims[0]), "exif_image_height": int(dims[1])},
+            metadata=big_md,
         )
     try:
         img = image_decode_gray(data)
     except ValueError:
         img = parse_pgm(data)
-    recognized, k, warnings, tables = recognize_raster(img, orientation=orientation)
+    recognized, k, warnings, tables, ocr_conf = recognize_raster(img, orientation=orientation)
     if k:
         warnings.append(f"scan orientation corrected {90 * k} degrees")
     if not recognized:
@@ -530,6 +544,20 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
         "exif_image_height": int(dims[1]) if dims else int(h),
         "rotated_page_angles": [90 * int(k)],
     }
+    if ocr_conf is not None:
+        # typed gating signal: the kernel lifts this into the ocr_conf
+        # column and classes the row low_confidence below the floor
+        metadata["ocr_confidence"] = ocr_conf
+    # EXIF fields ride the image metadata (reference ImageMetadataExtractor
+    # field set, image_metadata_extractor.py:28-118); decode-derived dims
+    # win over the EXIF claim when both exist
+    try:
+        from dedoc_ray.readers.exif import extract_exif
+
+        for k2, v2 in extract_exif(data).items():
+            metadata.setdefault(k2, v2)
+    except Exception:
+        pass
     doc = UnstructuredDoc(
         lines=lines_from_recognized(recognized, file_hash), warnings=warnings, metadata=metadata
     )

@@ -121,9 +121,14 @@ def render_openfont_table(cells: List[List[str]], size: int = SIZE) -> np.ndarra
                 img, top, adv = g
                 gy = y + size - top
                 h, w = img.shape
-                page[gy : gy + h, int(xx) : int(xx) + w] = np.maximum(
-                    page[gy : gy + h, int(xx) : int(xx) + w], img
-                )
+                # clip to the page like render_openfont_page — a run of wide
+                # glyphs ('m'/'w' ~21px vs the 14px/char cell budget) can
+                # overflow the right margin on data-dependent input
+                gx = int(xx)
+                y1 = min(page.shape[0], gy + h)
+                x1 = min(page.shape[1], gx + w)
+                if y1 > gy and x1 > gx:
+                    page[gy:y1, gx:x1] = np.maximum(page[gy:y1, gx:x1], img[: y1 - gy, : x1 - gx])
                 xx += adv + GAP
     return (255.0 - np.clip(page, 0, 1) * 255.0).astype(np.uint8)
 

@@ -667,6 +667,40 @@ def pdf_para_bytes(doc_id: int, text: str) -> bytes:
             + b" >> stream\n" + content + b"\nendstream endobj\ntrailer\n%%EOF")
 
 
+def pdf_info_bytes(doc_id: int, text: str) -> bytes:
+    """Text-layer PDF with a trailer /Info dictionary whose every field is
+    a pure function of doc_id (so the metadata oracle is SQL): Title is a
+    UTF-16BE hex string (exercises the BOM decode path), CreationDate
+    carries a +03'00' offset, ModDate the Z form. The reference extracts
+    these through PyPDF2 (pdf_metadata_extractor.py:28-58); here the native
+    object layer resolves the same dictionary."""
+    content = f"BT /F1 12 Tf 72 760 Td (Document {doc_id}) Tj ET".encode("latin-1")
+    s = doc_id % 86400
+    hh, mm, ss = s // 3600, (s // 60) % 60, s % 60
+    title_hex = "FEFF" + "".join(f"{ord(c):04X}" for c in f"Report {doc_id}")
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n" + content + b"\nendstream endobj",
+        (
+            f"5 0 obj << /Title <{title_hex}> /Author (Author {doc_id % 7}) "
+            f"/Producer (SynthWriter 1.{doc_id % 5}) /Creator (Creator {doc_id % 3}) "
+            f"/Subject (subject {doc_id % 11}) /Keywords (k1, k{doc_id % 9}) "
+            f"/CreationDate (D:20200101{hh:02d}{mm:02d}{ss:02d}+03'00') "
+            f"/ModDate (D:20210615083000Z) >> endobj"
+        ).encode("latin-1"),
+    ]
+    return (
+        b"%PDF-1.4\n" + b"\n".join(objs)
+        + b"\ntrailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF"
+    )
+
+
+_GENERATORS["pdf_info"] = pdf_info_bytes
+_EXT_OVERRIDE["pdf_info"] = "pdf"
+
+
 _GENERATORS["pdf_para"] = pdf_para_bytes
 _EXT_OVERRIDE["pdf_para"] = "pdf"
 

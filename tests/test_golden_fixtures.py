@@ -413,15 +413,62 @@ def test_djvu_container_structure():
 
 
 def test_scanned_pdf_raster_inventory():
-    # real scanned PDFs: the OCR route walks image XObjects through the
-    # object layer and surfaces codec + geometry honestly
+    # real scanned PDFs: the OCR route decodes the DCT raster and runs the
+    # open-font recognizer; this degraded photographed page reads below the
+    # confidence floor, so the row is CLASSED low_confidence (never a silent
+    # status=ok gibberish read) with the typed mean-confidence signal
     r = parse("pdf_auto/tz_scan_1page.pdf")
-    assert any("DCTDecode" in w and "1654x2338" in w for w in r["warnings"])
+    assert r["status"] == "low_confidence"
+    conf = r["metadata"].get("ocr_confidence")
+    assert conf is not None and 0.0 < conf < 0.5
+    assert any("open-font template recognizer" in w for w in r["warnings"])
     # CCITT G4 pages now DECODE through ops/ccitt.py (T.4 tables recovered
     # from the JDK encoder, G4 modes validated pixel-exact against it)
     r2 = parse("laws/with_applications.pdf")
     assert not any("no native decoder" in w for w in r2["warnings"])
     assert r2["status"] == "ok"
+
+
+def test_pdf_info_metadata_golden():
+    # /Info metadata on real fixtures (reference PdfMetadataExtractor
+    # pdf_metadata_extractor.py:28-58; date conversion utils.py:234-257):
+    # english_doc.pdf was written by LibreOffice with UTF-16BE /Creator
+    r = parse("pdf_with_text_layer/english_doc.pdf")
+    md = r["metadata"]
+    assert md["creator"] == "Writer"
+    assert md["producer"] == "LibreOffice 6.0"
+    # D:20191210200202+03'00' → 2019-12-10T17:02:02Z
+    assert md["creation_date"] == 1575997322
+    assert md["created"] == "2019-12-10T17:02:02Z"
+
+    r2 = parse("pdf_with_text_layer/article.pdf")
+    md2 = r2["metadata"]
+    assert md2["producer"] == "MiKTeX pdfTeX-1.40.11"
+    assert md2["creator"] == "TeX"
+    assert md2["creation_date"] == md2["modification_date"] == 1392998486
+
+
+def test_pdf_tex_builtin_encoding_accents():
+    # Computer Modern subsets carry NO /Encoding and NO ToUnicode — the
+    # builtin Type1 /Encoding array plus overstrike accent composition must
+    # reproduce the diacritics (VERDICT r3 #4: 'Belaïd' rendered 'Bela\x7f')
+    r = parse("pdf_with_text_layer/article.pdf", pdf_with_text_layer="true")
+    text = r["extracted_text"]
+    assert "Sonia Belaïd" in text
+    assert "François Xavier-Standaert" in text
+    assert "École Normale Supérieure" in text
+    assert "Université catholique de Louvain" in text
+    assert "\x7f" not in text and "\x13" not in text and "\x18" not in text
+
+
+def test_convert_pdf_datetime_forms():
+    from dedoc_ray.readers.pdf_metadata import convert_pdf_datetime
+
+    # the three reference-handled forms (utils.py:234-257): offset, Z, bare
+    assert convert_pdf_datetime("D:20210202145619+00'16'") == 1612276819
+    assert convert_pdf_datetime("D:20191028113639Z") == 1572262599
+    assert convert_pdf_datetime("D:20191028113639") == 1572262599
+    assert convert_pdf_datetime("garbage") is None
 
 
 def test_pdf_two_column_liters_reading_order():
