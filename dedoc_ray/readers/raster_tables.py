@@ -144,6 +144,190 @@ def rule_segments(binm: np.ndarray):
     return hs, vs
 
 
+def _soft_axis(
+    ink: np.ndarray,
+    horizontal: bool,
+    thresh: float = 0.28,
+    bin_px: int = 12,
+    min_frac: float = 0.12,
+) -> List[Tuple[float, float, float]]:
+    """Dotted/wobbly rule candidates along one axis (the reference's
+    table_recognizer survives hand-drawn and photocopy-degraded borders —
+    example_with_table_horizontal_union.jpg): a rule is a thin 3-px band
+    with high ink BIN coverage over a long extent whose surrounding rows
+    are clean (text bands are thick; dotted rules are thin but sparse, so
+    run-length detection misses them). → [(start, end, pos)]."""
+    b = (ink if horizontal else ink.T) > thresh
+    H, W = b.shape
+    band = b.copy()
+    band[1:] |= b[:-1]
+    band[:-1] |= b[1:]
+    nbin = W // bin_px
+    if nbin < 8 or H < 12:
+        return []
+    hit = band[:, : nbin * bin_px].reshape(H, nbin, bin_px).any(axis=2)
+    min_bins = max(6, int(nbin * min_frac))
+    cands: List[Tuple[int, int, int, int]] = []
+    for r in range(2, H - 2):
+        row = hit[r]
+        runs: List[Tuple[int, int, int]] = []  # (start, end, hits)
+        start = None
+        misses = 0
+        hits = 0
+        # 3 sentinel misses so a run reaching the row's end still flushes
+        for i in range(nbin + 3):
+            on = bool(row[i]) if i < nbin else False
+            if on:
+                if start is None:
+                    start, hits, misses = i, 0, 0
+                hits += 1
+                misses = 0
+            elif start is not None:
+                misses += 1
+                if misses > 2:
+                    if hits >= 3:
+                        runs.append((start, i - misses, hits))
+                    start = None
+        if not runs:
+            continue
+        # one faded stretch must not halve a physical line: fuse the runs
+        # when their combined extent stays dense, else keep the largest
+        s_bin = min(s for s, _, _ in runs)
+        e_bin = max(e for _, e, _ in runs)
+        hits = sum(h for _, _, h in runs)
+        if hits / max(1, e_bin - s_bin + 1) < 0.7:
+            s_bin, e_bin, hits = max(runs, key=lambda t: t[2])
+        if hits < min_bins or hits / max(1, e_bin - s_bin + 1) < 0.7:
+            continue
+        # thinness: context rows on BOTH sides mostly clean over the extent
+        # — a text row always has ink on at least one side (its own
+        # x-height band), a drawn rule has cell padding on both
+        side_bad = False
+        for side in ((r - 6, r - 4), (r + 4, r + 6)):
+            ctx, n = 0.0, 0
+            for rr in side:
+                if 0 <= rr < H:
+                    ctx += float(hit[rr, s_bin : e_bin + 1].mean())
+                    n += 1
+            if n and ctx / n > 0.45:
+                side_bad = True
+                break
+        if side_bad:
+            continue
+        cands.append((r, s_bin, e_bin, hits))
+    cands.sort()
+    merged: List[List[float]] = []  # [pos_wsum, s_bin, e_bin, w, last_r]
+    for r, s, e, hits in cands:
+        if merged and r - merged[-1][4] <= 4 and not (e < merged[-1][1] or s > merged[-1][2]):
+            m = merged[-1]
+            m[1] = min(m[1], s)
+            m[2] = max(m[2], e)
+            m[0] += r * hits
+            m[3] += hits
+            m[4] = r
+        else:
+            merged.append([float(r * hits), float(s), float(e), float(hits), float(r)])
+    return [
+        (s * bin_px, (e + 1) * bin_px, pos_w / w) for pos_w, s, e, w, _ in merged
+    ]
+
+
+def _refine_extent(
+    ink: np.ndarray,
+    pos: float,
+    a: float,
+    b: float,
+    horizontal: bool,
+    thresh: float = 0.28,
+    win: int = 48,
+    bar: float = 0.55,
+) -> Tuple[float, float]:
+    """Trim a soft rule's extent to its well-inked span: the bin pass can
+    stretch a partial separator across a tier it doesn't actually cross
+    (text descenders bridge the gap), which would split merged header
+    cells the reference keeps whole."""
+    p = int(round(pos))
+    if horizontal:
+        band = (ink[max(0, p - 1) : p + 2, :] > thresh).any(axis=0)
+    else:
+        band = (ink[:, max(0, p - 1) : p + 2] > thresh).any(axis=1)
+    a_i, b_i = max(0, int(a)), min(len(band), int(b))
+    seg = band[a_i:b_i].astype(np.float32)
+    if seg.size < win * 2:
+        return a, b
+    k = np.convolve(seg, np.ones(win, np.float32) / win, mode="same")
+    good = k >= bar
+    if not good.any():
+        return a, b
+    idx = np.flatnonzero(good)
+    n0, n1 = int(idx[0]), int(idx[-1]) + 1
+    if good[n0:n1].mean() < 0.7:
+        # genuinely split coverage: fall back to the largest good interval
+        best = (0, 0)
+        s = None
+        for i in range(len(good) + 1):
+            v = bool(good[i]) if i < len(good) else False
+            if v and s is None:
+                s = i
+            elif not v and s is not None:
+                if i - s > best[1] - best[0]:
+                    best = (s, i)
+                s = None
+        n0, n1 = best
+    if n1 - n0 < 0.3 * (b_i - a_i):
+        return a, b
+    return float(a_i + max(0, n0 - win // 2)), float(a_i + min(len(seg), n1 + win // 2))
+
+
+def _soft_rules(ink: np.ndarray) -> Tuple[list, list]:
+    """Fallback rule detection for dotted/hand-drawn grids: page-level soft
+    horizontal rules seed candidate table regions (≥2 stacked rules with
+    overlapping extents); each region is re-scanned on BOTH axes with a
+    region-relative span bar. Returns (h_rules, v_rules) in global raster
+    coordinates, same (start, end, pos) shape as rule_segments."""
+    H, W = ink.shape
+    hs_page = _soft_axis(ink, True, min_frac=0.12)
+    if len(hs_page) < 2:
+        return [], []
+    clusters: List[List[float]] = []  # [x0, x1, y0, y1, count]
+    tol_x, tol_y = 0.15 * W, 0.15 * H
+    for x0, x1, y in sorted(hs_page, key=lambda r: r[2]):
+        placed = False
+        for c in clusters:
+            # a grid's separators are CONTAINED in its outer border extent
+            # (partial inner separators included); text underlines with
+            # unrelated extents stay out
+            if y - c[3] <= tol_y and x0 >= c[0] - tol_x and x1 <= c[1] + tol_x:
+                c[0] = min(c[0], x0)
+                c[1] = max(c[1], x1)
+                c[3] = max(c[3], y)
+                c[4] += 1
+                placed = True
+                break
+        if not placed:
+            clusters.append([x0, x1, y, y, 1.0])
+    out_h: List[Tuple[float, float, float]] = []
+    out_v: List[Tuple[float, float, float]] = []
+    for x0, x1, y0, y1, cnt in clusters:
+        if cnt < 2 or y1 - y0 < 24:
+            continue
+        m = 30
+        ry0, ry1 = max(0, int(y0) - m), min(H, int(y1) + m)
+        rx0, rx1 = max(0, int(x0) - m), min(W, int(x1) + m)
+        crop = ink[ry0:ry1, rx0:rx1]
+        ch = _soft_axis(crop, True, min_frac=0.3)
+        cv = _soft_axis(crop, False, min_frac=0.5)
+        if len(ch) < 2 or len(cv) < 2:
+            continue
+        for a, b, p in ch:
+            a2, b2 = _refine_extent(ink, p + ry0, a + rx0, b + rx0, True)
+            out_h.append((a2, b2, p + ry0))
+        for a, b, p in cv:
+            a2, b2 = _refine_extent(ink, p + rx0, a + ry0, b + ry0, False)
+            out_v.append((a2, b2, p + rx0))
+    return out_h, out_v
+
+
 def _rotation_correct(ink: np.ndarray) -> Tuple[np.ndarray, float]:
     """Fine small-angle rotation correction (±2°, 0.1° steps) driven by
     row-projection sharpness — a 0.3° scan tilt drifts a 1-px rule across
@@ -252,10 +436,15 @@ def detect_raster_tables(
     binm = ink > 0.45
     hs, vs = rule_segments(binm)
     if len(hs) < 2 or len(vs) < 2:
-        return _ret([], [])
-    hs, vs = _drop_interior_strokes(hs, vs)
-    if len(hs) < 2 or len(vs) < 2:
-        return _ret([], [])
+        # dotted / hand-drawn / photocopy-faded grids leave no solid runs
+        # for the strict detector — the soft bin-coverage pass recovers them
+        hs, vs = _soft_rules(ink)
+        if len(hs) < 2 or len(vs) < 2:
+            return _ret([], [])
+    else:
+        hs, vs = _drop_interior_strokes(hs, vs)
+        if len(hs) < 2 or len(vs) < 2:
+            return _ret([], [])
     # snap positions to 8-px clusters: double-drawn / re-merged borders a
     # few px apart otherwise cluster into degenerate sliver columns
     def _snap(rules):

@@ -163,3 +163,38 @@ def test_read_scan_attaches_tables():
     with open("/root/reference/tests/data/scanned/orient_3.png", "rb") as f:
         doc = read_scan(f.read())
     assert doc.tables and len(doc.tables[0].cells[0]) >= 5
+
+
+def test_dotted_table_horizontal_union():
+    # reference test_api_module_table_recognizer.py:37-49 — a photographed
+    # contract page whose table grid is drawn with dotted/faded lines the
+    # strict run-length detector cannot see; the soft bin-coverage fallback
+    # must recover the exact 3x4 grid with BOTH unions: col1 merged down
+    # rows 0-1 ("Наименование позиции") and the top header tier merged
+    # across cols 2-3 ("Начальная (максимальная) цена за единицу...")
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.raster_tables import detect_raster_tables
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    with open(
+        "/root/reference/tests/data/tables/example_with_table_horizontal_union.jpg", "rb"
+    ) as f:
+        img = image_decode_gray(f.read()).astype(np.float32)
+    ink = (img.max() - img) / max(1.0, img.max() - img.min())
+    tables, boxes = detect_raster_tables(ink, real_ocr())
+    assert len(tables) == 1
+    t = tables[0]
+    assert len(t.cells) == 3 and len(t.cells[0]) == 4
+    # vertical union: rows 0-1 of col 1 are one cell (copy invisible)
+    assert not t.cells[0][1].invisible and t.cells[1][1].invisible
+    assert t.cells[0][1].get_text() == t.cells[1][1].get_text()
+    # horizontal union: row 0 cols 2-3 are one cell (copy invisible)
+    assert not t.cells[0][2].invisible and t.cells[0][3].invisible
+    assert t.cells[0][2].get_text() == t.cells[0][3].get_text()
+    # tier-2 header and body cells are separate
+    assert not t.cells[1][2].invisible and not t.cells[1][3].invisible
+    assert not t.cells[2][3].invisible
+    # the box sits on the page's bottom quarter
+    (top, bot, left, right) = boxes[0]
+    assert 2800 < top < 3000 and 3100 < bot < 3300
+    assert 200 < left < 400 and 2200 < right < 2350
