@@ -759,11 +759,12 @@ class RealScanOCR:
         return self._shear_rows(ink, best_t, 0.0), best_t
 
     def _page_score(self, ink: np.ndarray, probe_bands: int = 14,
-                    expand: bool = True) -> float:
-        """Char-weighted trial-recognition score of the BEST 3 of the first
-        ~8 bands: a correctly-oriented real page has a few strongly readable
-        printed lines even when its leading bands are stamps or decorative
-        junk; a wrong rotation has none."""
+                    expand: bool = True, top_n: int = 3,
+                    early_stop: bool = True) -> float:
+        """Char-weighted trial-recognition score of the BEST ``top_n`` of
+        the probed bands: a correctly-oriented real page has a few strongly
+        readable printed lines even when its leading bands are stamps or
+        decorative junk; a wrong rotation has none."""
         cands = []
         for c0, c1 in self._columns(ink)[:2]:
             col = ink[:, c0:c1]
@@ -777,11 +778,13 @@ class RealScanOCR:
                     if n >= 3:
                         cands.append((r[1], n))
                         got += 1
-                if got >= probe_bands or sum(1 for sc, _ in cands if sc >= 0.55) >= 3:
+                if got >= probe_bands or (
+                    early_stop and sum(1 for sc, _ in cands if sc >= 0.55) >= 3
+                ):
                     break  # three strongly-read bands settle the rotation
         if not cands:
             return -9.0
-        top = sorted(cands, reverse=True)[:3]
+        top = sorted(cands, reverse=True)[:top_n]
         return sum(s * n for s, n in top) / sum(n for _, n in top)
 
     @classmethod
@@ -843,14 +846,31 @@ class RealScanOCR:
             p = np.rot90(small, -kk).sum(axis=1)
             sharps.append(float((p * p).sum()))
         cut = 0.7 * max(sharps) if max(sharps) > 0 else 0.0
-        best = -10.0
-        k = 0
+        scores: Dict[int, float] = {}
         for kk in range(4):
             if sharps[kk] < cut:
                 continue
-            sc = self._page_score(np.rot90(ink, -kk), expand=expand)
-            if sc > best + 1e-9:
-                best, k = sc, kk
+            scores[kk] = self._page_score(np.rot90(ink, -kk), expand=expand)
+        if not scores:
+            return 0
+        order = sorted(scores, key=scores.get, reverse=True)
+        k = order[0]
+        # the top-3-band score is a coin flip on degraded pages whose
+        # leading bands are stamps/letterhead (tz_scan_1page reads its
+        # best 3 bands equally well upside-down): when the top two
+        # rotations are within noise, re-score DEEP — best 8 of up to 30
+        # bands — and only override the shallow winner on a clear margin
+        if len(order) >= 2 and scores[k] - scores[order[1]] < 0.08:
+            k2 = order[1]
+            deep = {
+                kk: self._page_score(
+                    np.rot90(ink, -kk), probe_bands=30, expand=expand,
+                    top_n=8, early_stop=False,
+                )
+                for kk in (k, k2)
+            }
+            if deep[k2] - deep[k] >= 0.02:
+                k = k2  # clear deep margin overrides; ties keep shallow
         return k
 
     def detect_orientation_k(self, gray: np.ndarray) -> int:

@@ -414,14 +414,19 @@ def test_djvu_container_structure():
 
 def test_scanned_pdf_raster_inventory():
     # real scanned PDFs: the OCR route decodes the DCT raster and runs the
-    # open-font recognizer; this degraded photographed page reads below the
-    # confidence floor, so the row is CLASSED low_confidence (never a silent
-    # status=ok gibberish read) with the typed mean-confidence signal
+    # open-font recognizer. This degraded photographed page decoded as
+    # 180-flipped gibberish until the orientation tie-break (its best-3
+    # bands read equally well either way); upright it reads real Russian
+    # above the 0.5 confidence floor, with the typed mean-confidence signal
     r = parse("pdf_auto/tz_scan_1page.pdf")
-    assert r["status"] == "low_confidence"
+    assert r["status"] == "ok"
     conf = r["metadata"].get("ocr_confidence")
-    assert conf is not None and 0.0 < conf < 0.5
+    assert conf is not None and 0.5 <= conf < 0.8
     assert any("open-font template recognizer" in w for w in r["warnings"])
+    text = r["extracted_text"]
+    assert "аэропорт" in text and "жидкостей" in text
+    assert "на приобретение" in text
+    assert "Директор по наземному" in text
     # CCITT G4 pages now DECODE through ops/ccitt.py (T.4 tables recovered
     # from the JDK encoder, G4 modes validated pixel-exact against it)
     r2 = parse("laws/with_applications.pdf")

@@ -293,3 +293,38 @@ def test_synthetic_scans_untouched():
     doc = read_scan(pgm)
     assert [L.line for L in doc.lines] == ["HELLO WORLD 123\n", "SECOND LINE\n"]
     assert not any("open-font" in w for w in doc.warnings)
+
+
+def test_with_trash_photographed_contract():
+    # reference test_on_ocr_conf_threshold (test_api_format_pdf.py:113):
+    # a photographed contract page with handwritten filler. The open-font
+    # read keeps the printed skeleton (section header, party clauses) and
+    # the junk handwriting bands are dropped by the band-confidence floor;
+    # the page-level confidence stays under 0.5 so the corpus row is
+    # classed low_confidence, never silent-ok garbage.
+    from dedoc_ray.readers.scan_ocr import read_scan
+
+    with open(os.path.join(DATA, "with_trash.jpg"), "rb") as f:
+        doc = read_scan(f.read())
+    conf = doc.metadata.get("ocr_confidence")
+    assert conf is not None and 0.25 < conf < 0.5
+    text = " ".join(L.line for L in doc.lines)
+    # stable printed fragments survive (Договор parties + section 1.1)
+    assert "стор" in text.lower()
+    assert "1.1" in text
+    assert len(doc.lines) >= 10
+
+
+def test_mfo_binarization_letterhead():
+    # reference test_image_binarization (test_api_format_pdf.py:107): the
+    # tilted Central-Bank letterhead photo routes through the adaptive
+    # binarization retry; the honest read today recovers the parenthesized
+    # letterhead line and stays classed below the confidence floor
+    from dedoc_ray.readers.scan_ocr import read_scan
+
+    with open(os.path.join(DATA, "01_МФО_Наклон.jpg"), "rb") as f:
+        doc = read_scan(f.read())
+    conf = doc.metadata.get("ocr_confidence")
+    assert conf is not None and conf < 0.5
+    text = " ".join(L.line for L in doc.lines)
+    assert "БАНК РОССИИ" in text
