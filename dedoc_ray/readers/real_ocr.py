@@ -85,6 +85,17 @@ CHARSET = (
 _MULTI_RUN = frozenset("ыЫ«»")
 
 #: letters whose SHAPE identifies the script (no Latin/Cyrillic homoglyph)
+# score penalty for out-of-script templates under the page's script mask —
+# soft, so a clearly-better out-of-script glyph (Latin part numbers inside
+# Russian text) can still win; sized above the homoglyph noise floor
+# (identical-shape pairs tie within ~0.02) and below a true shape
+# difference (R vs its best Cyrillic stand-in loses ~0.2 of NCC)
+_MASK_PENALTY = 0.12
+# …and an out-of-script win additionally needs this absolute match quality:
+# on DEGRADED scans every read is noisy (0.4-0.6) and margins are spurious,
+# while a genuine crisp Latin token inside Russian text matches 0.8+
+_MASK_FLOOR = 0.62
+
 _DISTINCT_CYR = frozenset("бвгджзийлмнптфцчшщъыьэюяБГДЁЖЗИЙЛПЦЧШЩЪЫЬЭЮЯё")
 _DISTINCT_LAT = frozenset("bdfghijklmnqrstuvwzDFGIJLNQRSUVWZ")
 
@@ -340,6 +351,7 @@ class RealScanOCR:
                     - 0.5 * np.abs(self.rel_w - ft[2])
                 )
                 if mask is not None:
+                    # bars (l/I/1/!) carry no script information — hard mask
                     sc = np.where(mask, sc, -10.0)
                 j = int(np.argmax(sc))
                 if sc[j] > 0.0:
@@ -374,8 +386,25 @@ class RealScanOCR:
             - 0.5 * np.abs(self.rel_w[None, :] - F[:, 2:3])
         )
         if mask is not None:
-            sc = np.where(mask[None, :], sc, -10.0)
-        js = np.argmax(sc, axis=1)
+            # SOFT mask: the script vote is a prior, not a law — identical
+            # homoglyphs (О/O, С/C) stay in-script because their score tie
+            # loses to the penalty, but a DISTINCTIVE out-of-script glyph
+            # (the R in a "KR13" part number inside Russian text, S vs 5)
+            # wins when its match beats the best in-script read by more
+            # than the penalty AND clears an absolute quality floor —
+            # degraded scans produce noisy margins at low scores, crisp
+            # foreign tokens match high
+            sc_in = np.where(mask[None, :], sc, -10.0)
+            js_in = np.argmax(sc_in, axis=1)
+            js_all = np.argmax(sc, axis=1)
+            rows = np.arange(len(js_in))
+            use_out = (sc[rows, js_all] - sc_in[rows, js_in] > _MASK_PENALTY) & (
+                sc[rows, js_all] >= _MASK_FLOOR
+            )
+            js = np.where(use_out, js_all, js_in)
+            sc = np.where(use_out[:, None], sc, sc_in)
+        else:
+            js = np.argmax(sc, axis=1)
         for row, ci in enumerate(keep):
             j = int(js[row])
             out[ci] = (self.chars[j], float(sc[row, j]), j)

@@ -328,3 +328,29 @@ def test_mfo_binarization_letterhead():
     assert conf is not None and conf < 0.5
     text = " ".join(L.line for L in doc.lines)
     assert "БАНК РОССИИ" in text
+
+
+def test_latin_tokens_inside_cyrillic_text():
+    # VERDICT r3 #8: "KR13"-style Latin identifiers inside Russian text
+    # lost to the hard script-coherence mask (K→К, R→Р, S→5, DNS→ОН5).
+    # The mask is now a soft prior: a distinctive out-of-script glyph wins
+    # when it beats the best in-script read by the penalty AND clears the
+    # absolute quality floor; homoglyph-only words stay in-script.
+    from dedoc_ray.readers.real_ocr import real_ocr
+    from dedoc_ray.sources.openfont_writer import render_openfont_page
+
+    lines = [
+        "Изделие маркировано кодом KR13 на корпусе",
+        "Серийный номер SN-2044 и версия v2 протокола",
+        "Устройство DNS-сервера включено в реестр",
+    ]
+    img = render_openfont_page(lines)
+    out, _k, _t = real_ocr().decode_page_full(img)
+    text = "\n".join(t[0] for t in out)
+    assert "KR13" in text
+    assert "SN" in text and "2044" in text
+    assert "v2" in text
+    assert "DNS" in text
+    # the Russian body still reads in-script
+    assert "маркировано кодом" in text
+    assert "включено в реестр" in text
