@@ -433,6 +433,30 @@ def q_extract_pdf_metadata(sf_dir: str):
     return ds.map_batches(cols, batch_format="pyarrow")
 
 
+def q_extract_exif_metadata(sf_dir: str):
+    """Camera EXIF metadata off scanner-output TIFFs (readers/exif.py —
+    reference ImageMetadataExtractor): software/make/model/orientation +
+    DateTime→unix, every value a pure function of doc_id."""
+    ds = _office_extract(sf_dir, "scan_exif")
+
+    def cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch["metadata"].combine_chunks() if isinstance(batch["metadata"], pa.ChunkedArray) else batch["metadata"]
+        return pa.Table.from_pydict(
+            {
+                "url": batch["url"],
+                "software": m.field("software"),
+                "make": m.field("make"),
+                "model": m.field("model"),
+                "orientation": pc.cast(m.field("orientation"), pa.int64()),
+                "date_time": m.field("date_time"),
+            }
+        )
+
+    return ds.map_batches(cols, batch_format="pyarrow")
+
+
 def q_extract_pptx(sf_dir: str):
     return _office_extract(sf_dir, "pptx").select_columns(["url", "status", "extracted_text"])
 
@@ -1794,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docx": q_extract_docx,
         "extract_metadata": q_extract_metadata,
         "extract_pdf_metadata": q_extract_pdf_metadata,
+        "extract_exif_metadata": q_extract_exif_metadata,
         "extract_pdf_layout": q_extract_pdf_layout,
         "extract_scan": q_extract_scan,
         "extract_scan_multifont": q_extract_scan_multifont,
@@ -2178,6 +2203,12 @@ def oracle_sql() -> dict[str, str]:
                                 f"'k1, k' || (doc_id % 9) AS keywords, "
                                 f"CAST(1577826000 + doc_id % 86400 AS BIGINT) AS creation_date, "
                                 f"CAST(1623745800 AS BIGINT) AS modification_date FROM documents",
+        "extract_exif_metadata": f"SELECT {office_url.format(ext='tif')} AS url, "
+                                 f"'ScanSuite ' || (doc_id % 5) || '.' || (doc_id % 3) AS software, "
+                                 f"'Maker' || (doc_id % 4) AS make, "
+                                 f"'Model ' || (doc_id % 6) AS model, "
+                                 f"CAST(doc_id % 8 + 1 AS BIGINT) AS orientation, "
+                                 f"CAST(1651363200 + doc_id % 86400 AS BIGINT) AS date_time FROM documents",
         "extract_pptx": f"SELECT {office_url.format(ext='pptx')} AS url, 'ok' AS status, "
                         f"'Slide ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_ods": f"SELECT {office_url.format(ext='ods')} AS url, CAST(1 AS BIGINT) AS n_tables, "

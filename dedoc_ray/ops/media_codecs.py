@@ -634,8 +634,14 @@ def packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
-def tiff_encode(gray: np.ndarray, packbits: bool = False) -> bytes:
-    """(h, w) uint8 grayscale → little-endian single-strip TIFF."""
+def tiff_encode(gray: np.ndarray, packbits: bool = False, exif: "dict | None" = None) -> bytes:
+    """(h, w) uint8 grayscale → little-endian single-strip TIFF.
+
+    ``exif`` optionally embeds camera-style metadata the EXIF extractor
+    (readers/exif.py) reads back: string keys ``software``/``make``/
+    ``model``/``date_time`` (``YYYY:MM:DD HH:MM:SS``) plus int
+    ``orientation`` go into IFD0; an Exif sub-IFD carries the pixel dims
+    and ``date_time_original``."""
     h, w = gray.shape
     body = np.ascontiguousarray(gray).tobytes()
     if packbits:
@@ -651,15 +657,57 @@ def tiff_encode(gray: np.ndarray, packbits: bool = False) -> bytes:
         (278, 4, 1, h),            # RowsPerStrip (single strip)
         (279, 4, 1, len(body)),    # StripByteCounts
     ]
+    extra = bytearray()  # out-of-line values + the Exif sub-IFD
+    sub_ifd: list = []
+    if exif:
+        _STR_TAGS = {"make": 0x010F, "model": 0x0110, "software": 0x0131, "date_time": 0x0132}
+
+        def _ascii(tag_list, tag, s):
+            raw = s.encode("ascii", "replace") + b"\x00"
+            if len(raw) <= 4:
+                tag_list.append((tag, 2, len(raw), int.from_bytes(raw.ljust(4, b"\x00"), "little")))
+            else:
+                tag_list.append((tag, 2, len(raw), ("extra", len(extra))))
+                extra.extend(raw)
+                if len(extra) & 1:
+                    extra.append(0)
+
+        for key, tag in sorted(_STR_TAGS.items(), key=lambda kv: kv[1]):
+            if key in exif:
+                _ascii(entries, tag, str(exif[key]))
+        if "orientation" in exif:
+            entries.append((0x0112, 3, 1, int(exif["orientation"])))
+        # Exif sub-IFD: pixel dims + original date
+        if "date_time" in exif:
+            _ascii(sub_ifd, 0x9003, str(exif.get("date_time_original", exif["date_time"])))
+        sub_ifd.append((0xA002, 4, 1, w))
+        sub_ifd.append((0xA003, 4, 1, h))
+        sub_ifd.sort()
+        entries.append((0x8769, 4, 1, ("subifd", 0)))
+    entries.sort(key=lambda e: e[0])
     ifd_off = 8
-    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    ifd_size = 2 + 12 * len(entries) + 4
+    sub_size = (2 + 12 * len(sub_ifd) + 4) if sub_ifd else 0
+    extra_off = ifd_off + ifd_size + sub_size
+    sub_off = ifd_off + ifd_size
+    data_off = extra_off + len(extra)
+
+    def _pack(tag_list, patch_strip=False):
+        buf = bytearray(struct.pack("<H", len(tag_list)))
+        for tag, typ, cnt, val in tag_list:
+            if patch_strip and tag == 273:
+                val = data_off
+            elif isinstance(val, tuple):
+                val = extra_off + val[1] if val[0] == "extra" else sub_off
+            buf += struct.pack("<HHII", tag, typ, cnt, val)
+        buf += struct.pack("<I", 0)
+        return buf
+
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", len(entries))
-    for tag, typ, cnt, val in entries:
-        if tag == 273:
-            val = data_off
-        out += struct.pack("<HHII", tag, typ, cnt, val)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += _pack(entries, patch_strip=True)
+    if sub_ifd:
+        out += _pack(sub_ifd)
+    out += extra
     out += body
     return bytes(out)
 

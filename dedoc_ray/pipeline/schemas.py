@@ -83,6 +83,15 @@ METADATA_TYPE = pa.struct(
         ("keywords", pa.string()),
         ("creation_date", pa.int64()),
         ("modification_date", pa.int64()),
+        # image EXIF extension fields (reference ImageMetadataExtractor,
+        # image_metadata_extractor.py:28-118): null on non-image rows
+        ("software", pa.string()),
+        ("make", pa.string()),
+        ("model", pa.string()),
+        ("orientation", pa.int32()),
+        ("date_time", pa.int64()),
+        ("exif_image_width", pa.int32()),
+        ("exif_image_height", pa.int32()),
     ]
 )
 

@@ -198,6 +198,26 @@ def scan_tiff(doc_id: int, text: str) -> bytes:
     return tiff_encode(render_page(lines, rotate_k=doc_id % 4), packbits=(doc_id % 3 == 0))
 
 
+def scan_exif_tiff(doc_id: int, text: str) -> bytes:
+    """Scanner-output TIFF with camera EXIF metadata, every field a pure
+    function of doc_id so the EXIF extractor's output is SQL-replayable
+    (reference ImageMetadataExtractor field set)."""
+    from dedoc_ray.ops.media_codecs import tiff_encode
+    from dedoc_ray.sources.synth import chunks_of
+
+    s = doc_id % 86400
+    hh, mm, ss = s // 3600, (s // 60) % 60, s % 60
+    exif = {
+        "software": f"ScanSuite {doc_id % 5}.{doc_id % 3}",
+        "make": f"Maker{doc_id % 4}",
+        "model": f"Model {doc_id % 6}",
+        "orientation": doc_id % 8 + 1,
+        "date_time": f"2022:05:01 {hh:02d}:{mm:02d}:{ss:02d}",
+    }
+    lines = [(f"Document {doc_id}", True)] + [(c, False) for c in chunks_of(text)]
+    return tiff_encode(render_page(lines), exif=exif)
+
+
 # ---------------------------------------------------- proportional family
 #
 # A second deterministic font FAMILY: per-glyph proportional widths (3..7
