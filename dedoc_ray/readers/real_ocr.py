@@ -292,6 +292,15 @@ class RealScanOCR:
                 for e in entries
             ]
         )
+        # wide flat solid glyphs (hyphen/underscore/equals family) — the
+        # horizontal analogue of _barlike; their bbox has near-zero NCC
+        # variance so they too are decided by size features alone
+        self._dashlike = np.array(
+            [
+                bool(e[3] < 0.5 * e[5] and float(e[2].mean()) > 0.4)
+                for e in entries
+            ]
+        )
         carr = np.array(self.chars)
         self._cyr = np.array([("Ѐ" <= c <= "ӿ") for c in carr])
         self._lat = np.array([c.isalpha() and c.isascii() for c in carr])
@@ -336,6 +345,28 @@ class RealScanOCR:
                 and (bt - tp + 1) >= 3.5 * max(1, ink_cols)
                 and solid_rows > 0.95
             )
+            ink_rows = bt - tp + 1
+            # a hyphen/underscore: flat wide solid stroke — the NCC path is
+            # meaningless (zero variance) and the vertical-bar path never
+            # matches it, so "SN-2044" silently lost its dash. The solidity
+            # reduction only runs once the cheap geometry gate passes.
+            is_dash = ink_rows <= max(2, int(0.15 * ppem)) and ink_cols >= max(3, 2 * ink_rows)
+            if is_dash:
+                solid_cols = float((sub[tp : bt + 1].max(axis=0) > 0.45).mean())
+                is_dash = solid_cols > 0.9
+            if is_dash:
+                sc = (
+                    np.where(self._dashlike, 0.6, -1.0)
+                    - 1.4 * np.abs(self.rel_h - ft[0])
+                    - 1.2 * np.abs(self.rel_yc - ft[1])
+                    - 0.5 * np.abs(self.rel_w - ft[2])
+                )
+                if mask is not None:
+                    sc = np.where(mask, sc, -10.0)
+                j = int(np.argmax(sc))
+                if sc[j] > 0.0:
+                    out[ci] = (self.chars[j], float(sc[j]), j)
+                continue
             if n < 1e-6 or is_bar:
                 # a SOLID BAR fills its bbox (l, I, dotless-rendered i) —
                 # (near-)zero variance, NCC meaningless; decide among the

@@ -348,7 +348,7 @@ def test_latin_tokens_inside_cyrillic_text():
     out, _k, _t = real_ocr().decode_page_full(img)
     text = "\n".join(t[0] for t in out)
     assert "KR13" in text
-    assert "SN" in text and "2044" in text
+    assert "SN-2044" in text  # incl. the hyphen (flat-glyph dash matching)
     assert "v2" in text
     assert "DNS" in text
     # the Russian body still reads in-script
