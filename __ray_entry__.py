@@ -338,6 +338,13 @@ def q_extract_scan_tiff(sf_dir: str):
     return _office_extract(sf_dir, "scan_tiff").select_columns(["url", "status", "extracted_text"])
 
 
+def q_extract_scan_tiff_multipage(sf_dir: str):
+    """Two-page chained-IFD TIFFs through the OCR route: the reader walks
+    the IFD chain, OCRs page by page, and page order reproduces the
+    single-page text byte-exactly (readers/scan_ocr.py::_read_scan_pages)."""
+    return _office_extract(sf_dir, "scan_tiff_mp").select_columns(["url", "status", "extracted_text"])
+
+
 def q_docx_attachments(sf_dir: str):
     """Embedded-media attachment manifest per docx (recursive-attachments
     row — reference attachments_handler semantics, row-carried)."""
@@ -1830,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scan_bmp": q_extract_scan_bmp,
         "extract_scan_png": q_extract_scan_png,
         "extract_scan_tiff": q_extract_scan_tiff,
+        "extract_scan_tiff_multipage": q_extract_scan_tiff_multipage,
         "extract_scan_pdf": q_extract_scan_pdf,
         "extract_scan_pdf_jbig2": q_extract_scan_pdf_jbig2,
         "extract_scan_pdf_jbig2_text": q_extract_scan_pdf_jbig2_text,
@@ -2161,6 +2169,8 @@ def oracle_sql() -> dict[str, str]:
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_tiff": f"SELECT {office_url.format(ext='tif')} AS url, 'ok' AS status, "
                              f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
+        "extract_scan_tiff_multipage": f"SELECT {office_url.format(ext='tif')} AS url, 'ok' AS status, "
+                                       f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "
                             f"'Document ' || doc_id || chr(10) || {body} AS extracted_text FROM documents",
         "extract_scan_pdf_jbig2": f"SELECT {office_url.format(ext='pdf')} AS url, 'ok' AS status, "

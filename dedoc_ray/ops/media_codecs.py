@@ -712,9 +712,44 @@ def tiff_encode(gray: np.ndarray, packbits: bool = False, exif: "dict | None" = 
     return bytes(out)
 
 
+def tiff_encode_pages(grays: "List[np.ndarray]") -> bytes:
+    """Multi-page little-endian TIFF: one chained IFD per (h, w) uint8
+    grayscale page — the classic document-scanner container shape."""
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    for pi, g in enumerate(grays):
+        h, w = g.shape
+        body = np.ascontiguousarray(g).tobytes()
+        if len(body) & 1:
+            body += b"\x00"  # keep IFD offsets word-aligned
+        entries = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 4, 1, h),
+            (279, 4, 1, h * w),
+        ]
+        ifd_off = len(out)
+        data_off = ifd_off + 2 + 12 * len(entries) + 4
+        next_ifd = data_off + len(body) if pi < len(grays) - 1 else 0
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", next_ifd)
+        out += body
+    return bytes(out)
+
+
 def tiff_decode(data: bytes) -> np.ndarray:
-    """Grayscale/RGB baseline TIFF → (h, w) uint8 gray. II and MM byte
-    orders; strips; Compression 1/PackBits; WhiteIsZero inverted."""
+    """Grayscale/RGB baseline TIFF → (h, w) uint8 gray (FIRST page). II and
+    MM byte orders; strips; Compression 1/PackBits; WhiteIsZero inverted."""
+    return tiff_decode_pages(data, max_pages=1)[0]
+
+
+def tiff_decode_pages(data: bytes, max_pages: int = 50) -> "List[np.ndarray]":
+    """Multi-page TIFF → one gray array per IFD in the chain (classic
+    scanner output is one-IFD-per-scanned-page; the reference reads these
+    through its image route page by page). Page 0 must decode; later pages
+    that fail decode are skipped."""
     if data[:2] == b"II":
         e = "<"
     elif data[:2] == b"MM":
@@ -725,6 +760,28 @@ def tiff_decode(data: bytes) -> np.ndarray:
     if magic != 42:
         raise ValueError("bad TIFF magic")
     (ifd,) = struct.unpack(e + "I", data[4:8])
+    pages: List[np.ndarray] = []
+    seen = set()
+    while ifd and ifd not in seen and len(pages) < max_pages:
+        seen.add(ifd)
+        if ifd + 2 > len(data):
+            break
+        try:
+            pages.append(_tiff_decode_ifd(data, e, ifd))
+        except ValueError:
+            if not pages:
+                raise
+        (n_ent,) = struct.unpack(e + "H", data[ifd : ifd + 2])
+        nxt_off = ifd + 2 + 12 * n_ent
+        if nxt_off + 4 > len(data):
+            break
+        (ifd,) = struct.unpack(e + "I", data[nxt_off : nxt_off + 4])
+    if not pages:
+        raise ValueError("TIFF with no decodable pages")
+    return pages
+
+
+def _tiff_decode_ifd(data: bytes, e: str, ifd: int) -> np.ndarray:
     (n_ent,) = struct.unpack(e + "H", data[ifd : ifd + 2])
     tags = {}
     for i in range(n_ent):

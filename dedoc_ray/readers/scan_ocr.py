@@ -526,10 +526,29 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
             ],
             metadata=big_md,
         )
-    try:
-        img = image_decode_gray(data)
-    except ValueError:
-        img = parse_pgm(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # classic scanner container: one chained IFD per page — decode the
+        # whole chain and OCR page by page (reference image route reads
+        # multi-page TIFFs the same way after its pdf conversion)
+        from dedoc_ray.ops.media_codecs import tiff_decode_pages
+
+        tpages = tiff_decode_pages(data)
+        if len(tpages) > 1:
+            mp_doc = _read_scan_pages(tpages, file_hash, dims, orientation)
+            try:
+                from dedoc_ray.readers.exif import extract_exif
+
+                for k2, v2 in extract_exif(data).items():
+                    mp_doc.metadata.setdefault(k2, v2)
+            except Exception:
+                pass
+            return mp_doc
+        img = tpages[0]
+    else:
+        try:
+            img = image_decode_gray(data)
+        except ValueError:
+            img = parse_pgm(data)
     recognized, k, warnings, tables, ocr_conf = recognize_raster(img, orientation=orientation)
     if k:
         warnings.append(f"scan orientation corrected {90 * k} degrees")
@@ -565,6 +584,50 @@ def read_scan(data: bytes, orientation: str = "auto") -> UnstructuredDoc:
         for i, t in enumerate(tables):
             t.uid = f"rastertab_{file_hash}_{i}"
         doc.tables = tables
+    return doc
+
+
+def _read_scan_pages(
+    pages: List[np.ndarray], file_hash: str, dims, orientation: str
+) -> UnstructuredDoc:
+    """Multi-page scan container (chained-IFD TIFF) → one document: each
+    page OCRs independently (page_id increments), ruled tables feed the
+    same cross-page merge as the PDF OCR route."""
+    from dedoc_ray.core.table import merge_multipage_tables
+
+    all_lines: List[LineWithMeta] = []
+    warnings: List[str] = [f"multi-page scan container: {len(pages)} pages"]
+    all_tables = []
+    confs: List[float] = []
+    angles: List[int] = []
+    line_id = 0
+    for pid, img in enumerate(pages):
+        recognized, k, pwarns, tables, ocr_conf = recognize_raster(img, orientation=orientation)
+        warnings.extend(w for w in pwarns if w not in warnings)
+        if k:
+            warnings.append(f"page {pid} scan orientation corrected {90 * k} degrees")
+        angles.append(90 * int(k))
+        if ocr_conf is not None:
+            confs.append(ocr_conf)
+        all_lines.extend(
+            lines_from_recognized(recognized, file_hash, page_id=pid, start_line_id=line_id)
+        )
+        line_id += len(recognized)
+        for ti, t in enumerate(tables):
+            t.page_id = pid
+            t.uid = f"rastertab_{file_hash}_{pid}_{ti}"
+            all_tables.append(t)
+    h, w = pages[0].shape[:2]
+    metadata: Dict[str, object] = {
+        "exif_image_width": int(dims[0]) if dims else int(w),
+        "exif_image_height": int(dims[1]) if dims else int(h),
+        "rotated_page_angles": angles,
+    }
+    if confs:
+        metadata["ocr_confidence"] = float(sum(confs) / len(confs))
+    doc = UnstructuredDoc(lines=all_lines, warnings=warnings, metadata=metadata)
+    if all_tables:
+        doc.tables = merge_multipage_tables(all_tables)
     return doc
 
 

@@ -198,6 +198,21 @@ def scan_tiff(doc_id: int, text: str) -> bytes:
     return tiff_encode(render_page(lines, rotate_k=doc_id % 4), packbits=(doc_id % 3 == 0))
 
 
+def scan_tiff_multipage(doc_id: int, text: str) -> bytes:
+    """Two-page chained-IFD TIFF (the classic scanner batch container):
+    title + first half of the chunks on page 0, the rest on page 1 — the
+    reader must walk the IFD chain and keep page order, so the extracted
+    text equals the single-page oracle byte for byte."""
+    from dedoc_ray.ops.media_codecs import tiff_encode_pages
+    from dedoc_ray.sources.synth import chunks_of
+
+    chunks = chunks_of(text)
+    k = len(chunks) // 2
+    p1 = render_page([(f"Document {doc_id}", True)] + [(c, False) for c in chunks[:k]])
+    p2 = render_page([(c, False) for c in chunks[k:]])
+    return tiff_encode_pages([p1, p2])
+
+
 def scan_exif_tiff(doc_id: int, text: str) -> bytes:
     """Scanner-output TIFF with camera EXIF metadata, every field a pure
     function of doc_id so the EXIF extractor's output is SQL-replayable

@@ -558,6 +558,7 @@ from dedoc_ray.sources.scan_writer import (  # noqa: E402
     scan_pdf_jbig2,
     scan_pdf_jbig2_sym,
     scan_exif_tiff,
+    scan_tiff_multipage,
     scan_pgm,
     scan_png,
     scan_tiff,
@@ -570,6 +571,7 @@ _GENERATORS["scan_bmp"] = scan_bmp
 _GENERATORS["scan_png"] = scan_png
 _GENERATORS["scan_tiff"] = scan_tiff
 _GENERATORS["scan_exif"] = scan_exif_tiff
+_GENERATORS["scan_tiff_mp"] = scan_tiff_multipage
 _GENERATORS["pdf_scan"] = scan_pdf
 _GENERATORS["pdf_scan_jbig2"] = scan_pdf_jbig2
 _GENERATORS["pdf_scan_jbig2s"] = scan_pdf_jbig2_sym
@@ -589,7 +591,7 @@ _EXT_OVERRIDE = {"law": "txt", "pdf2col": "pdf", "law_ml": "txt", "law_foiv": "t
                  "tz": "txt", "tz_ml": "txt", "diploma": "txt", "diploma_ml": "txt",
                  "scan": "pgm", "scan2col": "pgm", "scan_bmp": "bmp", "pdf_scan": "pdf",
                  "pdf_scan_jbig2": "pdf", "pdf_scan_jbig2s": "pdf", "scan_multifont": "pgm",
-                 "scan_png": "png", "scan_tiff": "tif", "scan_exif": "tif", "scan_openfont": "pgm"}
+                 "scan_png": "png", "scan_tiff": "tif", "scan_exif": "tif", "scan_tiff_mp": "tif", "scan_openfont": "pgm"}
 
 
 def office_pages_batch(batch: pa.Table, fmt: str) -> pa.Table:

@@ -65,3 +65,34 @@ def test_scan_metadata_carries_exif():
     assert doc.metadata.get("date_time") == 1637328831
     # decode-derived geometry is still there
     assert doc.metadata.get("exif_image_width")
+
+
+def test_multipage_tiff_roundtrip_and_scan():
+    # chained-IFD TIFF: encode/decode all pages, and the scan route walks
+    # the chain emitting per-page lines (page_id increments, multi-page
+    # warning, first-page dims in metadata)
+    import numpy as np
+
+    from dedoc_ray.ops.media_codecs import tiff_decode, tiff_decode_pages, tiff_encode_pages
+    from dedoc_ray.readers.scan_ocr import read_scan
+    from dedoc_ray.sources.scan_writer import render_page
+
+    a = (np.arange(21 * 30, dtype=np.uint8).reshape(21, 30) % 250)
+    b = (np.arange(24 * 31, dtype=np.uint8).reshape(24, 31) % 250)[::-1]
+    enc = tiff_encode_pages([a, b])
+    pages = tiff_decode_pages(enc)
+    assert len(pages) == 2
+    assert (pages[0] == a).all() and (pages[1] == b).all()
+    # single-page API stays first-page compatible
+    assert (tiff_decode(enc) == a).all()
+
+    p1 = render_page([("Document 7", True), ("alpha beta gamma", False)])
+    p2 = render_page([("second page here", False), ("delta epsilon", False)])
+    doc = read_scan(tiff_encode_pages([p1, p2]))
+    texts = [(L.metadata.page_id, L.line.rstrip("\n")) for L in doc.lines]
+    assert texts == [
+        (0, "Document 7"), (0, "alpha beta gamma"),
+        (1, "second page here"), (1, "delta epsilon"),
+    ]
+    assert any("2 pages" in w for w in doc.warnings)
+    assert doc.metadata["exif_image_width"]
