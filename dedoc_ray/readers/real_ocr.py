@@ -907,10 +907,16 @@ class RealScanOCR:
             sharps.append(float((p * p).sum()))
         cut = 0.7 * max(sharps) if max(sharps) > 0 else 0.0
         scores: Dict[int, float] = {}
-        for kk in range(4):
+        for kk in range(4):  # k=0 first: a clean upright page decides fast
             if sharps[kk] < cut:
                 continue
-            scores[kk] = self._page_score(np.rot90(ink, -kk), expand=expand)
+            sc = self._page_score(np.rot90(ink, -kk), expand=expand)
+            scores[kk] = sc
+            if sc >= 0.72:
+                # decisive trial read — upside-down/sideways text can never
+                # score this high, so skip scoring the other rotations
+                # (halves the orientation cost on every clean page)
+                return kk
         if not scores:
             return 0
         order = sorted(scores, key=scores.get, reverse=True)
