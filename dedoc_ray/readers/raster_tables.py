@@ -383,9 +383,12 @@ def gost_frame_window(ink: np.ndarray):
 
 def _drop_interior_strokes(hs, vs):
     """Keep rules that can be SEPARATORS: spanning ≥50% of their frame's
-    other dimension or touching a frame edge (merged-cell partial
-    separators always reach a boundary; pen strokes and underlines inside
-    a cell touch neither and would fabricate phantom columns)."""
+    other dimension, touching a frame edge, or ANCHORED — both endpoints
+    land on perpendicular rules that cross them (mid-table tier separators
+    like the 'В том числе / Осн.З/п' header splits connect two interior
+    column rules without reaching any frame edge). Pen strokes and text
+    underlines inside a cell satisfy none of these and would fabricate
+    phantom columns."""
     if not hs or not vs:
         return hs, vs
     top = min(y for _a, _b, y in hs)
@@ -396,20 +399,47 @@ def _drop_interior_strokes(hs, vs):
     w_span = max(1.0, right - left)
     tol_y = 0.06 * h_span
     tol_x = 0.06 * w_span
-    vs2 = [
-        (y0, y1, x)
-        for y0, y1, x in vs
-        if (y1 - y0) >= 0.5 * h_span
-        or y0 <= top + tol_y
-        or y1 >= bot - tol_y
-    ]
-    hs2 = [
-        (x0, x1, y)
-        for x0, x1, y in hs
-        if (x1 - x0) >= 0.5 * w_span
-        or x0 <= left + tol_x
-        or x1 >= right - tol_x
-    ]
+
+    def anchored(p0, p1, pos, perp, tol=9.0):
+        # both endpoints within tol of a perpendicular rule whose extent
+        # covers this rule's position
+        def hit(p):
+            return any(
+                abs(p - rp) <= tol and a0 - tol <= pos <= a1 + tol
+                for a0, a1, rp in perp
+            )
+
+        return hit(p0) and hit(p1)
+
+    def split_keep(rules, primary, anchor):
+        base = [r for r in rules if primary(r)]
+        out = list(base)
+        for r in rules:
+            if r in base or not anchor(r):
+                continue
+            a0, a1, p = r
+            # an anchored rule that shadows a base-kept rule a few px away
+            # is the same physical (thick/dashed) line re-detected — adding
+            # it would shift the snapped boundary and drag border ink into
+            # the cell crops
+            # position-only proximity: a tilted dashed border fragments
+            # into non-overlapping pieces at drifted positions — distinct
+            # REAL separators are never 12 px apart
+            if any(abs(p - bp) <= 12 for _b0, _b1, bp in out):
+                continue
+            out.append(r)
+        return out
+
+    vs2 = split_keep(
+        vs,
+        lambda r: (r[1] - r[0]) >= 0.5 * h_span or r[0] <= top + tol_y or r[1] >= bot - tol_y,
+        lambda r: anchored(r[0], r[1], r[2], hs),
+    )
+    hs2 = split_keep(
+        hs,
+        lambda r: (r[1] - r[0]) >= 0.5 * w_span or r[0] <= left + tol_x or r[1] >= right - tol_x,
+        lambda r: anchored(r[0], r[1], r[2], vs),
+    )
     return hs2, vs2
 
 

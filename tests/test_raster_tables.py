@@ -198,3 +198,41 @@ def test_dotted_table_horizontal_union():
     (top, bot, left, right) = boxes[0]
     assert 2800 < top < 3000 and 3100 < bot < 3300
     assert 200 < left < 400 and 2200 < right < 2350
+
+
+def test_hor_vert_union_three_tier_header():
+    # reference test_api_table_recognition_hor_and_vert_union_2
+    # (test_api_module_table_recognizer.py:51-68): a 17-column estimate
+    # sheet whose header is THREE tiers deep with both vertical unions
+    # (cols 0-4 merged down all three tiers) and horizontal unions
+    # ("Стоимость единицы, руб." across cols 6-8, "Общая стоимость, руб."
+    # across cols 11-13). The mid-table tier separators do not touch the
+    # frame — they anchor on interior column rules (the anchored-keep rule
+    # in _drop_interior_strokes).
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.raster_tables import detect_raster_tables
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    with open(
+        "/root/reference/tests/data/tables/example_with_table_hor_vert_union.png", "rb"
+    ) as f:
+        img = image_decode_gray(f.read()).astype(np.float32)
+    ink = (img.max() - img) / max(1.0, img.max() - img.min())
+    tables, _boxes = detect_raster_tables(ink, real_ocr())
+    assert len(tables) == 1
+    t = tables[0]
+    assert len(t.cells) == 6 and len(t.cells[0]) == 17
+    # reference row0[6]: "Стоимость единицы, руб." (union copy of the tier
+    # head), row1[6]: "В том числе", row2[6]: "Осн.З/п"
+    assert sim(t.cells[0][6].get_text().strip(), "Стоимость единицы, руб.") >= 0.6
+    assert sim(t.cells[1][6].get_text().strip(), "В том числе") >= 0.7
+    assert sim(t.cells[2][6].get_text().strip(), "Осн.З/п") >= 0.4
+    # reference row1[10] and row2[10]: "Всего" (vertical union copies)
+    assert sim(t.cells[1][10].get_text().strip(), "Всего") >= 0.6
+    assert t.cells[2][10].invisible
+    assert t.cells[1][10].get_text() == t.cells[2][10].get_text()
+    # reference row0[12]: "Общая стоимость, руб." / row1[12]: "В том числе"
+    assert sim(t.cells[0][12].get_text().strip(), "Общая стоимость, руб.") >= 0.55
+    assert sim(t.cells[1][12].get_text().split("\n")[0], "В том числе") >= 0.7
+    # left identity block: cols 0-4 merged down all three header tiers
+    assert t.cells[1][0].invisible and t.cells[2][0].invisible
