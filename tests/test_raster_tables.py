@@ -236,3 +236,41 @@ def test_hor_vert_union_three_tier_header():
     assert sim(t.cells[1][12].get_text().split("\n")[0], "В том числе") >= 0.7
     # left identity block: cols 0-4 merged down all three header tiers
     assert t.cells[1][0].invisible and t.cells[2][0].invisible
+
+
+def test_photographed_table_fixtures_structure():
+    # reference table_recognizer fixtures (unit test_module_table_detection
+    # test_table_detection_2/test_table_recognition_2 + api
+    # test_api_table_recognition_3/4): photographed pages — the detector
+    # must find one table each with the reference's grid/bbox; cell OCR on
+    # these degraded photos is below the text bar, so the pins are
+    # structural (the reference pins bboxes the same way in its unit layer)
+    from dedoc_ray.ops.media_codecs import image_decode_gray
+    from dedoc_ray.readers.raster_tables import detect_raster_tables
+    from dedoc_ray.readers.real_ocr import real_ocr
+
+    R = real_ocr()
+
+    def detect_file(name):
+        with open(f"/root/reference/tests/data/tables/{name}", "rb") as f:
+            img = image_decode_gray(f.read()).astype(np.float32)
+        ink = (img.max() - img) / max(1.0, img.max() - img.min())
+        return detect_raster_tables(ink, R)
+
+    # table4: 5 rows x 3 cols at bbox ~(108,1525)+(2282x1797) (ref ±30)
+    tabs, boxes = detect_file("example_with_table4.jpg")
+    assert len(tabs) == 1
+    assert len(tabs[0].cells) == 5 and len(tabs[0].cells[0]) == 3
+    top, bot, left, right = boxes[0]
+    assert _close(left, 108, 50) and _close(top, 1525, 30)
+    assert _close(right - left, 2282, 60) and _close(bot - top, 1797, 30)
+
+    # table16: the forestry sheet — ref pins rows up to index 13 (≥14 rows)
+    tabs, _ = detect_file("example_with_table16.jpg")
+    assert len(tabs) == 1
+    assert len(tabs[0].cells) >= 14 and len(tabs[0].cells[0]) == 4
+
+    # table17: same family, ref pins row 3 col 3 (≥4 rows x 4 cols)
+    tabs, _ = detect_file("example_with_table17.jpg")
+    assert len(tabs) == 1
+    assert len(tabs[0].cells) >= 4 and len(tabs[0].cells[0]) == 4
