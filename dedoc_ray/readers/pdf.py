@@ -1007,6 +1007,23 @@ def _read_pdf_auto(
             ocr_doc = _ocr_rendered_textlayer(data, pages=pages)
             if ocr_doc is not None:
                 ocr_doc.warnings.insert(0, f"{reason}: page rasterized from the text layer and OCR'd")
+                if table_analysis and not ocr_doc.tables:
+                    # the text-layer renderer draws no ruling lines, so the
+                    # raster pass cannot see this page's tables — the
+                    # VECTOR lattice over the drawn borders is the same
+                    # grid the reference's pdf2image raster would show
+                    # (rotated-cell fixtures: 1 table each)
+                    try:
+                        from dedoc_ray.readers.pdf_tables import read_pdf_tabby
+
+                        tdoc = read_pdf_tabby(data, pages=pages)
+                        if tdoc.tables:
+                            ocr_doc.tables = tdoc.tables
+                            ocr_doc.warnings.append(
+                                "tables recognized from the vector ruling lattice"
+                            )
+                    except Exception:
+                        pass
                 return ocr_doc
         return UnstructuredDoc(lines=[], warnings=[f"{reason}: OCR stage stubbed (no tesseract in container)"])
 

@@ -150,6 +150,10 @@ def render_textlayer_page(lines, page_id: int, page_w: float, page_h: float,
             # horizontal fit to the word's true bbox width (font substitution)
             target_w = max(2, int(round(bw * sc)))
             strip = strip[:, :used]
+            # natural advances can overrun the laid-out strip (rotated-cell
+            # PDFs report narrow bboxes): the resample index must use the
+            # REAL width or it reads one column past the end
+            used = strip.shape[1]
             if used != target_w:
                 idx = np.clip(
                     (np.arange(target_w) * used / target_w).astype(int), 0, used - 1

@@ -274,3 +274,23 @@ def test_photographed_table_fixtures_structure():
     tabs, _ = detect_file("example_with_table17.jpg")
     assert len(tabs) == 1
     assert len(tabs[0].cells) >= 4 and len(tabs[0].cells[0]) == 4
+
+
+def test_forced_ocr_route_rotated_cell_tables():
+    # reference test_api_ml_table_recognition_7 (+ the 270-degree sibling
+    # and example_with_table8): pdf_with_text_layer="false" must still
+    # yield exactly one table per file. The rendered-text raster carries no
+    # ruling lines, so the vector lattice supplies the grid; the crash on
+    # narrow rotated-cell bboxes (resample index one past the laid-out
+    # strip) is pinned fixed by these parses succeeding.
+    from dedoc_ray.readers.pdf import read_pdf_auto
+
+    for name in (
+        "example_table_with_90_orient_cells.pdf",
+        "example_table_with_270_orient_cells.pdf",
+        "example_with_table8.pdf",
+    ):
+        with open(f"/root/reference/tests/data/tables/{name}", "rb") as f:
+            doc = read_pdf_auto(f.read(), mode="false", table_analysis=True)
+        assert len(doc.tables or []) == 1, name
+        assert doc.lines, name
