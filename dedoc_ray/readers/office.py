@@ -50,12 +50,36 @@ def _open_zip(data: bytes) -> zipfile.ZipFile:
         raise BadOfficeFile(f"not a zip container: {e}") from e
 
 
+# Strict OOXML (ISO 29500 Strict) uses purl.oclc.org namespaces where
+# Transitional uses schemas.openxmlformats.org; the element vocabulary is
+# the same, so normalizing the namespace prefix makes every strict part
+# parse through the transitional readers (the reference's BeautifulSoup
+# matches bare "w:..." tags and never sees the difference)
+_STRICT_NS = b"http://purl.oclc.org/ooxml/"
+_TRANSITIONAL = {
+    b"http://purl.oclc.org/ooxml/wordprocessingml/main": b"http://schemas.openxmlformats.org/wordprocessingml/2006/main",
+    b"http://purl.oclc.org/ooxml/spreadsheetml/main": b"http://schemas.openxmlformats.org/spreadsheetml/2006/main",
+    b"http://purl.oclc.org/ooxml/presentationml/main": b"http://schemas.openxmlformats.org/presentationml/2006/main",
+    b"http://purl.oclc.org/ooxml/drawingml/main": b"http://schemas.openxmlformats.org/drawingml/2006/main",
+    b"http://purl.oclc.org/ooxml/officeDocument/relationships": b"http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+    b"http://purl.oclc.org/ooxml/officeDocument/math": b"http://schemas.openxmlformats.org/officeDocument/2006/math",
+}
+
+
+def _normalize_strict(raw: bytes) -> bytes:
+    if _STRICT_NS in raw:
+        for s, t in _TRANSITIONAL.items():
+            raw = raw.replace(s, t)
+    return raw
+
+
 def _xml(zf: zipfile.ZipFile, name: str) -> Optional[ElementTree.Element]:
     try:
-        with zf.open(name) as f:
-            return ElementTree.parse(f).getroot()
+        raw = zf.read(name)
     except KeyError:
         return None
+    try:
+        return ElementTree.fromstring(_normalize_strict(raw))
     except ElementTree.ParseError as e:
         raise BadOfficeFile(f"bad xml in {name}: {e}") from e
 
@@ -338,7 +362,7 @@ def _core_properties(zf: zipfile.ZipFile) -> Dict[str, str]:
 
 def _read_part(zf: zipfile.ZipFile, name: str) -> Optional[bytes]:
     try:
-        return zf.read(name)
+        return _normalize_strict(zf.read(name))
     except KeyError:
         return None
 

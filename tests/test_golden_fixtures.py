@@ -1356,3 +1356,24 @@ def test_header_footer_quest_sicav():
     assert not any(l.strip() == "QUEST MANAGEMENT, SICAV" for l in flat)
     assert not any(_re.match(r"^\s*[0-9]\s*$", p[-1]) for p in pages.values())
     assert any('QUEST MANAGEMENT, SICAV (the "Company")' in l for l in flat)
+
+
+def test_strict_ooxml_docx():
+    # size1/size2.docx are ISO 29500 STRICT documents (purl.oclc.org
+    # namespaces; 'pt'-suffixed measurements) — the reference reads them
+    # via namespace-agnostic tag matching and pins every size annotation
+    # at 12.0 (test_format_docx_reader.py:289-300); the strict→transitional
+    # namespace normalization makes them parse through the same reader
+    from dedoc_ray.readers.office import read_docx
+
+    for nm in ("size1.docx", "size2.docx"):
+        with open(f"/root/reference/tests/data/docx/{nm}", "rb") as f:
+            doc = read_docx(f.read())
+        assert doc.lines, nm
+        sizes = [
+            float(a.value)
+            for L in doc.lines
+            for a in L.annotations
+            if a.name == "size"
+        ]
+        assert sizes and all(s == 12.0 for s in sizes), (nm, sizes[:5])
